@@ -1,0 +1,96 @@
+"""docs-table source/sink.
+
+The production table is Iceberg (``docs(doc_id string, spans
+array<struct<kind,text,media_ref,offset>>)`` partitioned by bucket(doc_id)
+— the north-rule storage layer).  The Iceberg runtime jar is not in this
+sandbox image, so the writer transparently falls back to plain parquet
+with the identical schema; every reader goes through :func:`read_docs` so
+the swap is one line when the jar is present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+    ]
+)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Schema  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def write_docs(df: DataFrame, path_or_table: str, mode: str = "overwrite") -> None:
+    """Write the docs table (Iceberg when available, else parquet path)."""
+    spark = df.sparkSession
+    if "/" not in path_or_table and iceberg_available(spark):
+        df.writeTo(path_or_table).createOrReplace()
+    else:
+        df.write.mode(mode).parquet(path_or_table)
+
+
+def read_docs(spark: SparkSession, path_or_table: str) -> DataFrame:
+    if "/" not in path_or_table and iceberg_available(spark):
+        return spark.table(path_or_table)
+    return spark.read.schema(DOCS_SCHEMA).parquet(path_or_table)
+
+
+def docs_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+
+
+def docs_from_documents_table(documents: DataFrame) -> DataFrame:
+    """Derive a docs-shaped table from the harness ``documents`` parquet
+    (doc_id, text, …): each document becomes one page whose text is split
+    into pseudo-spans — a deterministic adapter so the extraction engine
+    can also run over the driver-provided corpus."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    half = F.greatest((n / 2).cast("int"), F.lit(1))
+    first = F.array_join(F.slice(words, 1, half), " ")
+    second = F.array_join(F.slice(words, half + 1, n), " ")
+    # 3 spans per doc: every synthesized page layout has ≥3 boxes, so the
+    # deterministic geometry lookup (offsets 0..2) always resolves.
+    spans = F.array(
+        F.struct(
+            F.lit("title").alias("kind"),
+            F.upper(F.concat(F.lit("SECTION "), F.col("source"))).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            first.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(1).alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            second.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(2).alias("offset"),
+        ),
+    )
+    return documents.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        spans.alias("spans"),
+    )

