@@ -1,38 +1,601 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes every implemented operator family (SURVEY.md §2 +
+the training-data extras) as (spark, sf_dir) → DataFrame; ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL with identical column aliases.
+
+Float policy: every aggregate that sums doubles is rounded identically on
+both sides (2dp money, 4dp stats, 6dp ratios/similarities) so order-
+insensitive value hashes match across engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
+import sys
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reading_the_unreadable_spark.operators import dedup as D
+from reading_the_unreadable_spark.operators import similarity as S
+from reading_the_unreadable_spark.operators import textstats as TS
+from reading_the_unreadable_spark.plans.pipeline import extract, extract_articles
+from reading_the_unreadable_spark.sources.docs import docs_from_documents_table
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over a docs table derived from
+    the sf0.001 documents corpus (layout → reading order → articles)."""
+    documents = _t(spark, "/root/testdata/sf0.001", "documents")
+    docs = docs_from_documents_table(documents)
+    return extract_articles(docs)
+
+
+# ---------------------------------------------------------------- relational
+def q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark, sf):
+    li, o, c = _t(spark, sf, "lineitem"), _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        )
+    )
+    w = Window.orderBy(F.desc("_rev"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "c_custkey", "c_name", F.round("_rev", 2).alias("revenue"))
+    )
+
+
+def q_region_revenue(spark, sf):
+    li, o, c = _t(spark, sf, "lineitem"), _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_order_priority(spark, sf):
+    o, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_supplier_top3(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("l_suppkey", "rank", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+def q_ship_gaps(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    nxt = F.lead("l_shipdate").over(w)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.to_date(nxt), F.to_date("l_shipdate")).alias("gap_days"),
+    )
+
+
+def q_user_sessions(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731 (parquet ts is NTZ; session TZ is UTC)
+    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    with_sess = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_sess = with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+def q_latest_order(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_daily_event_pivot(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .groupBy("event_date")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+def q_monthly_revenue(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.withColumn("month", F.to_date(F.date_trunc("month", "o_orderdate")))
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_discount_fraction(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.avg(F.when(F.col("l_discount") < 0.05, 1.0).otherwise(0.0)), 6
+        ).alias("frac_low_discount"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_price_percentiles(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_customers_without_orders(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_active_suppliers(spark, sf):
+    s, li = _t(spark, sf, "supplier"), _t(spark, sf, "lineitem")
+    recent = li.filter(F.col("l_shipdate") >= "2001-01-01")
+    return s.join(
+        recent, s.s_suppkey == recent.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# ------------------------------------------------------------- dedup / text
+def q_exact_dedup(spark, sf):
+    return D.exact_duplicates(_t(spark, sf, "documents"))
+
+
+def q_minhash_lsh(spark, sf):
+    return D.minhash_lsh_pairs(_t(spark, sf, "documents"))
+
+
+def q_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
+def q_simhash(spark, sf):
+    return D.simhash(_t(spark, sf, "documents"))
+
+
+def q_token_stats(spark, sf):
+    return TS.token_stats(_t(spark, sf, "documents"))
+
+
+def q_quality_score(spark, sf):
+    return TS.quality_score(_t(spark, sf, "documents"))
+
+
+def q_lang_id(spark, sf):
+    return TS.lang_id(_t(spark, sf, "documents"))
+
+
+def q_fingerprint(spark, sf):
+    return TS.fingerprint(_t(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------- similarity
+def q_cosine_topk(spark, sf):
+    return S.cosine_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+def q_ann_lsh(spark, sf):
+    return S.ann_lsh_topk(_t(spark, sf, "embeddings"), n_probes=10, k=3)
+
+
+def q_label_centroids(spark, sf):
+    return S.label_centroids(_t(spark, sf, "embeddings"))
+
+
+# ---------------------------------------------------- extraction (rows-only)
+def q_extract_articles(spark, sf):
+    docs = docs_from_documents_table(_t(spark, sf, "documents"))
+    return extract_articles(docs)
+
+
+def q_extract_spans(spark, sf):
+    docs = docs_from_documents_table(_t(spark, sf, "documents"))
+    return extract(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "region_revenue": q_region_revenue,
+        "order_priority": q_order_priority,
+        "supplier_top3": q_supplier_top3,
+        "ship_gaps": q_ship_gaps,
+        "user_sessions": q_user_sessions,
+        "latest_order": q_latest_order,
+        "daily_event_pivot": q_daily_event_pivot,
+        "monthly_revenue": q_monthly_revenue,
+        "discount_fraction": q_discount_fraction,
+        "price_percentiles": q_price_percentiles,
+        "customers_without_orders": q_customers_without_orders,
+        "active_suppliers": q_active_suppliers,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "label_centroids": q_label_centroids,
+        "extract_articles": q_extract_articles,
+        "extract_spans": q_extract_spans,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------------- oracles
+_MARKER_SQL = {
+    "en": "('the','of','and','to','in')",
+    "es": "('el','la','de','los','y')",
+    "fr": "('le','les','et','des','un')",
+    "de": "('der','die','und','das','ein')",
+}
+
+_SHINGLE_CTE = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id, s FROM words,
+  LATERAL (SELECT unnest(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(generate_series(1, len(w)-2),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [array_to_string(w, ' ')] END) AS s)
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            WITH rev AS (
+              SELECT c_custkey, c_name,
+                     sum(l_extendedprice * (1 - l_discount)) AS r
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                            JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_custkey, c_name)
+            SELECT rank::INT AS rank, c_custkey, c_name, round(r, 2) AS revenue FROM (
+              SELECT *, row_number() OVER (ORDER BY r DESC, c_custkey) AS rank
+              FROM rev) WHERE rank <= 20
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "supplier_top3": """
+            SELECT l_suppkey, rank::INT AS rank, l_orderkey, l_linenumber,
+                   l_extendedprice FROM (
+              SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_suppkey
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+              FROM lineitem) WHERE rank <= 3
+        """,
+        "ship_gaps": """
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   date_diff('day', l_shipdate::DATE,
+                     (lead(l_shipdate) OVER (PARTITION BY l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber))::DATE
+                   )::INT AS gap_days
+            FROM lineitem
+        """,
+        "user_sessions": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events),
+            s AS (
+              SELECT user_id,
+                     sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g),
+            per_sess AS (
+              SELECT user_id, session_id, count(*) AS n_events
+              FROM s GROUP BY user_id, session_id)
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events,
+                   CAST(sum(n_events) AS BIGINT) AS total_events
+            FROM per_sess GROUP BY user_id
+        """,
+        "latest_order": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT *, row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1
+        """,
+        "daily_event_pivot": """
+            SELECT ts::DATE AS event_date,
+                   count(CASE WHEN event_type='click' THEN 1 END) AS click,
+                   count(CASE WHEN event_type='error' THEN 1 END) AS error,
+                   count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+                   count(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+                   count(CASE WHEN event_type='view' THEN 1 END) AS "view"
+            FROM events GROUP BY 1
+        """,
+        "monthly_revenue": """
+            SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "discount_fraction": """
+            SELECT l_returnflag,
+                   round(avg(CASE WHEN l_discount < 0.05 THEN 1.0 ELSE 0.0 END), 6)
+                     AS frac_low_discount,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "price_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "active_suppliers": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '2001-01-01')
+        """,
+        "exact_dedup": """
+            SELECT md5(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS fingerprint,
+                   count(*) AS n_docs, min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "minhash_lsh": f"""
+            WITH {_SHINGLE_CTE},
+            hashes AS (
+              SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+              FROM shingles, (SELECT unnest(generate_series(0, 7)) AS seed)
+              GROUP BY doc_id, seed),
+            sigs AS (
+              SELECT doc_id, seed // 2 AS band,
+                     md5(string_agg(mh, ',' ORDER BY seed)) AS band_sig
+              FROM hashes GROUP BY doc_id, seed // 2),
+            cand AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS shared_bands
+              FROM sigs a JOIN sigs b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+            inter AS (
+              SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_inter
+              FROM shingles s1 JOIN shingles s2
+                ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2)
+            SELECT c.doc_a, c.doc_b, c.shared_bands,
+                   round(coalesce(i.n_inter, 0) * 1.0 /
+                         (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+            FROM cand c
+            LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+            JOIN counts na ON c.doc_a = na.doc_id
+            JOIN counts nb ON c.doc_b = nb.doc_id
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.t, b.t)) * 1.0 /
+                         (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)
+                     AS jaccard
+            FROM toks a JOIN toks b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.t, b.t)) * 1.0 /
+                  (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6) >= 0.5
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars_computed,
+                   round(list_sum(list_transform(string_split(text, ' '),
+                         t -> length(t))) * 1.0 / len(string_split(text, ' ')), 6)
+                     AS avg_token_len,
+                   len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
+            FROM documents
+        """,
+        "quality_score": """
+            WITH q AS (
+              SELECT doc_id,
+                len(string_split(text,' ')) * 1.0 AS n,
+                len(list_filter(string_split(text,' '), t -> t IN
+                  ('the','of','and','to','in','a','is','for','on','with'))) * 1.0
+                  AS n_stop,
+                length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 AS n_alpha,
+                length(text) * 1.0 AS n_chars
+              FROM documents)
+            SELECT doc_id,
+                   round(n_stop / n, 6) AS stopword_ratio,
+                   round(n_alpha / n_chars, 6) AS alpha_ratio,
+                   round(0.4 * least(n / 100.0, 1.0) + 0.4 * (n_stop / n)
+                         + 0.2 * (n_alpha / n_chars), 6) AS quality_score
+            FROM q
+        """,
+        "lang_id": f"""
+            WITH c AS (
+              SELECT doc_id, lang,
+                len(list_filter(string_split(text,' '), t -> t IN {_MARKER_SQL["en"]})) AS c_en,
+                len(list_filter(string_split(text,' '), t -> t IN {_MARKER_SQL["es"]})) AS c_es,
+                len(list_filter(string_split(text,' '), t -> t IN {_MARKER_SQL["fr"]})) AS c_fr,
+                len(list_filter(string_split(text,' '), t -> t IN {_MARKER_SQL["de"]})) AS c_de
+              FROM documents)
+            SELECT doc_id, c_en, c_es, c_fr, c_de,
+                   CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+                        WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+                        WHEN c_fr >= c_de THEN 'fr'
+                        ELSE 'de' END AS lang_pred,
+                   lang
+            FROM c
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS fingerprint,
+                   length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS norm_len
+            FROM documents
+        """,
+        "simhash": D.simhash_oracle_sql(),
+        "cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id, label,
+                     round(list_cosine_similarity(embedding::DOUBLE[], qvec), 6)
+                       AS cos_sim
+              FROM embeddings, q WHERE vec_id != 0)
+            SELECT rank::INT AS rank, vec_id, label, cos_sim FROM (
+              SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 10
+        """,
+        "ann_lsh": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS vec,
+                     (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+                      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+                      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+                      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+              FROM embeddings),
+            scored AS (
+              SELECT p.vec_id AS probe_id, c.vec_id,
+                     round(list_cosine_similarity(p.vec, c.vec), 6) AS cos_sim
+              FROM base p JOIN base c
+                ON p.bucket = c.bucket AND p.vec_id != c.vec_id
+              WHERE p.vec_id < 10)
+            SELECT probe_id, rank::INT AS rank, vec_id, cos_sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY probe_id
+                ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored) WHERE rank <= 3
+        """,
+        "label_centroids": """
+            SELECT label, (dim - 1)::INT AS dim,
+                   round(avg(embedding[dim]::DOUBLE), 6) AS centroid,
+                   count(*) AS n_vecs
+            FROM embeddings,
+                 (SELECT unnest(generate_series(1, 64)) AS dim)
+            GROUP BY label, dim
+        """,
+    }
+    return {k: v.strip() for k, v in sql.items()}
