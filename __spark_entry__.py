@@ -70,11 +70,10 @@ def q_top_customers(spark, sf):
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
         )
     )
+    top = rev.orderBy(F.desc("_rev"), F.asc("c_custkey")).limit(20)
     w = Window.orderBy(F.desc("_rev"), F.asc("c_custkey"))
-    return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "c_custkey", "c_name", F.round("_rev", 2).alias("revenue"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "c_custkey", "c_name", F.round("_rev", 2).alias("revenue")
     )
 
 
@@ -229,6 +228,90 @@ def q_active_suppliers(spark, sf):
     ).select("s_suppkey", "s_name")
 
 
+def q_json_extract(spark, sf):
+    """F18/S7: JSON field extraction from the events props column."""
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def q_global_stats(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_sd"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def q_dow_revenue(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.withColumn("dow", F.date_format("o_orderdate", "EEEE"))
+        .groupBy("dow")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_rollup_revenue(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_deterministic_sample(spark, sf):
+    """O3: seeded/deterministic sampling via md5 bucketing (portable
+    across engines, unlike rand(seed))."""
+    o = _t(spark, sf, "orders")
+    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return o.filter(h.isin("0", "1")).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_union_segments(spark, sf):
+    """U1: unionByName of two derived relations."""
+    c = _t(spark, sf, "customer")
+    hi = c.filter(F.col("c_acctbal") >= 5000).select(
+        "c_custkey", F.lit("high").alias("segment")
+    )
+    lo = c.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.lit("negative").alias("segment")
+    )
+    return hi.unionByName(lo)
+
+
+def q_except_customers(spark, sf):
+    """U3: set difference — customers ordering in 1997 but not in 1998."""
+    o = _t(spark, sf, "orders")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y97.exceptAll(y98).distinct()
+
+
+def q_name_distance(spark, sf):
+    """F15: levenshtein scalar (the CER building block)."""
+    s = _t(spark, sf, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.levenshtein(F.col("s_name"), F.lit("Supplier#000000001")).alias("edit_dist"),
+    )
+
+
 # ------------------------------------------------------------- dedup / text
 def q_exact_dedup(spark, sf):
     return D.exact_duplicates(_t(spark, sf, "documents"))
@@ -239,7 +322,7 @@ def q_minhash_lsh(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
-    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
+    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.9)
 
 
 def q_simhash(spark, sf):
@@ -302,6 +385,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": q_price_percentiles,
         "customers_without_orders": q_customers_without_orders,
         "active_suppliers": q_active_suppliers,
+        "json_extract": q_json_extract,
+        "global_stats": q_global_stats,
+        "dow_revenue": q_dow_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "deterministic_sample": q_deterministic_sample,
+        "union_segments": q_union_segments,
+        "except_customers": q_except_customers,
+        "name_distance": q_name_distance,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
@@ -460,6 +551,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '2001-01-01')
         """,
+        "json_extract": """
+            SELECT event_id, json_extract_string(props, '$.k')::INT AS k FROM events
+        """,
+        "global_stats": """
+            SELECT count(*) AS n,
+                   round(sum(l_extendedprice), 2) AS total_price,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   round(max(l_extendedprice), 2) AS max_price,
+                   round(stddev_samp(l_quantity), 4) AS qty_sd,
+                   count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem
+        """,
+        "dow_revenue": """
+            SELECT dayname(o_orderdate) AS dow, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "rollup_revenue": """
+            SELECT n_name, o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_name, o_orderpriority)
+        """,
+        "deterministic_sample": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE substr(md5(o_orderkey::VARCHAR), 1, 1) IN ('0', '1')
+        """,
+        "union_segments": """
+            SELECT c_custkey, 'high' AS segment FROM customer WHERE c_acctbal >= 5000
+            UNION ALL
+            SELECT c_custkey, 'negative' AS segment FROM customer WHERE c_acctbal < 0
+        """,
+        "except_customers": """
+            SELECT DISTINCT o_custkey FROM (
+              SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+              EXCEPT ALL
+              SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        """,
+        "name_distance": """
+            SELECT s_suppkey,
+                   levenshtein(s_name, 'Supplier#000000001')::INT AS edit_dist
+            FROM supplier
+        """,
         "exact_dedup": """
             SELECT md5(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS fingerprint,
                    count(*) AS n_docs, min(doc_id) AS keep_doc_id
@@ -507,7 +642,7 @@ def oracle_sql() -> dict[str, str]:
             FROM toks a JOIN toks b
               ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE round(len(list_intersect(a.t, b.t)) * 1.0 /
-                  (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6) >= 0.5
+                  (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6) >= 0.9
         """,
         "token_stats": """
             SELECT doc_id,

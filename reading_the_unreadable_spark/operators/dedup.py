@@ -26,6 +26,18 @@ N_HASHES = 8
 BAND_ROWS = 2
 
 
+def _spread(documents: DataFrame, n_tasks: int | None = None) -> DataFrame:
+    """Round-robin repartition of the input.
+
+    Compute-heavy per-row work (md5 folds, shingling, set intersections)
+    otherwise runs inside the scan tasks — and a small table is one file,
+    so one task would do everything.  On a real many-split table this is a
+    cheap rebalance; on skewed file layouts it is the difference between
+    1× and N× parallelism."""
+    n = n_tasks or documents.sparkSession.sparkContext.defaultParallelism
+    return documents.repartition(n)
+
+
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Group docs by normalized-content fingerprint; keeper = min doc_id."""
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
@@ -92,7 +104,7 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs (shared ≥1 LSH band) verified with true
     shingle-set Jaccard.  Output: (doc_a, doc_b, shared_bands, jaccard)."""
-    sh = shingles(documents, n).cache()
+    sh = shingles(_spread(documents), n).cache()
     sigs = lsh_band_signatures(minhash_signatures(sh, n_hashes), band_rows)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
@@ -136,25 +148,54 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.5, bucket_col: str = "lang"
+    documents: DataFrame,
+    threshold: float = 0.5,
+    bucket_col: str = "lang",
+    salt: int = 16,
 ) -> DataFrame:
     """Word-set Jaccard over pairs co-bucketed by ``bucket_col``
     (partition-bounded self-join — the scale guard: pairs are only formed
-    within buckets, and the join key carries the bucket)."""
+    within buckets, and the join key carries the bucket).
+
+    Low-cardinality bucket keys (here ~5 langs) would cap join parallelism
+    at the key count, so the left side is salted by hash(doc_id) and the
+    right side replicated ``salt`` times — the join key becomes
+    (bucket, salt), spreading each bucket across ``salt`` tasks without
+    changing the pair set."""
     toks = documents.select(
         "doc_id",
         F.col(bucket_col).alias("bucket"),
         F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
     )
-    a, b = toks.alias("a"), toks.alias("b")
+    toks = toks.withColumn("n_toks", F.size("toks"))
+    # probe side spread across tasks: the pair evaluation happens in the
+    # probe task of the broadcast join, so probe parallelism IS the
+    # operator's parallelism.
+    a = (
+        _spread(toks)
+        .withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(salt)))
+        .alias("a")
+    )
+    b = toks.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
     jac = inter.cast("double") / union
+    # length prefilter: jaccard >= t implies min(|A|,|B|)/max(|A|,|B|) >= t,
+    # so the size-ratio predicate prunes pairs before the set ops without
+    # changing the result (evaluated join-side, cheap int compare).
+    size_ok = (
+        F.least(F.col("a.n_toks"), F.col("b.n_toks")).cast("double")
+        >= F.lit(threshold) * F.greatest(F.col("a.n_toks"), F.col("b.n_toks"))
+    )
     return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -176,6 +217,7 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     Native expressions only — per-bit vote is a map over the token array
     + sum, no explode, no shuffle.  At production scale swap the md5
     nibble trick for ``xxhash64`` + bit ops (same plan shape, cheaper)."""
+    documents = _spread(documents)
     w = tokens_col(F.col("text"))
     md5s = F.transform(w, lambda t: F.md5(t))
 

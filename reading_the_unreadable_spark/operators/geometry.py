@@ -25,36 +25,41 @@ BOX_SCHEMA = (
 
 
 def _attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # column accumulators across ALL docs in a batch: one DataFrame build
+    # per Arrow batch, not per doc (the per-doc constructor cost dominated)
     for pdf in batches:
-        frames = []
+        doc_ids: list[str] = []
+        offsets: list[int] = []
+        kinds: list[str] = []
+        texts: list[str] = []
+        medias: list[str | None] = []
+        geo_cols: dict[str, list[np.ndarray]] = {
+            c: [] for c in ("x1", "y1", "x2", "y2", "confidence")
+        }
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
             geo = page_arrays(doc_id)
-            sp = pd.DataFrame([dict(s) for s in spans])
-            sp["doc_id"] = doc_id
-            sp["text"] = sp["text"].fillna("")
-            sp["offset"] = sp["offset"].astype(np.int32)
-            # vectorized geometry lookup by offset
-            idx = np.searchsorted(geo["offset"], sp["offset"].to_numpy())
-            for c in ("x1", "y1", "x2", "y2", "confidence"):
-                sp[c] = geo[c][idx]
-            frames.append(
-                sp[
-                    [
-                        "doc_id",
-                        "offset",
-                        "kind",
-                        "text",
-                        "media_ref",
-                        "x1",
-                        "y1",
-                        "x2",
-                        "y2",
-                        "confidence",
-                    ]
-                ]
+            span_offsets = np.fromiter(
+                (s["offset"] for s in spans), dtype=np.int32, count=len(spans)
             )
-        if frames:
-            yield pd.concat(frames, ignore_index=True)
+            idx = np.searchsorted(geo["offset"], span_offsets)
+            doc_ids.extend([doc_id] * len(spans))
+            offsets.extend(span_offsets.tolist())
+            kinds.extend(s["kind"] for s in spans)
+            texts.extend(s["text"] if s["text"] is not None else "" for s in spans)
+            medias.extend(s["media_ref"] for s in spans)
+            for c in geo_cols:
+                geo_cols[c].append(geo[c][idx])
+        if doc_ids:
+            out = {
+                "doc_id": doc_ids,
+                "offset": np.array(offsets, dtype=np.int32),
+                "kind": kinds,
+                "text": texts,
+                "media_ref": medias,
+            }
+            for c, chunks in geo_cols.items():
+                out[c] = np.concatenate(chunks)
+            yield pd.DataFrame(out)
 
 
 def docs_to_boxes(docs: DataFrame) -> DataFrame:

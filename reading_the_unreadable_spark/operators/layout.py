@@ -4,11 +4,13 @@ Every step that the reference implements as a per-page Python loop
 (``function_modules/bbox_functions.py:789-896``) is re-expressed here as
 window functions and native column expressions over a **single** hash
 exchange on ``doc_id``; only the inherently sequential accumulate-or-flush
-box merge (reference ``bbox_functions.py:508-583``) drops to a grouped-map
-Arrow UDF (``applyInPandas`` per doc — groups are single pages, tiny).
+box merge (reference ``bbox_functions.py:508-583``) drops to an Arrow
+iterator UDF — a ``mapInPandas`` over the already doc-partitioned,
+(doc, block, column, order)-sorted stream with doc-boundary-safe
+rebatching, so Python is entered once per Arrow batch, not once per page.
 
 Shuffle plan (verified with .explain): one Exchange(hashpartitioning
-(doc_id)) — every subsequent Window / applyInPandas requires only
+(doc_id)) — every subsequent Window requires only
 ClusteredDistribution(doc_id, …), which the existing partitioning already
 satisfies, so Catalyst inserts sorts, not shuffles.
 
@@ -140,36 +142,88 @@ def _blocks_dedup_order(df: DataFrame) -> DataFrame:
     return df
 
 
-def _merge_boxes_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """L9 grouped-map UDF: accumulate-or-flush merge of consecutive text
-    boxes within (page_block, column>0) while the merged span height stays
-    ≤ 1.5 × column_width.  One page per group; Arrow-batched transfer."""
-    out = []
-    for (_, col), grp in pdf.groupby(["page_block", "column_number"], sort=True):
-        grp = grp.sort_values("reading_order")
-        recs = grp.to_dict("records")
-        acc = None
-        for r in recs:
-            if col == 0 or r["kind"] != "text":
-                if acc is not None:
-                    out.append(acc)
-                    acc = None
-                out.append(r)
-            elif acc is None:
-                acc = r
-            elif (r["y2"] - acc["y1"]) <= MERGE_WIDTH_MULTIPLIER * r["column_width"]:
-                acc["y2"] = r["y2"]
-                acc["x1"] = min(acc["x1"], r["x1"])
-                acc["x2"] = max(acc["x2"], r["x2"])
-                acc["text"] = acc["text"] + "\n\n" + r["text"]
-                acc["confidence"] = max(acc["confidence"], r["confidence"])
-            else:
-                out.append(acc)
-                acc = r
-        if acc is not None:
-            out.append(acc)
-    res = pd.DataFrame.from_records(out)
-    return res[list(pdf.columns)]
+def _merge_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """L9 fold over a frame sorted by (doc_id, page_block, column_number,
+    reading_order): accumulate-or-flush merge of consecutive text boxes
+    within (doc, block, column>0) while the merged span height stays
+    ≤ 1.5 × column_width.
+
+    Implemented as a numpy index walk (no per-row dict materialization —
+    the fold only reads scalar geometry; texts are touched once per merged
+    run at assembly time)."""
+    n = len(pdf)
+    doc = pd.factorize(pdf["doc_id"])[0]
+    block = pdf["page_block"].to_numpy()
+    col = pdf["column_number"].to_numpy()
+    is_text = (pdf["kind"] == "text").to_numpy()
+    y1 = pdf["y1"].to_numpy()
+    y2 = pdf["y2"].to_numpy()
+    colw = pdf["column_width"].to_numpy()
+
+    # runs[i] = (head_idx, [member indices])
+    heads: list[int] = []
+    members: list[list[int]] = []
+    acc = -1  # index into heads/members of the open run, -1 = none
+    acc_head = -1
+    for i in range(n):
+        mergeable = is_text[i] and col[i] != 0
+        if not mergeable:
+            acc = -1
+            heads.append(i)
+            members.append([i])
+            continue
+        same_group = (
+            acc != -1
+            and doc[i] == doc[acc_head]
+            and block[i] == block[acc_head]
+            and col[i] == col[acc_head]
+        )
+        if same_group and (y2[i] - y1[acc_head]) <= MERGE_WIDTH_MULTIPLIER * colw[i]:
+            members[acc].append(i)
+            # extend the open run's bounds for subsequent cap checks
+        else:
+            heads.append(i)
+            members.append([i])
+            acc = len(heads) - 1
+            acc_head = i
+    out = pdf.iloc[heads].copy()
+    multi = [(j, m) for j, m in enumerate(members) if len(m) > 1]
+    if multi:
+        texts = pdf["text"].to_numpy()
+        x1a = pdf["x1"].to_numpy()
+        x2a = pdf["x2"].to_numpy()
+        conf = pdf["confidence"].to_numpy()
+        oc = {c: out.columns.get_loc(c) for c in ("text", "x1", "x2", "y2", "confidence")}
+        for j, m in multi:
+            out.iat[j, oc["text"]] = "\n\n".join(texts[m])
+            out.iat[j, oc["x1"]] = x1a[m].min()
+            out.iat[j, oc["x2"]] = x2a[m].max()
+            out.iat[j, oc["y2"]] = y2[m[-1]]
+            out.iat[j, oc["confidence"]] = conf[m].max()
+    return out
+
+
+def _merge_stream(batches):
+    """mapInPandas wrapper: one Python call per Arrow batch (not per doc).
+    Batches may split a document, so a tail buffer holds the last doc_id's
+    rows until the next batch proves it complete — the classic
+    partition-iterator re-chunking pattern."""
+    buf: pd.DataFrame | None = None
+    for pdf in batches:
+        if buf is not None and len(buf):
+            pdf = pd.concat([buf, pdf], ignore_index=True)
+            buf = None
+        if not len(pdf):
+            continue
+        last = pdf["doc_id"].iloc[-1]
+        first_of_last = int((pdf["doc_id"].to_numpy() == last).argmax())
+        if first_of_last == 0:
+            buf = pdf
+            continue
+        yield _merge_frame(pdf.iloc[:first_of_last])
+        buf = pdf.iloc[first_of_last:].reset_index(drop=True)
+    if buf is not None and len(buf):
+        yield _merge_frame(buf)
 
 
 def layout(boxes: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -199,9 +253,9 @@ def layout(boxes: DataFrame, num_partitions: int | None = None) -> DataFrame:
         "page_block",
         "reading_order",
     )
-    merged = df.groupBy("doc_id").applyInPandas(
-        lambda pdf: _merge_boxes_pdf(pdf), schema=ORDERED_BOX_SCHEMA
-    )
+    merged = df.sortWithinPartitions(
+        "doc_id", "page_block", "column_number", "reading_order"
+    ).mapInPandas(_merge_stream, schema=ORDERED_BOX_SCHEMA)
     w_final = Window.partitionBy("doc_id").orderBy("reading_order")
     merged = merged.withColumn("reading_order", F.row_number().over(w_final))
     return merged.withColumn(

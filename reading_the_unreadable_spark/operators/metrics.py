@@ -1,0 +1,109 @@
+"""Analysis/evaluation operators.
+
+- page coverage & overlap (reference behavioral contract:
+  ``function_modules/bbox_functions.py:111-188`` — rasterize each page's
+  boxes into a count grid, then coverage = covered print-area fraction,
+  overlap = multiply-covered fraction).  The per-page raster stays numpy
+  inside a grouped Arrow UDF; the reference's page loop + tqdm becomes
+  task parallelism.
+- CER (character error rate) vs a ground-truth table
+  (``result_section.py:229-242``): native levenshtein / length — no UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+COVERAGE_SCHEMA = (
+    "doc_id string, print_area double, covered_frac double, "
+    "overlap_frac double, n_boxes int"
+)
+
+RASTER_SCALE = 4  # raster at 1/4 resolution: exact enough, 16x cheaper
+
+
+def _coverage_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for doc_id, g in pdf.groupby("doc_id", sort=False):
+        x1 = np.floor(g["x1"].to_numpy() / RASTER_SCALE).astype(np.int64)
+        x2 = np.ceil(g["x2"].to_numpy() / RASTER_SCALE).astype(np.int64)
+        y1 = np.floor(g["y1"].to_numpy() / RASTER_SCALE).astype(np.int64)
+        y2 = np.ceil(g["y2"].to_numpy() / RASTER_SCALE).astype(np.int64)
+        ox, oy = x1.min(), y1.min()
+        w, h = int(x2.max() - ox), int(y2.max() - oy)
+        grid = np.zeros((h, w), dtype=np.int16)
+        for a, b, c, d in zip(y1 - oy, y2 - oy, x1 - ox, x2 - ox):
+            grid[a:b, c:d] += 1
+        area = grid.size
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "print_area": float(area * RASTER_SCALE * RASTER_SCALE),
+                "covered_frac": round(float((grid > 0).sum()) / area, 6),
+                "overlap_frac": round(float((grid > 1).sum()) / area, 6),
+                "n_boxes": int(len(g)),
+            }
+        )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "print_area", "covered_frac", "overlap_frac", "n_boxes"]
+    )
+
+
+def _coverage_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    buf: pd.DataFrame | None = None
+    for pdf in batches:
+        if buf is not None and len(buf):
+            pdf = pd.concat([buf, pdf], ignore_index=True)
+            buf = None
+        if not len(pdf):
+            continue
+        last = pdf["doc_id"].iloc[-1]
+        cut = int((pdf["doc_id"].to_numpy() == last).argmax())
+        if cut == 0:
+            buf = pdf
+            continue
+        yield _coverage_frame(pdf.iloc[:cut])
+        buf = pdf.iloc[cut:].reset_index(drop=True)
+    if buf is not None and len(buf):
+        yield _coverage_frame(buf)
+
+
+def page_coverage(boxes: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """boxes(doc_id, x1..y2) → per-page coverage/overlap metrics."""
+    df = boxes.select("doc_id", "x1", "y1", "x2", "y2")
+    if num_partitions:
+        df = df.repartition(num_partitions, "doc_id")
+    return df.sortWithinPartitions("doc_id").mapInPandas(
+        _coverage_stream, schema=COVERAGE_SCHEMA
+    )
+
+
+def cer(predictions: DataFrame, ground_truth: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Character error rate per document: levenshtein(gt, pred)/len(gt)
+    over normalized lowercase text; native expressions only."""
+    norm = lambda c: F.lower(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
+    joined = predictions.alias("p").join(
+        ground_truth.alias("g"), key, "inner"
+    )
+    gt = norm(F.col("g.text"))
+    pred = norm(F.col("p.text"))
+    return joined.select(
+        key,
+        F.round(
+            F.levenshtein(gt, pred).cast("double") / F.length(gt), 6
+        ).alias("cer"),
+        F.length(gt).cast("long").alias("gt_len"),
+    )
+
+
+def cer_summary(cer_df: DataFrame) -> DataFrame:
+    return cer_df.agg(
+        F.round(F.expr("percentile(cer, 0.5)"), 6).alias("median_cer"),
+        F.round(F.avg("cer"), 6).alias("mean_cer"),
+        F.count("*").alias("n_docs"),
+    )

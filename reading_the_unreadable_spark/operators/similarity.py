@@ -53,11 +53,12 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
             ),
         )
     )
+    # top-k via TakeOrdered (distributed partial top-k per partition, no
+    # single-partition global window); rank is then assigned on k rows.
+    topk = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "vec_id", "label", "cos_sim")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", "label", "cos_sim"
     )
 
 

@@ -1,0 +1,127 @@
+"""Checkpoint / resume / lineage for the extraction pipeline.
+
+The unit of resume is a **bucket**: ``pmod(hash(doc_id), n_buckets)`` —
+stable under re-runs and independent of file layout.  A job:
+
+1. reads the checkpoint table and LEFT ANTI-joins the docs table on
+   bucket (reference behavior being generalized: the skip-if-logged
+   resume of ``send_to_lm_functions.py:991-1001, 1179-1190`` — here as a
+   relational anti-join instead of file-existence probes);
+2. extracts only the remaining buckets;
+3. appends output parquet partitioned by bucket (a killed job's partial
+   bucket directory is overwritten on retry via dynamic partition
+   overwrite, so outputs stay exactly-once per bucket);
+4. appends one lineage row per completed bucket to the checkpoint table:
+   (stage, bucket, doc_count, span_count, wall_ms, docs_per_sec, job_id,
+   ts).
+
+``max_buckets`` caps how many buckets a run processes — the fault-
+injection hook the kill/resume test uses.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.articles import nest_spans
+from .pipeline import extract
+
+CHECKPOINT_SCHEMA = (
+    "stage string, bucket int, doc_count long, span_count long, "
+    "wall_ms long, docs_per_sec double, job_id string, ts string"
+)
+
+
+def with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
+    return docs.withColumn(
+        "bucket", F.pmod(F.hash("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def read_checkpoints(spark: SparkSession, ckpt_path: str) -> DataFrame:
+    if Path(ckpt_path).exists():
+        return spark.read.schema(CHECKPOINT_SCHEMA).parquet(ckpt_path)
+    return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+
+
+def run_extract_with_checkpoints(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    num_partitions: int | None = None,
+    max_buckets: int | None = None,
+    stage: str = "extract",
+) -> dict:
+    """One resumable job invocation.  Returns a summary dict."""
+    ckpt_path = f"{out_dir}/checkpoints"
+    out_path = f"{out_dir}/extracted_nested"
+    job_id = uuid.uuid4().hex[:12]
+
+    bucketed = with_bucket(docs, n_buckets)
+    done = read_checkpoints(spark, ckpt_path).filter(F.col("stage") == stage)
+    todo_docs = bucketed.join(done.select("bucket"), "bucket", "left_anti")
+
+    if max_buckets is not None:
+        # fault-injection hook: pretend the job dies after N buckets
+        keep = [
+            r["bucket"]
+            for r in todo_docs.select("bucket")
+            .distinct()
+            .orderBy("bucket")
+            .limit(max_buckets)
+            .collect()
+        ]
+        todo_docs = todo_docs.filter(F.col("bucket").isin(keep))
+
+    t0 = time.monotonic()
+    flat = extract(todo_docs.drop("bucket"), num_partitions=num_partitions)
+    nested = with_bucket(nest_spans(flat), n_buckets)
+    # dynamic partition overwrite: retried buckets replace any partial
+    # output from a killed attempt instead of duplicating it
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    nested.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+    wall_ms = int((time.monotonic() - t0) * 1000)
+
+    written = spark.read.parquet(out_path).join(
+        done.select("bucket"), "bucket", "left_anti"
+    )
+    metrics = (
+        written.groupBy("bucket")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(F.size("spans")).alias("span_count"),
+        )
+        .withColumn("stage", F.lit(stage))
+        .withColumn("wall_ms", F.lit(wall_ms))
+        .withColumn(
+            "docs_per_sec",
+            F.round(F.col("doc_count") / F.lit(max(wall_ms, 1) / 1000.0), 3),
+        )
+        .withColumn("job_id", F.lit(job_id))
+        .withColumn("ts", F.lit(time.strftime("%Y-%m-%dT%H:%M:%S")))
+        .select(
+            "stage",
+            "bucket",
+            "doc_count",
+            "span_count",
+            "wall_ms",
+            "docs_per_sec",
+            "job_id",
+            "ts",
+        )
+    )
+    n_new = metrics.count()
+    metrics.write.mode("append").parquet(ckpt_path)
+    return {
+        "job_id": job_id,
+        "buckets_processed": n_new,
+        "wall_ms": wall_ms,
+        "output": out_path,
+        "checkpoints": ckpt_path,
+    }

@@ -18,7 +18,13 @@ from ..operators.layout import layout
 
 def extract(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """docs(doc_id, spans) → flat extracted spans (doc_id, kind, text,
-    media_ref, order)."""
+    media_ref, order).
+
+    The input is round-robin repartitioned first: a docs table of many
+    small files would otherwise be packed into a handful of scan splits,
+    serializing the per-doc geometry/explode stage."""
+    if num_partitions:
+        docs = docs.repartition(num_partitions)
     boxes = docs_to_boxes(docs)
     ordered = layout(boxes, num_partitions=num_partitions)
     return extract_spans(ordered)

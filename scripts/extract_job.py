@@ -30,6 +30,33 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--synth", type=int, default=0)
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument(
+        "--checkpointed",
+        action="store_true",
+        help="run via the resumable bucket-checkpoint plan (re-invoking "
+        "after a kill resumes without reprocessing completed buckets)",
+    )
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument(
+        "--max-buckets",
+        type=int,
+        default=None,
+        help="fault injection: stop after N buckets (kill/resume testing)",
+    )
+    ap.add_argument(
+        "--sink",
+        choices=["parquet", "noop"],
+        default="parquet",
+        help="noop isolates distributed compute from single-disk IO "
+        "(benchmarking; a real cluster's storage bandwidth scales with nodes)",
+    )
+    ap.add_argument(
+        "--warmup",
+        action="store_true",
+        help="run one full untimed pass first (JIT/codegen/Python-worker "
+        "warmup) so the timed pass measures steady state — the regime a "
+        "long-running production job lives in",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -55,11 +82,38 @@ def main() -> None:
     docs_path = args.input or f"{args.output}/docs"
     docs = read_docs(spark, docs_path)
 
+    if args.checkpointed:
+        from reading_the_unreadable_spark.plans.checkpoint import (
+            run_extract_with_checkpoints,
+        )
+
+        summary = run_extract_with_checkpoints(
+            spark,
+            docs,
+            args.output,
+            n_buckets=args.buckets,
+            num_partitions=args.partitions,
+            max_buckets=args.max_buckets,
+        )
+        print(json.dumps({"job": "extract_checkpointed", **summary}))
+        spark.stop()
+        return
+
+    if args.warmup:
+        extract_nested(docs, num_partitions=args.partitions).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     t0 = time.monotonic()
     out = extract_nested(docs, num_partitions=args.partitions)
-    out.write.mode("overwrite").parquet(f"{args.output}/extracted_nested")
-    wall = time.monotonic() - t0
-    n_docs = spark.read.parquet(f"{args.output}/extracted_nested").count()
+    if args.sink == "noop":
+        out.write.format("noop").mode("overwrite").save()
+        wall = time.monotonic() - t0
+        n_docs = docs.count()
+    else:
+        out.write.mode("overwrite").parquet(f"{args.output}/extracted_nested")
+        wall = time.monotonic() - t0
+        n_docs = spark.read.parquet(f"{args.output}/extracted_nested").count()
     print(
         json.dumps(
             {

@@ -1,0 +1,95 @@
+"""Knitting path (custom_id decompose + LCS segment reassembly) and
+multimodal plumbing (binary payloads through mapInPandas)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reading_the_unreadable_spark.operators.knit import (
+    combine_segments,
+    reclassify_long_titles,
+)
+from reading_the_unreadable_spark.operators.multimodal import (
+    extract_media_features,
+    synth_media_table,
+)
+
+
+def _segments_of(text: str, seg_words: int = 6, overlap: int = 2) -> list[str]:
+    """Split text into overlapping word segments (mirrors the reference's
+    tall-crop split: consecutive segments share an overlap region)."""
+    words = text.split()
+    out, i = [], 0
+    while i < len(words):
+        out.append(" ".join(words[i : i + seg_words]))
+        if i + seg_words >= len(words):
+            break
+        i += seg_words - overlap
+    return out
+
+
+def test_knit_reconstructs_split_text(spark):
+    text = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow march through the old market square at noon"
+    )
+    segs = _segments_of(text)
+    assert len(segs) >= 3
+    rows = [
+        (f"NS-1850-01-01_page_3_text_B1C2R{box}_segment_{i}", s, 10, 20, 30, "stop")
+        for box in (4, 5)
+        for i, s in enumerate(segs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "custom_id string, content string, prompt_tokens int, "
+        "completion_tokens int, total_tokens int, finish_reason string",
+    )
+    out = combine_segments(df).orderBy("reading_order").collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["content"] == text
+        assert r["segment_count"] == len(segs)
+        assert r["prompt_tokens"] == 10 * len(segs)
+        assert r["page_id"] == "NS-1850-01-01_page_3"
+        assert r["box_page_id"] in ("B1C2R4", "B1C2R5")
+        assert r["issue_id"] == "NS-1850-01-01"
+        assert r["page_number"] == 3
+
+
+def test_reclassify_long_titles(spark):
+    df = spark.createDataFrame(
+        [("title", 80), ("title", 20), ("text", 80)],
+        "class string, completion_tokens int",
+    )
+    got = [r["class"] for r in reclassify_long_titles(df).collect()]
+    assert got == ["text", "title", "text"]
+
+
+def test_media_features_plumbing(spark):
+    refs = [f"doc-{i}/img/0.png" for i in range(10)]
+    media = synth_media_table(spark, refs)
+    feats = extract_media_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r["feat"]) == 256
+        assert r["n_bytes"] == 256
+        assert r["sha1"]
+    # determinism: same ref -> same sha/feat
+    again = {r["media_ref"]: r["sha1"] for r in extract_media_features(media).collect()}
+    assert {r["media_ref"]: r["sha1"] for r in rows} == again
+
+
+def test_media_join(spark):
+    from reading_the_unreadable_spark.operators.multimodal import join_media_to_spans
+
+    spans = spark.createDataFrame(
+        [("d1", "figure", "d1/img/0.png"), ("d1", "text", None)],
+        "doc_id string, kind string, media_ref string",
+    )
+    media = extract_media_features(synth_media_table(spark, ["d1/img/0.png"]))
+    joined = join_media_to_spans(spans, media)
+    got = {r["kind"]: r["sha1"] for r in joined.collect()}
+    assert got["figure"] is not None
+    assert got["text"] is None

@@ -1,0 +1,59 @@
+"""Coverage raster + CER operators vs hand-computed expectations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reading_the_unreadable_spark.operators.metrics import (
+    cer,
+    cer_summary,
+    page_coverage,
+)
+
+
+def test_coverage_simple(spark):
+    # page: two 40x40 boxes side by side + one overlapping both
+    rows = [
+        ("d1", 0.0, 0.0, 40.0, 40.0),
+        ("d1", 40.0, 0.0, 80.0, 40.0),
+        ("d1", 20.0, 0.0, 60.0, 40.0),
+        # d2: one box only, full coverage, zero overlap
+        ("d2", 0.0, 0.0, 40.0, 40.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, x1 double, y1 double, x2 double, y2 double")
+    got = {r["doc_id"]: r for r in page_coverage(df, num_partitions=2).collect()}
+    assert got["d1"]["covered_frac"] == 1.0
+    assert abs(got["d1"]["overlap_frac"] - 0.5) < 1e-6  # middle box doubles 40/80
+    assert got["d2"]["covered_frac"] == 1.0
+    assert got["d2"]["overlap_frac"] == 0.0
+    assert got["d1"]["n_boxes"] == 3
+
+
+def test_cer(spark):
+    preds = spark.createDataFrame(
+        [("a", "the quick brown fox"), ("b", "hello wxrld")],
+        "doc_id string, text string",
+    )
+    gt = spark.createDataFrame(
+        [("a", "the quick brown fox"), ("b", "hello world")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in cer(preds, gt).collect()}
+    assert got["a"]["cer"] == 0.0
+    assert abs(got["b"]["cer"] - 1 / 11) < 1e-6
+    s = cer_summary(cer(preds, gt)).first()
+    assert s["n_docs"] == 2
+    assert s["median_cer"] < 0.05
+
+
+def test_coverage_on_pipeline_boxes(spark):
+    from reading_the_unreadable_spark import synth
+    from reading_the_unreadable_spark.operators.geometry import docs_to_boxes
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows
+
+    docs = docs_from_rows(spark, synth.make_corpus(12, seed_tag="cov"))
+    cov = page_coverage(docs_to_boxes(docs), num_partitions=4)
+    rows = cov.collect()
+    assert len(rows) == 12
+    assert all(0 < r["covered_frac"] <= 1.0 for r in rows)
+    assert all(0 <= r["overlap_frac"] <= r["covered_frac"] for r in rows)
