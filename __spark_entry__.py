@@ -312,6 +312,82 @@ def q_name_distance(spark, sf):
     )
 
 
+def q_rank_and_median(spark, sf):
+    """W7: rank within group + per-group exact median as a window."""
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    med = Window.partitionBy("c_mktsegment")
+    return (
+        c.withColumn("bal_rank", F.row_number().over(w))
+        .withColumn("seg_median", F.round(F.median("c_acctbal").over(med), 4))
+        .filter(F.col("bal_rank") <= 5)
+        .select("c_mktsegment", "bal_rank", "c_custkey", "c_acctbal", "seg_median")
+    )
+
+
+def q_mape(spark, sf):
+    """A13: mean/median absolute percentage error of order totals vs the
+    per-priority mean."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    ape = F.abs(F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.col(
+        "o_totalprice"
+    )
+    return (
+        o.withColumn("ape", ape)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg("ape"), 6).alias("mape"),
+            F.round(F.expr("percentile(ape, 0.5)"), 6).alias("medape"),
+        )
+    )
+
+
+def q_contains_filter(spark, sf):
+    """F10: case-insensitive regex containment."""
+    p = _t(spark, sf, "part")
+    return p.filter(F.col("p_type").rlike("(?i)brass|steel")).select(
+        "p_partkey", "p_type"
+    )
+
+
+def q_month_names(spark, sf):
+    """F11: month-name formatting + grouping."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.withColumn("month_name", F.date_format("o_orderdate", "MMMM"))
+        .groupBy("month_name")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_price_buckets(spark, sf):
+    """Histogram via floor-div binning (F13-style arithmetic)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.withColumn(
+            "bucket", (F.floor(F.col("o_totalprice") / 50000) * 50000).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_pivot_avg(spark, sf):
+    """A8: pivot_table with a mean metric spread over categories."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .agg(F.round(F.avg("c_acctbal"), 4))
+    )
+
+
 # ------------------------------------------------------------- dedup / text
 def q_exact_dedup(spark, sf):
     return D.exact_duplicates(_t(spark, sf, "documents"))
@@ -327,6 +403,10 @@ def q_ngram_jaccard(spark, sf):
 
 def q_simhash(spark, sf):
     return D.simhash(_t(spark, sf, "documents"))
+
+
+def q_simhash_pairs(spark, sf):
+    return D.simhash_pairs(_t(spark, sf, "documents"))
 
 
 def q_token_stats(spark, sf):
@@ -386,6 +466,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "active_suppliers": q_active_suppliers,
         "json_extract": q_json_extract,
+        "rank_and_median": q_rank_and_median,
+        "mape": q_mape,
+        "contains_filter": q_contains_filter,
+        "month_names": q_month_names,
+        "price_buckets": q_price_buckets,
+        "pivot_avg": q_pivot_avg,
         "global_stats": q_global_stats,
         "dow_revenue": q_dow_revenue,
         "rollup_revenue": q_rollup_revenue,
@@ -397,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -554,6 +641,49 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": """
             SELECT event_id, json_extract_string(props, '$.k')::INT AS k FROM events
         """,
+        "rank_and_median": """
+            SELECT c_mktsegment, bal_rank::INT AS bal_rank, c_custkey, c_acctbal,
+                   seg_median FROM (
+              SELECT c_mktsegment, c_custkey, c_acctbal,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+                     round(quantile_cont(c_acctbal, 0.5) OVER
+                       (PARTITION BY c_mktsegment), 4) AS seg_median
+              FROM customer) WHERE bal_rank <= 5
+        """,
+        "mape": """
+            WITH a AS (
+              SELECT o_orderpriority,
+                     abs(o_totalprice - avg(o_totalprice) OVER
+                       (PARTITION BY o_orderpriority)) / o_totalprice AS ape
+              FROM orders)
+            SELECT o_orderpriority, round(avg(ape), 6) AS mape,
+                   round(quantile_cont(ape, 0.5), 6) AS medape
+            FROM a GROUP BY o_orderpriority
+        """,
+        "contains_filter": """
+            SELECT p_partkey, p_type FROM part
+            WHERE regexp_matches(p_type, '(?i)brass|steel')
+        """,
+        "month_names": """
+            SELECT monthname(o_orderdate) AS month_name, count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "price_buckets": """
+            SELECT (floor(o_totalprice / 50000) * 50000)::BIGINT AS bucket,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "pivot_avg": """
+            SELECT n_name,
+              round(avg(CASE WHEN c_mktsegment='AUTOMOBILE' THEN c_acctbal END), 4) AS "AUTOMOBILE",
+              round(avg(CASE WHEN c_mktsegment='BUILDING' THEN c_acctbal END), 4) AS "BUILDING",
+              round(avg(CASE WHEN c_mktsegment='FURNITURE' THEN c_acctbal END), 4) AS "FURNITURE",
+              round(avg(CASE WHEN c_mktsegment='HOUSEHOLD' THEN c_acctbal END), 4) AS "HOUSEHOLD",
+              round(avg(CASE WHEN c_mktsegment='MACHINERY' THEN c_acctbal END), 4) AS "MACHINERY"
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
         "global_stats": """
             SELECT count(*) AS n,
                    round(sum(l_extendedprice), 2) AS total_price,
@@ -694,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "simhash": D.simhash_oracle_sql(),
+        "simhash_pairs": D.simhash_pairs_oracle_sql(),
         "cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
             scored AS (

@@ -42,6 +42,8 @@ HEADLINE = [
     "minhash_lsh",
     "ngram_jaccard",
     "simhash",
+    "simhash_pairs",
+    "rollup_revenue",
     "token_stats",
     "quality_score",
     "lang_id",

@@ -238,6 +238,73 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     return documents.select("doc_id", value.alias("simhash"))
 
 
+def simhash_pairs(documents: DataFrame, bits: int = 32, bands: int = 4) -> DataFrame:
+    """Hamming-LSH over SimHash: split the hash into ``bands`` bit-slices;
+    docs sharing any slice are candidates (≤ bits/bands differing bits ⇒
+    guaranteed candidate).  Bucket-join, never cross join; output the
+    exact Hamming distance per candidate pair."""
+    sh = simhash(documents, bits)
+    slice_bits = bits // bands
+    mask = (1 << slice_bits) - 1
+    sliced = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * slice_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = sliced.alias("a"), sliced.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = sum(
+        F.shiftright(xor, j).bitwiseAND(F.lit(1)).cast("int") for j in range(bits)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def simhash_pairs_oracle_sql(bits: int = 32, bands: int = 4) -> str:
+    slice_bits = bits // bands
+    mask = (1 << slice_bits) - 1
+    hamming = " + ".join(
+        f"((xor(a.simhash, b.simhash) >> {j}) & 1)::INT" for j in range(bits)
+    )
+    return f"""
+        WITH sh AS ({simhash_oracle_sql(bits)}),
+        sliced AS (
+          SELECT doc_id, simhash, band,
+                 (simhash >> (band * {slice_bits})) & {mask} AS sig
+          FROM sh, (SELECT unnest(generate_series(0, {bands - 1})) AS band)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 ({hamming}) AS hamming
+          FROM sliced a JOIN sliced b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM pairs
+    """
+
+
 def simhash_oracle_sql(bits: int = 32) -> str:
     """DuckDB SQL computing the identical SimHash (shared spec)."""
     nibbles = ",".join(f"'{c}'" for c in HIGH_NIBBLES)

@@ -119,6 +119,10 @@ def _blocks_dedup_order(df: DataFrame) -> DataFrame:
         "page_block",
         F.sum(F.when(F.col("column_number") == 0, 1).otherwise(0)).over(w_scan).cast("int"),
     )
+    # duplicate-box removal keeping max confidence (tie: lowest offset).
+    # A row_number window over the rounded coordinates shares the doc_id
+    # clustering (no exchange); measured faster than a max_by(struct)
+    # hash-agg, whose whole-row struct copies cost more than the sort.
     w_dup = Window.partitionBy(
         "doc_id",
         F.round("x1", 6),
@@ -200,6 +204,11 @@ def _merge_frame(pdf: pd.DataFrame) -> pd.DataFrame:
             out.iat[j, oc["x2"]] = x2a[m].max()
             out.iat[j, oc["y2"]] = y2[m[-1]]
             out.iat[j, oc["confidence"]] = conf[m].max()
+    # L10 renumber in-UDF: head emit order within a doc IS ascending old
+    # reading_order (both follow (block, column, y1, offset)), so the
+    # renumber is a per-doc cumcount — saves a whole post-merge window
+    # sort over wide rows.
+    out["reading_order"] = out.groupby("doc_id", sort=False).cumcount() + 1
     return out
 
 
@@ -224,6 +233,68 @@ def _merge_stream(batches):
         buf = pdf.iloc[first_of_last:].reset_index(drop=True)
     if buf is not None and len(buf):
         yield _merge_frame(buf)
+
+
+def fill_column_gaps(df: DataFrame, min_gap: float = 10.0) -> DataFrame:
+    """G6 — synthesize empty boxes at column heads/tails so every column
+    spans the page's content area (reference behavioral contract:
+    ``bbox_functions.py:682-786``, eligibility per ``:696-698``: pages
+    with >1 column and exactly one block).
+
+    Pure-SQL: per-(doc, column) min/max windows + a union of synthesized
+    rows — no UDF, no extra shuffle beyond the existing doc_id clustering.
+    Synthesized boxes carry kind='text', empty text; they only affect
+    geometry consumers (coverage), not extracted span text.  Not part of
+    the default chain (mirrors the reference's per-periodical
+    fill_columns flag)."""
+    w_doc = Window.partitionBy("doc_id")
+    w_col = Window.partitionBy("doc_id", "column_number")
+    eligible = (F.max("column_number").over(w_doc) > 1) & (
+        F.size(F.collect_set("page_block").over(w_doc)) == 1
+    )
+    df = (
+        df.withColumn("_doc_y1", F.min("y1").over(w_doc))
+        .withColumn("_doc_y2", F.max("y2").over(w_doc))
+        .withColumn("_col_y1", F.min("y1").over(w_col))
+        .withColumn("_col_y2", F.max("y2").over(w_col))
+        .withColumn("_col_x1", F.min("x1").over(w_col))
+        .withColumn("_col_x2", F.max("x2").over(w_col))
+        .withColumn("_first_in_col", F.row_number().over(w_col.orderBy("y1", "offset")) == 1)
+        .withColumn("_eligible", eligible)
+    )
+    base = lambda y1c, y2c: [  # noqa: E731
+        F.col("doc_id"),
+        F.lit(-1).alias("offset"),
+        F.lit("text").alias("kind"),
+        F.lit("").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.col("_col_x1").alias("x1"),
+        y1c.alias("y1"),
+        F.col("_col_x2").alias("x2"),
+        y2c.alias("y2"),
+        F.lit(0.0).alias("confidence"),
+        F.col("column_number"),
+        F.col("column_width"),
+        F.col("page_block"),
+        F.col("reading_order"),
+        F.format_string(
+            "B%dC%dR%dG", F.col("page_block"), F.col("column_number"), F.col("reading_order")
+        ).alias("box_page_id"),
+    ]
+    head_rows = df.filter(
+        F.col("_eligible")
+        & F.col("_first_in_col")
+        & (F.col("column_number") > 0)
+        & (F.col("_col_y1") - F.col("_doc_y1") > min_gap)
+    ).select(*base(F.col("_doc_y1"), F.col("_col_y1")))
+    tail_rows = df.filter(
+        F.col("_eligible")
+        & F.col("_first_in_col")
+        & (F.col("column_number") > 0)
+        & (F.col("_doc_y2") - F.col("_col_y2") > min_gap)
+    ).select(*base(F.col("_col_y2"), F.col("_doc_y2")))
+    keep = [c for c in df.columns if not c.startswith("_")]
+    return df.select(*keep).unionByName(head_rows).unionByName(tail_rows)
 
 
 def layout(boxes: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -253,11 +324,12 @@ def layout(boxes: DataFrame, num_partitions: int | None = None) -> DataFrame:
         "page_block",
         "reading_order",
     )
+    # sort keys match the preceding window's physical order exactly
+    # ((doc, block, column, y1, offset) ≡ reading_order order within the
+    # group), so Catalyst elides this sort entirely
     merged = df.sortWithinPartitions(
-        "doc_id", "page_block", "column_number", "reading_order"
+        "doc_id", "page_block", "column_number", "y1", "offset"
     ).mapInPandas(_merge_stream, schema=ORDERED_BOX_SCHEMA)
-    w_final = Window.partitionBy("doc_id").orderBy("reading_order")
-    merged = merged.withColumn("reading_order", F.row_number().over(w_final))
     return merged.withColumn(
         "box_page_id",
         F.format_string(

@@ -1,0 +1,107 @@
+"""Unit tests for individual layout operators on hand-built pages."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reading_the_unreadable_spark.operators.layout import (
+    ORDERED_BOX_SCHEMA,
+    fill_column_gaps,
+    layout,
+)
+
+BOX_COLS = (
+    "doc_id string, offset int, kind string, text string, media_ref string, "
+    "x1 double, y1 double, x2 double, y2 double, confidence double"
+)
+
+
+def _boxes(spark, rows):
+    return spark.createDataFrame(rows, BOX_COLS)
+
+
+def test_reading_order_two_columns(spark):
+    # 2-column page: full-width masthead, then two boxes per column;
+    # offsets shuffled. Expect: masthead first, then col1 top→bottom,
+    # then col2.
+    rows = [
+        ("d", 3, "text", "c2b", None, 520.0, 600.0, 980.0, 900.0, 0.9),
+        ("d", 0, "title", "MAST", None, 20.0, 50.0, 980.0, 100.0, 0.9),
+        ("d", 4, "text", "c1a", None, 20.0, 120.0, 480.0, 400.0, 0.9),
+        ("d", 1, "text", "c2a", None, 520.0, 120.0, 980.0, 580.0, 0.9),
+        ("d", 2, "text", "c1b", None, 20.0, 420.0, 480.0, 900.0, 0.9),
+    ]
+    got = layout(_boxes(spark, rows), num_partitions=2).orderBy("reading_order")
+    texts = [r["text"] for r in got.collect()]
+    # c1a+c1b merge? merged height 900-120=780 vs 1.5*colw(480)=720 → no merge
+    assert texts == ["MAST", "c1a", "c1b", "c2a", "c2b"]
+    cols = {r["text"]: r["column_number"] for r in got.collect()}
+    assert cols["MAST"] == 0 and cols["c1a"] == 1 and cols["c2a"] == 2
+
+
+def test_duplicate_box_dropped_keeps_max_conf(spark):
+    rows = [
+        ("d", 0, "text", "a", None, 20.0, 100.0, 480.0, 300.0, 0.6),
+        ("d", 1, "text", "a", None, 20.0, 100.0, 480.0, 300.0, 0.9),
+        ("d", 2, "text", "b", None, 20.0, 320.0, 480.0, 900.0, 0.7),
+    ]
+    got = layout(_boxes(spark, rows), num_partitions=2).collect()
+    confs = sorted(r["confidence"] for r in got)
+    # dup removed; survivor has 0.9 (merge may then fold a+b; conf = max)
+    assert 0.6 not in confs
+    assert 0.9 in confs
+
+
+def test_abandon_top_zone_removed(spark):
+    rows = [
+        ("d", 0, "abandon", "PAGE 2", None, 20.0, 5.0, 200.0, 25.0, 0.9),
+        ("d", 1, "text", "body", None, 20.0, 100.0, 480.0, 900.0, 0.9),
+        ("d", 2, "text", "body2", None, 20.0, 920.0, 480.0, 1300.0, 0.9),
+    ]
+    got = layout(_boxes(spark, rows), num_partitions=2).collect()
+    assert all(r["kind"] != "abandon" for r in got)
+
+
+def test_y2_overlap_adjusted(spark):
+    rows = [
+        ("d", 0, "text", "a", None, 20.0, 100.0, 480.0, 520.0, 0.9),  # overlaps b
+        ("d", 1, "figure", "", "m", 20.0, 500.0, 480.0, 900.0, 0.9),
+        ("d", 2, "table", "t", None, 20.0, 920.0, 480.0, 1300.0, 0.9),
+    ]
+    got = {r["text"]: r for r in layout(_boxes(spark, rows), num_partitions=2).collect()}
+    assert got["a"]["y2"] == 500.0  # clipped to next box's y1
+
+
+def test_fill_column_gaps(spark):
+    # single-block 2-column page; column 2 starts late and ends early
+    rows = [
+        ("d", 0, "text", "c1", None, 20.0, 100.0, 480.0, 1300.0, 0.9),
+        ("d", 1, "text", "c2", None, 520.0, 400.0, 980.0, 1000.0, 0.9),
+    ]
+    ordered = layout(_boxes(spark, rows), num_partitions=2)
+    filled = fill_column_gaps(ordered)
+    synth = filled.filter(F.col("offset") == -1).collect()
+    gaps = sorted((r["y1"], r["y2"]) for r in synth)
+    assert gaps == [(100.0, 400.0), (1000.0, 1300.0)]
+    # originals untouched
+    assert filled.count() == 2 + 2
+
+
+def test_fill_skips_multiblock_pages(spark):
+    # content ABOVE a full-width separator → two blocks → ineligible
+    rows = [
+        ("d", 3, "text", "c0", None, 20.0, 50.0, 480.0, 280.0, 0.9),
+        ("d", 0, "title", "SEP", None, 20.0, 300.0, 980.0, 350.0, 0.9),
+        ("d", 1, "text", "c1", None, 20.0, 370.0, 480.0, 1300.0, 0.9),
+        ("d", 2, "text", "c2", None, 520.0, 600.0, 980.0, 1000.0, 0.9),
+    ]
+    ordered = layout(_boxes(spark, rows), num_partitions=2)
+    filled = fill_column_gaps(ordered)
+    assert filled.filter(F.col("offset") == -1).count() == 0
+
+
+def test_schema_stable(spark):
+    rows = [("d", 0, "text", "a", None, 20.0, 100.0, 480.0, 900.0, 0.9)]
+    got = layout(_boxes(spark, rows), num_partitions=2)
+    expect = [f.split()[0] for f in ORDERED_BOX_SCHEMA.split(", ")] + ["box_page_id"]
+    assert [f.name for f in got.schema.fields] == expect
