@@ -63,10 +63,20 @@ def strip_fences_pd(s: pd.Series) -> pd.Series:
 
 
 # ----------------------------------------------------------------- Spark side
+# Java regex \s is ASCII-only; Python str.strip() strips every Unicode
+# whitespace (NBSP U+00A0 is common in OCR output).  This class is the
+# union of Java \s and Python str.isspace() so the Spark chain and the
+# pandas oracle agree byte-for-byte on Unicode-padded text.
+UNICODE_WS = (
+    "[\\s\\u001C-\\u001F\\u0085\\u00A0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
+
+
 def strip_ws_col(c: Column) -> Column:
-    """Python ``str.strip()`` semantics (all whitespace, not just spaces —
-    Spark's ``trim`` only strips 0x20)."""
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+    """Python ``str.strip()`` semantics (all Unicode whitespace — Spark's
+    ``trim`` only strips 0x20, Java ``\\s`` only ASCII)."""
+    return F.regexp_replace(c, f"^{UNICODE_WS}+|{UNICODE_WS}+$", "")
 
 
 def normalize_text_col(c: Column) -> Column:
@@ -108,7 +118,8 @@ def knit_strings(a: str, b: str) -> str:
     (``function_modules/send_to_lm_functions.py:122-183``): find the longest
     common substring; if found, keep ``a`` up to the end of the match in
     ``a`` plus the remainder of ``b`` after the match; else concatenate
-    with a space.  Implemented from scratch with difflib.
+    directly with no separator (reference ``:146-155`` returns ``s1 + s2``
+    on no match).  Implemented from scratch with difflib.
     """
     import difflib
 
@@ -120,7 +131,7 @@ def knit_strings(a: str, b: str) -> str:
         0, len(a), 0, len(b)
     )
     if m.size == 0:
-        return a + " " + b
+        return a + b
     return a[: m.a + m.size] + b[m.b + m.size :]
 
 

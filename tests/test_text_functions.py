@@ -29,6 +29,10 @@ NORMALIZE_CASES = [
     ("mix-\nup\n\nnext\nline", "mixup\n\nnext line"),
     ("", ""),
     ("tail-\n", "tail"),
+    # Unicode whitespace (NBSP / thin space — common OCR artifacts): the
+    # Spark chain must strip them exactly like the oracle's str.strip()
+    ("\u00a0 nbsp padded \u00a0", "nbsp padded"),
+    ("\u2009thin\u3000", "thin"),
 ]
 
 TITLE_CASES = [
@@ -92,8 +96,15 @@ def test_knit():
     )
     assert knit_strings("", "abc") == "abc"
     assert knit_strings("abc", "") == "abc"
-    assert knit_strings("abc", "xyz") in ("abc xyz",)
+    # no common substring → direct concatenation, byte-identical to the
+    # reference's no-match branch (send_to_lm_functions.py:146-155)
+    assert knit_strings("abc", "xyz") == "abcxyz"
     assert (
         knit_string_list(["one two three", "two three four", "three four five"])
         == "one two three four five"
+    )
+    # pinned reference example (send_to_lm_functions.py docstring contract)
+    assert (
+        knit_string_list(["Hello world", "world of Python", "Python is great"])
+        == "Hello world of Python is great"
     )
