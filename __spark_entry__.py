@@ -24,21 +24,29 @@ from pyspark.sql import functions as F
 from reading_the_unreadable_spark.operators import dedup as D
 from reading_the_unreadable_spark.operators import similarity as S
 from reading_the_unreadable_spark.operators import textstats as TS
-from reading_the_unreadable_spark.plans.pipeline import extract, extract_articles
-from reading_the_unreadable_spark.sources.docs import docs_from_documents_table
+from reading_the_unreadable_spark.functions.text import LIGATURES
+from reading_the_unreadable_spark.operators.articles import build_articles
+from reading_the_unreadable_spark.plans.pipeline import extract_from_boxes
+from reading_the_unreadable_spark.sources.docs import boxes_from_documents_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _articles_df(documents: DataFrame) -> DataFrame:
+    """Articles over the deterministic boxes adapter, with the
+    driver-facing projection: media_refs stringified (the harness
+    canonicalizer sorts values in pandas, which cannot hash arrays)."""
+    arts = build_articles(extract_from_boxes(boxes_from_documents_table(documents)))
+    return arts.withColumn("media_refs", F.array_join("media_refs", ","))
+
+
 # --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full extraction pipeline over a docs table derived from
+    """Flagship: full extraction pipeline over a boxes table derived from
     the sf0.001 documents corpus (layout → reading order → articles)."""
-    documents = _t(spark, "/root/testdata/sf0.001", "documents")
-    docs = docs_from_documents_table(documents)
-    return extract_articles(docs)
+    return _articles_df(_t(spark, "/root/testdata/sf0.001", "documents"))
 
 
 # ---------------------------------------------------------------- relational
@@ -438,15 +446,20 @@ def q_label_centroids(spark, sf):
     return S.label_centroids(_t(spark, sf, "embeddings"))
 
 
-# ---------------------------------------------------- extraction (rows-only)
+# -------------------------------------------------------- extraction (flagship)
+# Both queries drive the REAL layout + extraction operators (column
+# inference, block segmentation, reading order, merge, OCR post-correct,
+# paragraph split, title merge) over the deterministic boxes adapter
+# (sources/docs.py:boxes_from_documents_table), whose constant geometry
+# makes the full chain replicable in ANSI SQL — the DuckDB oracles below
+# re-derive the same spans/articles from first principles.
 def q_extract_articles(spark, sf):
-    docs = docs_from_documents_table(_t(spark, sf, "documents"))
-    return extract_articles(docs)
+    return _articles_df(_t(spark, sf, "documents"))
 
 
 def q_extract_spans(spark, sf):
-    docs = docs_from_documents_table(_t(spark, sf, "documents"))
-    return extract(docs)
+    boxes = boxes_from_documents_table(_t(spark, sf, "documents"))
+    return extract_from_boxes(boxes)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -517,8 +530,105 @@ shingles AS (
 """
 
 
+# Full-fidelity DuckDB replication of the extraction chain over the
+# deterministic boxes adapter.  The adapter emits, per document, a
+# full-width title box (spans both inferred columns → column 0 → block
+# separator → reading_order 1) and the two text halves in columns 1 and 2
+# (orders 2, 3) — exactly what operators/layout.py computes from the
+# constant geometry.  The SQL then replays operators/articles.py
+# step-for-step: the normalize_text chain (ligatures, dehyphenate,
+# paragraph-break protect/restore, space collapse, trim), the "\n\n"
+# paragraph split with sub_order, empty-part filtering, the ALL-CAPS
+# title reclassification, and the adjacent-title gaps-and-islands merge.
+# (The merge branch cannot fire on this corpus — text is lowercase, so
+# reclassification never creates a second adjacent title — but the SQL
+# carries it so the oracle stays faithful to the operator spec.)
+def _lig_chain(col: str) -> str:
+    """Nested DuckDB replace() chain applying LIGATURES in the exact order
+    of the Spark/pandas normalizers (functions/text.py)."""
+    expr = col
+    for lig, rep in LIGATURES:
+        expr = f"replace({expr}, '{lig}', '{rep}')"
+    return expr
+
+
+_EXTRACT_SPANS_SQL = r"""
+WITH halves AS (
+  SELECT 'doc-' || doc_id AS doc_id,
+         upper('SECTION ' || source) AS title_text,
+         string_split(text, ' ') AS w,
+         greatest(len(string_split(text, ' ')) // 2, 1) AS half
+  FROM documents),
+raw_spans AS (
+  SELECT doc_id, 'title' AS kind, title_text AS text, 1 AS ro FROM halves
+  UNION ALL
+  SELECT doc_id, 'text', array_to_string(w[1:half], ' '), 2 FROM halves
+  UNION ALL
+  SELECT doc_id, 'text', array_to_string(w[half+1:len(w)], ' '), 3 FROM halves),
+norm AS (
+  SELECT doc_id, kind, ro,
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(
+        __LIG_CHAIN__,
+      '-\n', '', 'g'), '\n{2,}', chr(1), 'g'), '\n', ' ', 'g'),
+      chr(1), chr(10)||chr(10), 'g'), ' {2,}', ' ', 'g')) AS text
+  FROM raw_spans),
+parts AS (
+  SELECT doc_id, kind, ro, i - 1 AS sub_order, trim(pl[i]) AS text
+  FROM (SELECT doc_id, kind, ro,
+               string_split(text, chr(10)||chr(10)) AS pl FROM norm),
+       LATERAL (SELECT unnest(generate_series(1, len(pl))) AS i) AS u),
+reclass AS (
+  SELECT doc_id, ro, sub_order, text,
+    CASE WHEN kind = 'text'
+              AND text = upper(text)
+              AND length(regexp_replace(text, '[^A-Z]', '', 'g')) >= 5
+              AND length(regexp_replace(regexp_replace(text, '[^A-Z]', '', 'g'),
+                                        '[^AEIOU]', '', 'g')) >= 2
+         THEN 'title' ELSE kind END AS kind
+  FROM parts WHERE length(text) > 0),
+runs AS (
+  SELECT *, sum(CASE WHEN lag_kind IS NULL OR kind != lag_kind THEN 1 ELSE 0 END)
+         OVER (PARTITION BY doc_id ORDER BY ro, sub_order
+               ROWS UNBOUNDED PRECEDING) AS run
+  FROM (SELECT *, lag(kind) OVER (PARTITION BY doc_id ORDER BY ro, sub_order)
+               AS lag_kind FROM reclass) l),
+merged AS (
+  SELECT doc_id, kind, ro, sub_order,
+    CASE WHEN kind = 'title' THEN
+      string_agg(text, chr(10)) OVER (PARTITION BY doc_id, run
+        ORDER BY ro, sub_order
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ELSE text END AS text,
+    row_number() OVER (PARTITION BY doc_id, run ORDER BY ro, sub_order) AS rn
+  FROM runs)
+SELECT doc_id, kind, text, NULL::VARCHAR AS media_ref,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY ro, sub_order))::INT
+         AS "order"
+FROM merged WHERE kind != 'title' OR rn = 1
+""".replace("__LIG_CHAIN__", _lig_chain("text"))
+
+_EXTRACT_ARTICLES_SQL = f"""
+WITH spans AS ({_EXTRACT_SPANS_SQL}),
+arts AS (
+  SELECT *, (sum(CASE WHEN kind = 'title' THEN 1 ELSE 0 END)
+    OVER (PARTITION BY doc_id ORDER BY "order"
+          ROWS UNBOUNDED PRECEDING))::INT AS article_id
+  FROM spans)
+SELECT doc_id, article_id,
+       max(CASE WHEN kind = 'title' THEN text END) AS title,
+       coalesce(string_agg(CASE WHEN kind IN ('text', 'table') THEN text END,
+                           chr(10)||chr(10) ORDER BY "order"), '') AS content,
+       coalesce(string_agg(media_ref, ',' ORDER BY "order"), '') AS media_refs,
+       count(*)::INT AS n_spans
+FROM arts GROUP BY doc_id, article_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
+        "extract_spans": _EXTRACT_SPANS_SQL,
+        "extract_articles": _EXTRACT_ARTICLES_SQL,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -30,6 +30,16 @@ def extract(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     return extract_spans(ordered)
 
 
+def extract_from_boxes(boxes: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Extraction over a boxes frame that already carries geometry
+    (production shape: layout-model output lands next to the spans;
+    also the deterministic documents-table adapter).  Skips only the
+    geometry-attach stage — layout analysis, reading order, OCR
+    post-correction, and span construction are the same operators."""
+    ordered = layout(boxes, num_partitions=num_partitions)
+    return extract_spans(ordered)
+
+
 def extract_nested(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """docs → extracted(doc_id, spans<kind,text,media_ref,order>)."""
     return nest_spans(extract(docs, num_partitions=num_partitions))

@@ -94,3 +94,63 @@ def docs_from_documents_table(documents: DataFrame) -> DataFrame:
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
         spans.alias("spans"),
     )
+
+
+def boxes_from_documents_table(documents: DataFrame) -> DataFrame:
+    """Deterministic SQL-oracle-able boxes adapter over the harness
+    ``documents`` parquet: each document becomes a single-block two-column
+    page with a full-width masthead title and its text split across the
+    two columns.
+
+    Unlike :func:`docs_from_documents_table` + the synthetic-geometry
+    attach (whose bbox coordinates come from a seeded RNG and therefore
+    cannot be replicated in ANSI SQL), every coordinate here is a fixed
+    constant, so the ENTIRE downstream layout analysis — column-count
+    inference, bin assignment, block segmentation, reading-order
+    reconstruction, box merge — runs through the real operators
+    (:mod:`..operators.layout`) while remaining exactly predictable by a
+    DuckDB oracle: title spans both columns → column 0 → block separator
+    → reading_order 1; the halves land in columns 1 and 2 → orders 2, 3.
+
+    100% native expressions (one projection + one ``posexplode``), zero
+    Python, zero shuffle before the layout exchange."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    half = F.greatest((n / 2).cast("int"), F.lit(1))
+    first = F.array_join(F.slice(words, 1, half), " ")
+    second = F.array_join(F.slice(words, half + 1, n), " ")
+
+    def _box(kind, text, x1, y1, x2, y2):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(float(x1)).alias("x1"),
+            F.lit(float(y1)).alias("y1"),
+            F.lit(float(x2)).alias("x2"),
+            F.lit(float(y2)).alias("y2"),
+            F.lit(0.9).alias("confidence"),
+        )
+
+    title = F.upper(F.concat(F.lit("SECTION "), F.col("source")))
+    boxes = F.array(
+        _box("title", title, 50.0, 80.0, 950.0, 130.0),
+        _box("text", first, 50.0, 150.0, 500.0, 600.0),
+        _box("text", second, 500.0, 150.0, 950.0, 600.0),
+    )
+    exploded = documents.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.posexplode(boxes).alias("offset", "b"),
+    )
+    return exploded.select(
+        "doc_id",
+        "offset",
+        F.col("b.kind").alias("kind"),
+        F.col("b.text").alias("text"),
+        F.col("b.media_ref").alias("media_ref"),
+        F.col("b.x1").alias("x1"),
+        F.col("b.y1").alias("y1"),
+        F.col("b.x2").alias("x2"),
+        F.col("b.y2").alias("y2"),
+        F.col("b.confidence").alias("confidence"),
+    )
