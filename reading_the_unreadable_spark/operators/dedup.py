@@ -103,7 +103,16 @@ def minhash_lsh_pairs(
     band_rows: int = BAND_ROWS,
 ) -> DataFrame:
     """Candidate near-dup pairs (shared ≥1 LSH band) verified with true
-    shingle-set Jaccard.  Output: (doc_a, doc_b, shared_bands, jaccard)."""
+    shingle-set Jaccard.  Output: (doc_a, doc_b, shared_bands, jaccard).
+
+    Scale guard on the verify stage: the true-Jaccard intersection is
+    computed ONLY for candidate pairs — candidates are joined to doc_a's
+    shingles (rows = Σ|A| over pairs), then equi-joined to doc_b's
+    shingles on the composite key (doc_b, shingle).  No join in this plan
+    matches on shingle equality alone, so a hot shingle ("the of and")
+    appearing in k documents costs O(k), never O(k²) — the global
+    shingle×shingle self-join an earlier revision had is structurally
+    impossible here (asserted by tests/test_plan_quality.py)."""
     sh = shingles(_spread(documents), n).cache()
     sigs = lsh_band_signatures(minhash_signatures(sh, n_hashes), band_rows)
     a, b = sigs.alias("a"), sigs.alias("b")
@@ -116,16 +125,18 @@ def minhash_lsh_pairs(
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("shared_bands"))
+        .cache()  # small (pairs only); reused as the spine and the inter probe
     )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    cand_sh_a = cand.select("doc_a", "doc_b").join(
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+    )
     inter = (
-        s1.join(
-            s2,
-            (F.col("s1.shingle") == F.col("s2.shingle"))
-            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        cand_sh_a.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
         )
-        .groupBy(F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -153,38 +164,64 @@ def ngram_jaccard_pairs(
     bucket_col: str = "lang",
     salt: int = 16,
 ) -> DataFrame:
-    """Word-set Jaccard over pairs co-bucketed by ``bucket_col``
-    (partition-bounded self-join — the scale guard: pairs are only formed
-    within buckets, and the join key carries the bucket).
+    """Word-set Jaccard over pairs co-bucketed by ``bucket_col`` AND a
+    token-count band — the join key is (bucket, size_band, salt), so the
+    pair space is bounded per bucket, not quadratic in the corpus.
 
-    Low-cardinality bucket keys (here ~5 langs) would cap join parallelism
-    at the key count, so the left side is salted by hash(doc_id) and the
-    right side replicated ``salt`` times — the join key becomes
-    (bucket, salt), spreading each bucket across ``salt`` tasks without
-    changing the pair set."""
+    Size banding (the scale guard): ``jaccard >= t`` implies
+    ``min(|A|,|B|)/max(|A|,|B|) >= t``, so a qualifying pair's token
+    counts differ by at most a factor ``1/t`` — putting docs in bands of
+    ``floor(log(n)/log(1/t))`` means qualifying pairs are at most one
+    band apart.  The probe side is replicated to (band-1, band, band+1),
+    making the equi-join find exactly the size-compatible pairs: the
+    result set is identical to an all-pairs scan + threshold filter, but
+    a bucket of n docs generates only the pairs within a ~1/t length
+    ratio instead of n²/2.  At threshold 0.9 that is a ±11% length
+    window — per-band cardinality is bounded by the corpus's length
+    histogram, not its total size.
+
+    Low-cardinality bucket keys (here ~5 langs) would cap join
+    parallelism at the key count, so the left side is additionally salted
+    by hash(doc_id) and the right side replicated ``salt`` times."""
+    import math
+
     toks = documents.select(
         "doc_id",
         F.col(bucket_col).alias("bucket"),
         F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
     )
     toks = toks.withColumn("n_toks", F.size("toks"))
+    if 0.0 < threshold < 1.0:
+        band = F.floor(
+            F.log(F.greatest(F.col("n_toks"), F.lit(1)).cast("double"))
+            / F.lit(math.log(1.0 / threshold))
+        ).cast("int")
+    else:
+        band = F.lit(0)
+    toks = toks.withColumn("band", band)
     # probe side spread across tasks: the pair evaluation happens in the
-    # probe task of the broadcast join, so probe parallelism IS the
-    # operator's parallelism.
+    # probe task of the join, so probe parallelism IS the operator's
+    # parallelism.
     a = (
         _spread(toks)
         .withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(salt)))
         .alias("a")
     )
-    b = toks.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    ).alias("b")
+    b = (
+        toks.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .withColumn(
+            "band",
+            F.explode(
+                F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+            ),
+        )
+        .alias("b")
+    )
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
     jac = inter.cast("double") / union
-    # length prefilter: jaccard >= t implies min(|A|,|B|)/max(|A|,|B|) >= t,
-    # so the size-ratio predicate prunes pairs before the set ops without
-    # changing the result (evaluated join-side, cheap int compare).
+    # exact size-ratio prefilter (band is the coarse routing version of
+    # this): prunes pairs before the set ops without changing the result.
     size_ok = (
         F.least(F.col("a.n_toks"), F.col("b.n_toks")).cast("double")
         >= F.lit(threshold) * F.greatest(F.col("a.n_toks"), F.col("b.n_toks"))
@@ -193,6 +230,7 @@ def ngram_jaccard_pairs(
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & size_ok,
@@ -214,27 +252,39 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     of md5(token) (cross-engine reproducible); document bit j = majority
     vote (±1 per token, with multiplicity).
 
-    Native expressions only — per-bit vote is a map over the token array
-    + sum, no explode, no shuffle.  At production scale swap the md5
-    nibble trick for ``xxhash64`` + bit ops (same plan shape, cheaper)."""
+    Native expressions only, SINGLE pass over the token array: one
+    ``aggregate`` fold accumulates a ``bits``-wide vote array (each token
+    hashes once and contributes ±1 to every bit via ``zip_with``), then a
+    second constant-size fold converts votes to the integer hash.  An
+    earlier revision folded once per bit — 32 O(tokens) passes; this is
+    one.  At production scale swap the md5 nibble trick for ``xxhash64``
+    + bit ops (same plan shape, cheaper)."""
     documents = _spread(documents)
     w = tokens_col(F.col("text"))
-    md5s = F.transform(w, lambda t: F.md5(t))
+    nibble_idx = F.sequence(F.lit(1), F.lit(bits))  # 1-based hex positions
 
-    def _vote_fn(j: int):
-        # closure factory: Spark introspects the lambda arity, so the bit
-        # index must be captured, not passed as a defaulted third arg
-        return lambda acc, h: acc + F.when(
-            F.substring(h, j + 1, 1).isin(*HIGH_NIBBLES), 1
-        ).otherwise(-1)
-
-    value = None
-    for j in range(bits):
-        vote = F.aggregate(md5s, F.lit(0), _vote_fn(j))
-        term = F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    def _tok_votes(t):
+        h = F.md5(t)
+        return F.transform(
+            nibble_idx,
+            lambda j: F.when(h.substr(j, F.lit(1)).isin(*HIGH_NIBBLES), 1).otherwise(-1),
         )
-        value = term if value is None else value + term
+
+    votes = F.aggregate(
+        w,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(acc, _tok_votes(t), lambda a, v: a + v),
+    )
+    powers = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
+    value = F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return documents.select("doc_id", value.alias("simhash"))
 
 

@@ -64,6 +64,37 @@ def test_no_cartesian_products(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_minhash_verify_join_is_candidate_bounded(spark):
+    """The true-Jaccard verify stage must never self-join shingles
+    globally: every join whose keys include `shingle` must also key on a
+    doc id (doc_b), so hot shingles cost O(k), not O(k²)."""
+    plan = _plan(entrymod.q_minhash_lsh(spark, SF))
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", ln)
+        and "shingle" in ln
+    ]
+    assert join_lines, "expected a shingle-keyed verify join in the plan"
+    for ln in join_lines:
+        key_part = ln.split("Join")[1]
+        assert re.search(r"doc_[ab]", key_part), f"shingle join not doc-bounded: {ln}"
+
+
+def test_ngram_join_is_size_banded(spark):
+    """The ngram pair join must carry the token-count band in its equi
+    keys (bounded pair space), not just the low-cardinality lang bucket."""
+    plan = _plan(entrymod.q_ngram_jaccard(spark, SF))
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", ln)
+        and "bucket" in ln
+    ]
+    assert join_lines, "expected the bucketed pair join in the plan"
+    assert any("band" in ln for ln in join_lines), join_lines
+
+
 def test_window_topk_no_global_window_on_full_data(spark):
     """cosine_topk must use TakeOrdered (distributed top-k), not a
     single-partition window over the full table."""
