@@ -25,7 +25,7 @@ import time
 import uuid
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.articles import nest_spans
@@ -43,10 +43,24 @@ def with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def read_checkpoints(spark: SparkSession, ckpt_path: str) -> DataFrame:
+def read_checkpoints(
+    spark: SparkSession, ckpt_path: str, dedup: bool = True
+) -> DataFrame:
+    """Checkpoint table reader.  ``dedup=True`` (default) applies
+    latest-wins per (stage, bucket): two racing retries that both append a
+    lineage row for the same bucket (append-mode parquet cannot express
+    MERGE INTO — on Iceberg this is a MERGE) collapse to one row, so
+    resume logic and metric sums stay exactly-once per bucket."""
     if Path(ckpt_path).exists():
-        return spark.read.schema(CHECKPOINT_SCHEMA).parquet(ckpt_path)
-    return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        df = spark.read.schema(CHECKPOINT_SCHEMA).parquet(ckpt_path)
+    else:
+        df = spark.createDataFrame([], CHECKPOINT_SCHEMA)
+    if not dedup:
+        return df
+    w = Window.partitionBy("stage", "bucket").orderBy(
+        F.desc("ts"), F.desc("job_id")
+    )
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
 def run_extract_with_checkpoints(
@@ -67,17 +81,18 @@ def run_extract_with_checkpoints(
     done = read_checkpoints(spark, ckpt_path).filter(F.col("stage") == stage)
     todo_docs = bucketed.join(done.select("bucket"), "bucket", "left_anti")
 
+    # the bucket set THIS run processes — lineage rows are derived from it
+    # below, never from a read-back of the whole output directory (a
+    # previously killed attempt may have committed buckets this run does
+    # not touch; checkpointing those would permanently skip reprocessing
+    # them with partial counts).  Driver-side but bounded by n_buckets.
+    todo_buckets = sorted(
+        r["bucket"] for r in todo_docs.select("bucket").distinct().collect()
+    )
     if max_buckets is not None:
         # fault-injection hook: pretend the job dies after N buckets
-        keep = [
-            r["bucket"]
-            for r in todo_docs.select("bucket")
-            .distinct()
-            .orderBy("bucket")
-            .limit(max_buckets)
-            .collect()
-        ]
-        todo_docs = todo_docs.filter(F.col("bucket").isin(keep))
+        todo_buckets = todo_buckets[:max_buckets]
+        todo_docs = todo_docs.filter(F.col("bucket").isin(todo_buckets))
 
     t0 = time.monotonic()
     flat = extract(todo_docs.drop("bucket"), num_partitions=num_partitions)
@@ -88,8 +103,8 @@ def run_extract_with_checkpoints(
     nested.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
     wall_ms = int((time.monotonic() - t0) * 1000)
 
-    written = spark.read.parquet(out_path).join(
-        done.select("bucket"), "bucket", "left_anti"
+    written = spark.read.parquet(out_path).filter(
+        F.col("bucket").isin(todo_buckets) if todo_buckets else F.lit(False)
     )
     metrics = (
         written.groupBy("bucket")

@@ -64,6 +64,67 @@ def test_kill_resume(spark, docs):
     assert read_checkpoints(spark, f"{OUT}/checkpoints").count() == N_BUCKETS
 
 
+def test_orphan_committed_bucket_not_checkpointed(spark, docs):
+    """A bucket left committed in the output by a killed attempt but NOT
+    checkpointed must not be claimed by a later capped run that didn't
+    process it — it has to stay todo until a run actually extracts it."""
+    # run 1 processes the first 2 todo buckets
+    run_extract_with_checkpoints(
+        spark, docs, OUT, n_buckets=N_BUCKETS, num_partitions=8, max_buckets=2
+    )
+    ck1 = read_checkpoints(spark, f"{OUT}/checkpoints")
+    done1 = sorted(r["bucket"] for r in ck1.collect())
+    assert len(done1) == 2
+    # simulate a killed attempt that COMMITTED partial output for a bucket
+    # it never checkpointed: copy a committed bucket directory to an
+    # unprocessed bucket id (content is bogus — exactly what a partial
+    # FileOutputCommitter-v2 commit looks like to a later run).
+    orphan = N_BUCKETS - 1
+    src = f"{OUT}/extracted_nested/bucket={done1[0]}"
+    dst = f"{OUT}/extracted_nested/bucket={orphan}"
+    shutil.copytree(src, dst)
+    # a capped run that processes a DIFFERENT bucket must not claim the
+    # orphan's committed-but-unlogged output as done.
+    run_extract_with_checkpoints(
+        spark, docs, OUT, n_buckets=N_BUCKETS, num_partitions=8, max_buckets=1
+    )
+    ck3 = read_checkpoints(spark, f"{OUT}/checkpoints")
+    claimed = {r["bucket"] for r in ck3.collect()}
+    assert orphan not in claimed, (
+        "capped run falsely checkpointed a bucket it never processed"
+    )
+    # a full resume then genuinely reprocesses the orphan exactly once
+    run_extract_with_checkpoints(spark, docs, OUT, n_buckets=N_BUCKETS, num_partitions=8)
+    ck4 = read_checkpoints(spark, f"{OUT}/checkpoints")
+    assert {r["bucket"] for r in ck4.collect()} == set(range(N_BUCKETS))
+    out = spark.read.parquet(f"{OUT}/extracted_nested")
+    assert out.count() == N_DOCS
+    assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_duplicate_lineage_appends_deduped(spark, docs):
+    """Two racing retries appending lineage rows for the same bucket must
+    collapse to one row on read (latest-wins), keeping resume skips and
+    metric sums exactly-once per bucket."""
+    run_extract_with_checkpoints(spark, docs, OUT, n_buckets=N_BUCKETS, num_partitions=8)
+    ckpt_path = f"{OUT}/checkpoints"
+    raw = spark.read.parquet(ckpt_path)
+    # simulate the race: re-append a copy of every lineage row with a
+    # different job_id and later ts
+    dup = raw.withColumn("job_id", F.lit("race-retry")).withColumn(
+        "ts", F.lit("2099-01-01T00:00:00")
+    ).withColumn("doc_count", F.col("doc_count") * 1000)
+    dup.write.mode("append").parquet(ckpt_path)
+    ck = read_checkpoints(spark, ckpt_path)
+    assert ck.count() == N_BUCKETS  # one row per bucket, not two
+    assert ck.groupBy("stage", "bucket").count().filter("count > 1").count() == 0
+    # latest-wins: the retry's rows are the survivors
+    assert ck.filter(F.col("job_id") == "race-retry").count() == N_BUCKETS
+    # resume treats every bucket as done
+    r = run_extract_with_checkpoints(spark, docs, OUT, n_buckets=N_BUCKETS, num_partitions=8)
+    assert r["buckets_processed"] == 0
+
+
 def test_lineage_metrics(spark, docs):
     run_extract_with_checkpoints(spark, docs, OUT, n_buckets=N_BUCKETS, num_partitions=8)
     ck = read_checkpoints(spark, f"{OUT}/checkpoints")
