@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reading_the_unreadable_spark.operators import dedup as D
+from reading_the_unreadable_spark.operators import metrics as M
 from reading_the_unreadable_spark.operators import similarity as S
 from reading_the_unreadable_spark.operators import textstats as TS
 from reading_the_unreadable_spark.functions.text import LIGATURES
@@ -433,6 +434,55 @@ def q_fingerprint(spark, sf):
     return TS.fingerprint(_t(spark, sf, "documents"))
 
 
+def q_readability(spark, sf):
+    """F16: Flesch reading ease — the scalar Arrow pandas_udf path."""
+    return TS.readability(_t(spark, sf, "documents"))
+
+
+ONE_HOT_MARKERS = ["table", "join", "merge", "stream", "vector"]
+
+
+def q_one_hot_labels(spark, sf):
+    """A9: multi-label one-hot — label array → explode → pivot → fill(0)
+    (reference shape: classification_data_and_analysis.py:762-772)."""
+    d = _t(spark, sf, "documents")
+    toks = TS.tokens_col(F.col("text"))
+    labels = F.filter(
+        F.array(*[F.lit(m) for m in ONE_HOT_MARKERS]),
+        lambda m: F.exists(toks, lambda t: t == m),
+    )
+    return (
+        d.select("doc_id", F.explode_outer(labels).alias("label"))
+        .groupBy("doc_id")
+        .pivot("label", ONE_HOT_MARKERS)
+        .agg(F.min(F.lit(1)))
+        .na.fill(0, ONE_HOT_MARKERS)
+    )
+
+
+def q_json_permissive(spark, sf):
+    """F18/S7: schema-first from_json with a regex fallback chain — the
+    permissive 'LM answer parse' contract (malformed → fallback, never
+    fail)."""
+    ev = _t(spark, sf, "events")
+    parsed = F.from_json("props", "k INT")
+    fallback = F.regexp_extract("props", r'"k"\s*:\s*(\d+)', 1).cast("int")
+    return ev.select(
+        "event_id",
+        F.coalesce(parsed["k"], fallback).alias("k"),
+        parsed["k"].isNotNull().cast("int").alias("parsed_ok"),
+    )
+
+
+def q_cer_eval(spark, sf):
+    """S9/F15: CER of a deterministically corrupted rendition vs the
+    original — the metric half of the folder-of-txt ground-truth path
+    (sources/ground_truth.py feeds the same operator from .txt files)."""
+    d = _t(spark, sf, "documents")
+    corrupted = d.select("doc_id", F.regexp_replace("text", "e", "").alias("text"))
+    return M.cer(corrupted, d)
+
+
 # --------------------------------------------------------------- similarity
 def q_cosine_topk(spark, sf):
     return S.cosine_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
@@ -501,6 +551,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
+        "readability": q_readability,
+        "one_hot_labels": q_one_hot_labels,
+        "json_permissive": q_json_permissive,
+        "cer_eval": q_cer_eval,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "label_centroids": q_label_centroids,
@@ -932,6 +986,45 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS fingerprint,
                    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS norm_len
             FROM documents
+        """,
+        "readability": """
+            SELECT doc_id,
+                   round(206.835
+                     - 1.015 * (len(string_split(text, ' ')) * 1.0
+                                / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+                     - 84.6 * (list_sum(list_transform(string_split(lower(text), ' '),
+                         w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) * 1.0
+                               / len(string_split(text, ' '))), 4) AS flesch
+            FROM documents
+        """,
+        "one_hot_labels": """
+            SELECT doc_id,
+              CASE WHEN list_contains(string_split(text,' '), 'table') THEN 1 ELSE 0 END AS "table",
+              CASE WHEN list_contains(string_split(text,' '), 'join') THEN 1 ELSE 0 END AS "join",
+              CASE WHEN list_contains(string_split(text,' '), 'merge') THEN 1 ELSE 0 END AS "merge",
+              CASE WHEN list_contains(string_split(text,' '), 'stream') THEN 1 ELSE 0 END AS "stream",
+              CASE WHEN list_contains(string_split(text,' '), 'vector') THEN 1 ELSE 0 END AS "vector"
+            FROM documents
+        """,
+        "json_permissive": r"""
+            SELECT event_id,
+                   coalesce(try_cast(json_extract_string(props, '$.k') AS INT),
+                            try_cast(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS INT))
+                     AS k,
+                   CASE WHEN try_cast(json_extract_string(props, '$.k') AS INT)
+                        IS NOT NULL THEN 1 ELSE 0 END AS parsed_ok
+            FROM events
+        """,
+        "cer_eval": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     lower(regexp_replace(text, '\s+', ' ', 'g')) AS g,
+                     lower(regexp_replace(replace(text, 'e', ''), '\s+', ' ', 'g')) AS p
+              FROM documents)
+            SELECT doc_id,
+                   round(levenshtein(g, p) * 1.0 / length(g), 6) AS cer,
+                   length(g)::BIGINT AS gt_len
+            FROM n
         """,
         "simhash": D.simhash_oracle_sql(),
         "simhash_pairs": D.simhash_pairs_oracle_sql(),

@@ -235,6 +235,22 @@ def _merge_stream(batches):
         yield _merge_frame(buf)
 
 
+def apply_predictions(ordered: DataFrame, preds: DataFrame) -> DataFrame:
+    """J6 — join classifier predictions on the box id and conditionally
+    overwrite ``kind`` (reference behavior:
+    ``classification_data_and_analysis.py:497-499`` merges model
+    predictions back onto boxes by bbox_uid).  Left join: boxes without a
+    prediction keep their original class."""
+    p = preds.select(
+        "doc_id", "box_page_id", F.col("predicted_kind").alias("_pred_kind")
+    )
+    return (
+        ordered.join(p, ["doc_id", "box_page_id"], "left")
+        .withColumn("kind", F.coalesce("_pred_kind", "kind"))
+        .drop("_pred_kind")
+    )
+
+
 def fill_column_gaps(df: DataFrame, min_gap: float = 10.0) -> DataFrame:
     """G6 — synthesize empty boxes at column heads/tails so every column
     spans the page's content area (reference behavioral contract:

@@ -88,6 +88,52 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+# ---- F16 readability (the one op that earns a scalar pandas_udf) -----------
+# Flesch reading ease with a deterministic vowel-group syllable heuristic
+# (the reference calls the textstat lib, comparative_analysis.py:338; the
+# lib is not in this image, so the published formula is implemented
+# directly).  Shared spec with the DuckDB oracle:
+#   sentences  = max(#maximal [.!?]+ runs, 1)
+#   words      = single-space split (len of split)
+#   syllables  = Σ per word max(#maximal [aeiouy]+ runs in lower(word), 1)
+#   flesch     = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+READ_SENT_RE = r"[.!?]+"
+READ_SYL_RE = r"[aeiouy]+"
+
+
+def _flesch_series(text):
+    """Pure-pandas Flesch scorer (shared by the pandas_udf and any oracle
+    use) — Arrow-batched, regex over the batch, no per-row Spark calls."""
+    import re
+
+    import pandas as pd
+
+    sent_re = re.compile(READ_SENT_RE)
+    syl_re = re.compile(READ_SYL_RE)
+
+    def score(t):
+        if t is None:
+            return None
+        words = t.split(" ")
+        n_w = len(words)
+        n_s = max(len(sent_re.findall(t)), 1)
+        syl = sum(max(len(syl_re.findall(w.lower())), 1) for w in words)
+        return 206.835 - 1.015 * (n_w / n_s) - 84.6 * (syl / n_w)
+
+    return pd.Series([score(t) for t in text], dtype="float64")
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """Per-doc Flesch reading ease via a SCALAR Arrow ``pandas_udf`` —
+    the sanctioned slow path: Arrow batch transfer, vectorized pandas
+    inside, never row-at-a-time ``udf()``."""
+    flesch_udf = F.pandas_udf(_flesch_series, "double")
+    return documents.select(
+        "doc_id",
+        F.round(flesch_udf(F.col("text")), 4).alias("flesch"),
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Normalized-content fingerprint (md5 of lowercased letters-only) —
     the exact-dedup key; md5 gives cross-engine-identical hex."""

@@ -1,0 +1,176 @@
+"""Source connectors: folder-of-txt ground truth (S9), NDJSON nested
+annotations (S10), JSONL LM responses with permissive corrupt handling
+(S6/S7), and the classifier-prediction join (J6)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from reading_the_unreadable_spark import synth
+from reading_the_unreadable_spark.operators.geometry import docs_to_boxes
+from reading_the_unreadable_spark.operators.layout import apply_predictions, layout
+from reading_the_unreadable_spark.operators.metrics import cer
+from reading_the_unreadable_spark.sources.annotations import read_annotations_ndjson
+from reading_the_unreadable_spark.sources.docs import docs_from_rows
+from reading_the_unreadable_spark.sources.ground_truth import read_ground_truth_txt
+from reading_the_unreadable_spark.sources.lm_responses import read_lm_responses
+
+TMP = Path("/tmp/test_sources")
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    shutil.rmtree(TMP, ignore_errors=True)
+    TMP.mkdir(parents=True)
+    yield
+
+
+def test_ground_truth_txt_scan_feeds_cer(spark):
+    gt_dir = TMP / "gt"
+    gt_dir.mkdir()
+    (gt_dir / "page-1.txt").write_text("the quick brown fox")
+    (gt_dir / "page-2.txt").write_text("jumps over the lazy dog")
+    gt = read_ground_truth_txt(spark, str(gt_dir))
+    rows = {r["doc_id"]: r["text"] for r in gt.collect()}
+    assert rows == {
+        "page-1": "the quick brown fox",
+        "page-2": "jumps over the lazy dog",
+    }
+    # predictions: one perfect, one corrupted
+    preds = spark.createDataFrame(
+        [("page-1", "the quick brown fox"), ("page-2", "jumps over the hazy dog")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r["cer"] for r in cer(preds, gt).collect()}
+    assert out["page-1"] == 0.0
+    assert out["page-2"] > 0.0
+
+
+def test_annotations_ndjson_scan(spark):
+    path = TMP / "ann.ndjson"
+    rec = {
+        "data_row": {"external_id": "doc-7"},
+        "projects": {
+            "proj1": {
+                "labels": [
+                    {
+                        "performed_by": "alice",
+                        "annotations": {
+                            "objects": [
+                                {
+                                    "name": "title",
+                                    "bounding_box": {
+                                        "top": 10.0,
+                                        "left": 20.0,
+                                        "height": 30.0,
+                                        "width": 40.0,
+                                    },
+                                },
+                                {
+                                    "name": "figure",
+                                    "bounding_box": {
+                                        "top": 100.0,
+                                        "left": 0.0,
+                                        "height": 50.0,
+                                        "width": 60.0,
+                                    },
+                                },
+                            ]
+                        },
+                    }
+                ]
+            }
+        },
+    }
+    rec2 = {
+        "data_row": {"external_id": "doc-8"},
+        "projects": {
+            "proj1": {
+                "labels": [
+                    {
+                        "performed_by": "bob",
+                        "annotations": {
+                            "objects": [
+                                {
+                                    "name": "text",
+                                    "bounding_box": {
+                                        "top": 1.0,
+                                        "left": 2.0,
+                                        "height": 3.0,
+                                        "width": 4.0,
+                                    },
+                                }
+                            ]
+                        },
+                    }
+                ]
+            }
+        },
+    }
+    path.write_text(json.dumps(rec) + "\n" + json.dumps(rec2) + "\n")
+    df = read_annotations_ndjson(spark, str(path))
+    got = {(r["doc_id"], r["label"]): r for r in df.collect()}
+    assert set(got) == {("doc-7", "title"), ("doc-7", "figure"), ("doc-8", "text")}
+    t = got[("doc-7", "title")]
+    assert (t["x1"], t["y1"], t["x2"], t["y2"]) == (20.0, 10.0, 60.0, 40.0)
+    assert t["annotator"] == "alice"
+
+
+def test_lm_responses_jsonl_permissive(spark):
+    path = TMP / "responses.jsonl"
+    good = {
+        "custom_id": "doc-1_page_1_B1C1R1",
+        "response": {
+            "body": {
+                "choices": [{"message": {"content": "extracted text"}}],
+                "usage": {"prompt_tokens": 120, "completion_tokens": 48},
+            }
+        },
+    }
+    good2 = {
+        "custom_id": "doc-1_page_1_B1C2R2",
+        "response": {
+            "body": {
+                "choices": [{"message": {"content": "more text"}}],
+                "usage": {"prompt_tokens": 80, "completion_tokens": 30},
+            }
+        },
+    }
+    path.write_text(
+        json.dumps(good) + "\n" + "{this is not json\n" + json.dumps(good2) + "\n"
+    )
+    df = read_lm_responses(spark, str(path))
+    rows = df.collect()
+    assert len(rows) == 3
+    ok = {r["custom_id"]: r for r in rows if not r["is_corrupt"]}
+    assert ok["doc-1_page_1_B1C1R1"]["content"] == "extracted text"
+    assert ok["doc-1_page_1_B1C1R1"]["prompt_tokens"] == 120
+    assert ok["doc-1_page_1_B1C2R2"]["completion_tokens"] == 30
+    corrupt = [r for r in rows if r["is_corrupt"]]
+    assert len(corrupt) == 1 and corrupt[0]["content"] is None
+
+
+def test_apply_predictions_overwrites_kind(spark):
+    docs = docs_from_rows(spark, synth.make_corpus(6, seed_tag="pred"))
+    ordered = layout(docs_to_boxes(docs), num_partitions=4)
+    one_box = ordered.select("doc_id", "box_page_id", "kind").first()
+    preds = spark.createDataFrame(
+        [(one_box["doc_id"], one_box["box_page_id"], "reclassified")],
+        "doc_id string, box_page_id string, predicted_kind string",
+    )
+    out = apply_predictions(ordered, preds)
+    assert out.count() == ordered.count()
+    hit = out.filter(
+        (F.col("doc_id") == one_box["doc_id"])
+        & (F.col("box_page_id") == one_box["box_page_id"])
+    ).collect()
+    assert len(hit) == 1 and hit[0]["kind"] == "reclassified"
+    # everything else untouched
+    assert (
+        out.filter(F.col("kind") == "reclassified").count() == 1
+    )
