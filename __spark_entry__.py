@@ -80,7 +80,9 @@ def q_top_customers(spark, sf):
         )
     )
     top = rev.orderBy(F.desc("_rev"), F.asc("c_custkey")).limit(20)
-    w = Window.orderBy(F.desc("_rev"), F.asc("c_custkey"))
+    # rank over the already-limited 20 rows; the lit(1) partition key keeps
+    # WindowExec from logging its single-partition warning on every run
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("_rev"), F.asc("c_custkey"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "c_custkey", "c_name", F.round("_rev", 2).alias("revenue")
     )

@@ -47,9 +47,14 @@ HEADLINE = [
     "token_stats",
     "quality_score",
     "lang_id",
+    "readability",
+    "cer_eval",
+    "one_hot_labels",
     "cosine_topk",
     "ann_lsh",
     "label_centroids",
+    "extract_spans",
+    "extract_articles",
 ]
 
 

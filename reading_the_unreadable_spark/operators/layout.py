@@ -146,7 +146,7 @@ def _blocks_dedup_order(df: DataFrame) -> DataFrame:
     return df
 
 
-def _merge_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+def _merge_frame(pdf: pd.DataFrame, post_correct: bool = False) -> pd.DataFrame:
     """L9 fold over a frame sorted by (doc_id, page_block, column_number,
     reading_order): accumulate-or-flush merge of consecutive text boxes
     within (doc, block, column>0) while the merged span height stays
@@ -209,10 +209,17 @@ def _merge_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     # renumber is a per-doc cumcount — saves a whole post-merge window
     # sort over wide rows.
     out["reading_order"] = out.groupby("doc_id", sort=False).cumcount() + 1
+    if post_correct:
+        # T1 folded into the merge's pandas pass: the text is already in
+        # Python here, so normalizing now saves a second full Arrow
+        # round-trip of every byte of text through ArrowEvalPython.
+        from .articles import _post_correct_pd
+
+        out["text"] = _post_correct_pd(out["kind"], out["text"])
     return out
 
 
-def _merge_stream(batches):
+def _doc_complete_stream(batches, frame_fn):
     """mapInPandas wrapper: one Python call per Arrow batch (not per doc).
     Batches may split a document, so a tail buffer holds the last doc_id's
     rows until the next batch proves it complete — the classic
@@ -229,10 +236,26 @@ def _merge_stream(batches):
         if first_of_last == 0:
             buf = pdf
             continue
-        yield _merge_frame(pdf.iloc[:first_of_last])
+        yield frame_fn(pdf.iloc[:first_of_last])
         buf = pdf.iloc[first_of_last:].reset_index(drop=True)
     if buf is not None and len(buf):
-        yield _merge_frame(buf)
+        yield frame_fn(buf)
+
+
+def _merge_stream(batches, post_correct: bool = False):
+    yield from _doc_complete_stream(
+        batches, lambda pdf: _merge_frame(pdf, post_correct)
+    )
+
+
+def _merge_extract_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    from .articles import spans_frame_pd
+
+    return spans_frame_pd(_merge_frame(pdf, post_correct=True))
+
+
+def _merge_extract_stream(batches):
+    yield from _doc_complete_stream(batches, _merge_extract_frame)
 
 
 def apply_predictions(ordered: DataFrame, preds: DataFrame) -> DataFrame:
@@ -313,17 +336,52 @@ def fill_column_gaps(df: DataFrame, min_gap: float = 10.0) -> DataFrame:
     return df.select(*keep).unionByName(head_rows).unionByName(tail_rows)
 
 
-def layout(boxes: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Full stage 2: boxes → ordered boxes with reading_order.
+def _sorted_frame(
+    boxes: DataFrame,
+    num_partitions: int | None = None,
+    payload: DataFrame | None = None,
+) -> DataFrame:
+    """Shared stage-2 prefix: doc_id exchange → narrow geometry windows →
+    payload re-attach → merge-order sort.
 
-    ``num_partitions`` forces the single doc_id exchange width (skew knob;
-    AQE may coalesce).
-    """
-    if num_partitions:
-        boxes = boxes.repartition(num_partitions, "doc_id")
-    df = _abandon_and_print_area(boxes)
-    df = _columns_native(df)
-    df = _blocks_dedup_order(df)
+    Narrow-row discipline (the 100 TB shuffle-sort lever): the window
+    chain sorts its input 4–5 times with different orderings, so the text
+    payload (10–50× the geometry bytes) is projected OUT before the first
+    window and re-attached ONCE afterwards via a per-doc offset→payload
+    map — the windows sort ~100-byte geometry rows, and text bytes cross
+    the wire exactly once (the map join's exchange).
+
+    ``payload``: optional pre-built (doc_id, _payload map<offset,
+    (text, media_ref)>) frame (see :func:`..geometry.docs_payload`) —
+    the production path, where boxes are the narrow GEO_BOX_SCHEMA and
+    text never flowed through the geometry UDF at all.  When omitted,
+    the payload map is derived from the boxes frame itself (one
+    doc_id-clustered groupBy, no extra exchange)."""
+    n = num_partitions or boxes.sparkSession.sparkContext.defaultParallelism
+    boxes = boxes.repartition(n, "doc_id")
+    if payload is None:
+        payload_map = (
+            boxes.select("doc_id", "offset", "text", "media_ref")
+            .groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("offset", F.struct("text", "media_ref")))
+                ).alias("_payload")
+            )
+        )
+        geo = boxes.drop("text", "media_ref")
+    else:
+        payload_map = payload
+        geo = boxes
+    geo = _abandon_and_print_area(geo)
+    geo = _columns_native(geo)
+    geo = _blocks_dedup_order(geo)
+    entry = F.element_at(F.col("_payload"), F.col("offset"))
+    df = (
+        geo.join(payload_map, "doc_id")
+        .withColumn("text", entry["text"])
+        .withColumn("media_ref", entry["media_ref"])
+    )
     df = df.select(
         "doc_id",
         "offset",
@@ -342,13 +400,53 @@ def layout(boxes: DataFrame, num_partitions: int | None = None) -> DataFrame:
     )
     # sort keys match the preceding window's physical order exactly
     # ((doc, block, column, y1, offset) ≡ reading_order order within the
-    # group), so Catalyst elides this sort entirely
-    merged = df.sortWithinPartitions(
+    # group), so Catalyst elides most of this sort
+    return df.sortWithinPartitions(
         "doc_id", "page_block", "column_number", "y1", "offset"
-    ).mapInPandas(_merge_stream, schema=ORDERED_BOX_SCHEMA)
+    )
+
+
+def layout(
+    boxes: DataFrame,
+    num_partitions: int | None = None,
+    payload: DataFrame | None = None,
+    post_correct: bool = False,
+) -> DataFrame:
+    """Full stage 2: boxes → ordered boxes with reading_order.
+
+    ``num_partitions`` forces the single doc_id exchange width (skew knob;
+    AQE may coalesce).  See :func:`_sorted_frame` for the narrow-row
+    window design; ``post_correct=True`` folds the T1 OCR normalization
+    into the merge UDF\'s pandas pass (one Arrow text round-trip)."""
+    import functools
+
+    merged = _sorted_frame(boxes, num_partitions, payload).mapInPandas(
+        functools.partial(_merge_stream, post_correct=post_correct),
+        schema=ORDERED_BOX_SCHEMA,
+    )
     return merged.withColumn(
         "box_page_id",
         F.format_string(
             "B%dC%dR%d", F.col("page_block"), F.col("column_number"), F.col("reading_order")
         ),
+    )
+
+
+SPAN_SCHEMA = "doc_id string, kind string, text string, media_ref string, order int"
+
+
+def layout_extract_spans(
+    boxes: DataFrame,
+    num_partitions: int | None = None,
+    payload: DataFrame | None = None,
+) -> DataFrame:
+    """Fused production plan: the SAME sorted stream the box merge uses,
+    with merge → OCR post-correct → paragraph split → title reclass/merge
+    → final ordering all inside ONE per-doc vectorized pandas pass
+    (articles.spans_frame_pd).  Versus the declarative chain this saves
+    two full-frame text sorts, an explode, and a second Arrow round-trip
+    — and its semantics are pinned byte-equal to the declarative
+    operators by tests/test_e2e_extraction.py."""
+    return _sorted_frame(boxes, num_partitions, payload).mapInPandas(
+        _merge_extract_stream, schema=SPAN_SCHEMA
     )

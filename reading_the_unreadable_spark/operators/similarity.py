@@ -56,7 +56,9 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
     # top-k via TakeOrdered (distributed partial top-k per partition, no
     # single-partition global window); rank is then assigned on k rows.
     topk = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
-    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    # lit(1) partition key: same single-partition execution over the k rows,
+    # without WindowExec's no-partition warning flooding logs
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "vec_id", "label", "cos_sim"
     )

@@ -11,23 +11,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.articles import build_articles, extract_spans, nest_spans
-from ..operators.geometry import docs_to_boxes
-from ..operators.layout import layout
+from ..operators.articles import build_articles, nest_spans
+from ..operators.geometry import docs_payload, docs_to_geo_boxes
+from ..operators.layout import layout_extract_spans
 
 
 def extract(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """docs(doc_id, spans) → flat extracted spans (doc_id, kind, text,
     media_ref, order).
 
-    The input is round-robin repartitioned first: a docs table of many
-    small files would otherwise be packed into a handful of scan splits,
-    serializing the per-doc geometry/explode stage."""
-    if num_partitions:
-        docs = docs.repartition(num_partitions)
-    boxes = docs_to_boxes(docs)
-    ordered = layout(boxes, num_partitions=num_partitions)
-    return extract_spans(ordered)
+    The geometry branch is round-robin repartitioned first: a docs table
+    of many small files would otherwise be packed into a handful of scan
+    splits, serializing the per-doc geometry stage.  Text/media travel on
+    the separate native payload branch (one row per doc, joined back by
+    doc_id after the layout windows) — they never enter the geometry UDF
+    and are never sorted by the window chain.  The article stage (OCR
+    post-correct, paragraph split, title merge, final ordering) runs
+    fused inside the box-merge UDF's per-doc pandas pass
+    (:func:`..operators.layout.layout_extract_spans`), byte-equal to the
+    declarative operators in :mod:`..operators.articles`."""
+    boxes = docs_to_geo_boxes(docs, num_partitions=num_partitions)
+    return layout_extract_spans(
+        boxes, num_partitions=num_partitions, payload=docs_payload(docs)
+    )
 
 
 def extract_from_boxes(boxes: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -36,8 +42,7 @@ def extract_from_boxes(boxes: DataFrame, num_partitions: int | None = None) -> D
     also the deterministic documents-table adapter).  Skips only the
     geometry-attach stage — layout analysis, reading order, OCR
     post-correction, and span construction are the same operators."""
-    ordered = layout(boxes, num_partitions=num_partitions)
-    return extract_spans(ordered)
+    return layout_extract_spans(boxes, num_partitions=num_partitions)
 
 
 def extract_nested(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:

@@ -47,6 +47,12 @@ def _seed(doc_id: str) -> int:
     return int.from_bytes(hashlib.md5(doc_id.encode("utf-8")).digest()[:8], "big")
 
 
+def _seed_text(doc_id: str) -> int:
+    # independent stream: second half of the same md5 digest, so skipping
+    # every text draw (geometry_only) cannot perturb the geometry stream
+    return int.from_bytes(hashlib.md5(doc_id.encode("utf-8")).digest()[8:16], "big")
+
+
 @dataclass
 class Box:
     kind: str
@@ -112,12 +118,23 @@ def _table_content(rng: np.random.Generator) -> str:
     return "```tsv\n" + "\n".join(rows) + "\n```"
 
 
-def synth_page(doc_id: str) -> list[Box]:
+def synth_page(doc_id: str, geometry_only: bool = False) -> list[Box]:
     """Generate the full page for ``doc_id`` — spans + geometry.
 
     Deterministic: same doc_id ⇒ byte-identical output, across processes.
+
+    Structure/geometry decisions draw from one PCG64 stream, text content
+    from a second independent stream, so ``geometry_only=True`` skips ALL
+    text synthesis (the expensive part — the pipeline's geometry-attach
+    stage re-derives only coordinates) while producing byte-identical
+    geometry: box texts come back empty, everything else is unchanged.
     """
     rng = np.random.Generator(np.random.PCG64(_seed(doc_id)))
+    rng_text = (
+        None
+        if geometry_only
+        else np.random.Generator(np.random.PCG64(_seed_text(doc_id)))
+    )
     skew = "XL" in doc_id  # explicit heavy-tail broadsheet (skew/salting test)
     broadsheet = skew or rng.random() < 0.1
     if broadsheet:
@@ -152,7 +169,7 @@ def synth_page(doc_id: str) -> list[Box]:
         boxes.append(
             Box(
                 "title",
-                _title_content(rng),
+                "" if geometry_only else _title_content(rng_text),
                 None,
                 x0,
                 y_start,
@@ -179,15 +196,17 @@ def synth_page(doc_id: str) -> list[Box]:
             else:
                 kind, h = "table", float(rng.integers(120, 300))
             y2 = min(y + h, bottom)
-            if kind == "text":
-                text, media = _text_content(rng), None
-            elif kind == "title":
-                text, media = _title_content(rng), None
-            elif kind == "table":
-                text, media = _table_content(rng), None
-            else:
+            if kind == "figure":
                 text, media = "", f"{doc_id}/img/{fig_counter}.png"
                 fig_counter += 1
+            elif geometry_only:
+                text, media = "", None
+            elif kind == "text":
+                text, media = _text_content(rng_text), None
+            elif kind == "title":
+                text, media = _title_content(rng_text), None
+            else:
+                text, media = _table_content(rng_text), None
             boxes.append(Box(kind, text, media, cx1, y, cx2, y2, conf()))
             gap = float(rng.integers(5, 20))
             # vertical overlap into the next box (y2-adjust path)
@@ -221,8 +240,11 @@ def synth_page(doc_id: str) -> list[Box]:
 
 
 def page_arrays(doc_id: str) -> dict[str, np.ndarray]:
-    """Geometry table for one page keyed by offset (vectorized consumers)."""
-    boxes = synth_page(doc_id)
+    """Geometry table for one page keyed by offset (vectorized consumers).
+
+    geometry_only: the text stream is independent, so the pipeline's
+    geometry re-derivation never pays for text synthesis."""
+    boxes = synth_page(doc_id, geometry_only=True)
     boxes.sort(key=lambda b: b.offset)
     return {
         "offset": np.array([b.offset for b in boxes], dtype=np.int32),

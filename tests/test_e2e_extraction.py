@@ -36,6 +36,36 @@ def spark_spans(spark, corpus):
     )
 
 
+def test_fused_equals_declarative_operator_chain(spark, corpus, spark_spans):
+    """The fused per-doc pandas article stage (production plan) must be
+    byte-equal to the declarative operator chain (post_correct →
+    split_paragraphs → merge_adjacent_titles → finalize_spans)."""
+    from reading_the_unreadable_spark.operators.articles import extract_spans
+    from reading_the_unreadable_spark.operators.geometry import (
+        docs_payload,
+        docs_to_geo_boxes,
+    )
+    from reading_the_unreadable_spark.operators.layout import layout
+
+    docs = docs_from_rows(spark, corpus)
+    ordered = layout(
+        docs_to_geo_boxes(docs, num_partitions=8),
+        num_partitions=8,
+        payload=docs_payload(docs),
+    )
+    declarative = (
+        extract_spans(ordered)
+        .toPandas()
+        .sort_values(["doc_id", "order"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_spans[["doc_id", "kind", "text", "media_ref", "order"]],
+        declarative[["doc_id", "kind", "text", "media_ref", "order"]],
+        check_dtype=False,
+    )
+
+
 def test_synth_deterministic():
     a = synth.synth_page("NS-e2e-1850-01-01_page_0")
     b = synth.synth_page("NS-e2e-1850-01-01_page_0")
