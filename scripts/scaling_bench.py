@@ -35,8 +35,23 @@ def build_pkg() -> str:
     return zip_path
 
 
+def _synth_tag() -> str:
+    """Generator fingerprint — invalidates cached corpora when synth.py
+    changes (stale spans would not match re-derived geometry)."""
+    import hashlib
+
+    sys.path.insert(0, str(REPO))
+    from reading_the_unreadable_spark.synth import page_arrays
+
+    geo = page_arrays("bench-cache-probe_page_0")
+    h = hashlib.md5()
+    for k in sorted(geo):
+        h.update(geo[k].tobytes())
+    return h.hexdigest()[:8]
+
+
 def gen_input(n_docs: int) -> str:
-    path = f"/tmp/scaling_docs_{n_docs}"
+    path = f"/tmp/scaling_docs_{n_docs}_{_synth_tag()}"
     if not Path(path, "_SUCCESS").exists():
         sys.path.insert(0, str(REPO))
         from reading_the_unreadable_spark.datagen import make_corpus_df
