@@ -476,6 +476,42 @@ def q_json_permissive(spark, sf):
     )
 
 
+def q_merge_overlap(spark, sf):
+    """G4: merge_overlapping_boxes over deterministic boxes derived from
+    the documents table — box heights vary with n_chars so both the
+    merge and no-merge branches execute (overlap ≥/< 50% of the smaller
+    box)."""
+    from reading_the_unreadable_spark.operators.layout import merge_overlapping_boxes
+
+    d = _t(spark, sf, "documents")
+    doc = F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    h1 = (F.col("n_chars") % 10 + 8).cast("double")
+
+    def box(ro, y1, y2):
+        return d.select(
+            doc.alias("doc_id"),
+            F.lit(1).alias("column_number"),
+            F.lit(ro).alias("reading_order"),
+            F.lit(0.0).alias("x1"),
+            y1.cast("double").alias("y1"),
+            F.lit(10.0).alias("x2"),
+            y2.cast("double").alias("y2"),
+        )
+
+    boxes = (
+        box(1, F.lit(0.0), h1)
+        .unionByName(box(2, h1 * 0.7, h1 * 0.7 + 10.0))
+        .unionByName(box(4, F.lit(40.0), F.lit(50.0)))  # gap: never merges
+    )
+    out = merge_overlapping_boxes(boxes)
+    # 4dp rounding on both sides: DuckDB evaluates the fractional geometry
+    # in DECIMAL (exact), Spark in DOUBLE — identical values, different
+    # last-ulp representations
+    for c in ("y1", "y2", "center_y"):
+        out = out.withColumn(c, F.round(c, 4))
+    return out
+
+
 def q_cer_eval(spark, sf):
     """S9/F15: CER of a deterministically corrupted rendition vs the
     original — the metric half of the folder-of-txt ground-truth path
@@ -557,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hot_labels": q_one_hot_labels,
         "json_permissive": q_json_permissive,
         "cer_eval": q_cer_eval,
+        "merge_overlap": q_merge_overlap,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "label_centroids": q_label_centroids,
@@ -1016,6 +1053,35 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN try_cast(json_extract_string(props, '$.k') AS INT)
                         IS NOT NULL THEN 1 ELSE 0 END AS parsed_ok
             FROM events
+        """,
+        "merge_overlap": """
+            WITH g AS (
+              SELECT 'doc-' || doc_id AS doc_id,
+                     (n_chars % 10 + 8) * 1.0 AS h1
+              FROM documents),
+            c AS (SELECT *,
+                         (h1 - 0.7 * h1) >= 0.5 * least(h1, 10.0) AS m
+                  FROM g)
+            -- merged pair (overlap >= 50% of the smaller box)
+            SELECT doc_id, 1 AS column_number, 1 AS reading_order,
+                   0.0 AS x1, 0.0 AS y1, 10.0 AS x2,
+                   round(greatest(h1, 0.7 * h1 + 10.0), 4) AS y2,
+                   5.0 AS center_x,
+                   round(greatest(h1, 0.7 * h1 + 10.0) / 2, 4) AS center_y
+            FROM c WHERE m
+            UNION ALL
+            -- unmerged pair
+            SELECT doc_id, 1, 1, 0.0, 0.0, 10.0, round(h1, 4), 5.0,
+                   round(h1 / 2, 4)
+            FROM c WHERE NOT m
+            UNION ALL
+            SELECT doc_id, 1, 2, 0.0, round(0.7 * h1, 4), 10.0,
+                   round(0.7 * h1 + 10.0, 4),
+                   5.0, round((0.7 * h1 + 0.7 * h1 + 10.0) / 2, 4)
+            FROM c WHERE NOT m
+            UNION ALL
+            -- the reading-order-gap box never merges
+            SELECT doc_id, 1, 4, 0.0, 40.0, 10.0, 50.0, 5.0, 45.0 FROM g
         """,
         "cer_eval": r"""
             WITH n AS (

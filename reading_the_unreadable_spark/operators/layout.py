@@ -258,6 +258,80 @@ def _merge_extract_stream(batches):
     yield from _doc_complete_stream(batches, _merge_extract_frame)
 
 
+def vertical_overlap_pct(y1a, y2a, y1b, y2b):
+    """F21 — vertical overlap percentage of two boxes, relative to the
+    SMALLER box's height (reference ``bbox_functions.py:424-439``).
+    Column-expression helper, usable in joins/filters/windows."""
+    overlap = F.least(y2a, y2b) - F.greatest(y1a, y1b)
+    min_h = F.least(y2a - y1a, y2b - y1b)
+    return F.when(overlap <= 0, F.lit(0.0)).otherwise(overlap / min_h * 100.0)
+
+
+def merge_overlapping_boxes(
+    boxes: DataFrame, min_overlap_percent: float = 50.0
+) -> DataFrame:
+    """G4 — merge consecutive-in-reading-order boxes within (doc, column)
+    whose vertical overlap is ≥ ``min_overlap_percent`` of the smaller
+    box (reference ``bbox_functions.py:459-505``, legacy pre-text merge).
+
+    The reference's greedy pop-and-scan loop only ever merges PAIRS: a
+    merged box keeps min(reading_order), so the next candidate is ≥2
+    away and never joins — greedy-from-the-left pairing inside maximal
+    runs of consecutively-overlapping boxes.  That is exactly
+    gaps-and-islands + position parity, so this is pure window SQL: edge
+    = (Δreading_order == 1 ∧ overlap ≥ p) vs the previous row; island =
+    cumsum(¬edge); pair = floor(position_in_island / 2); one groupBy
+    merges each pair.  No UDF, no extra exchange beyond doc_id
+    clustering.  Output matches the reference's merged dict: geometry +
+    centers + column + min reading_order (the legacy op drops text)."""
+    w = Window.partitionBy("doc_id", "column_number").orderBy("reading_order")
+    edge = (
+        (F.col("reading_order") - F.lag("reading_order").over(w) == 1)
+        & (
+            vertical_overlap_pct(
+                F.lag("y1").over(w),
+                F.lag("y2").over(w),
+                F.col("y1"),
+                F.col("y2"),
+            )
+            >= F.lit(min_overlap_percent)
+        )
+    )
+    df = boxes.withColumn("_edge", F.coalesce(edge, F.lit(False)))
+    df = df.withColumn(
+        "_island",
+        F.sum(F.when(F.col("_edge"), 0).otherwise(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_isl = Window.partitionBy("doc_id", "column_number", "_island").orderBy(
+        "reading_order"
+    )
+    df = df.withColumn("_pair", F.floor((F.row_number().over(w_isl) - 1) / 2))
+    merged = (
+        df.groupBy("doc_id", "column_number", "_island", "_pair")
+        .agg(
+            F.min("x1").alias("x1"),
+            F.min("y1").alias("y1"),
+            F.max("x2").alias("x2"),
+            F.max("y2").alias("y2"),
+            F.min("reading_order").alias("reading_order"),
+        )
+        .drop("_island", "_pair")
+    )
+    return merged.select(
+        "doc_id",
+        "column_number",
+        "reading_order",
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+        ((F.col("x1") + F.col("x2")) / 2).alias("center_x"),
+        ((F.col("y1") + F.col("y2")) / 2).alias("center_y"),
+    )
+
+
 def apply_predictions(ordered: DataFrame, preds: DataFrame) -> DataFrame:
     """J6 — join classifier predictions on the box id and conditionally
     overwrite ``kind`` (reference behavior:

@@ -66,19 +66,48 @@ def test_reclassify_long_titles(spark):
     assert got == ["text", "title", "text"]
 
 
-def test_media_features_plumbing(spark):
+def test_media_features_real_decode(spark):
     refs = [f"doc-{i}/img/0.png" for i in range(10)]
     media = synth_media_table(spark, refs)
-    feats = extract_media_features(media, fake=True)
+    feats = extract_media_features(media)
     rows = feats.collect()
     assert len(rows) == 10
     for r in rows:
-        assert len(r["feat"]) == 256
-        assert r["n_bytes"] == 256
+        assert len(r["feat"]) == 20  # [w, h, mean, std] + 16 hist bins
+        assert (r["width"], r["height"]) == (48, 32)
+        assert r["feat"][0] == 48.0 and r["feat"][1] == 32.0
+        assert 0.0 < r["feat"][2] < 255.0  # mean brightness of real pixels
+        assert abs(sum(r["feat"][4:]) - 1.0) < 1e-5  # normalized histogram
         assert r["sha1"]
     # determinism: same ref -> same sha/feat
     again = {r["media_ref"]: r["sha1"] for r in extract_media_features(media).collect()}
     assert {r["media_ref"]: r["sha1"] for r in rows} == again
+
+
+def test_codec_roundtrip_and_resize():
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        resize_nearest,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    img = rng.integers(0, 256, size=(17, 23, 3)).astype(np.uint8)  # odd width: padding path
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    # PGM grayscale decode
+    pgm = b"P5\n# comment\n4 2\n255\n" + bytes(range(8))
+    arr = decode_image(pgm)
+    assert arr.shape == (2, 4, 3)
+    assert arr[0, 0, 0] == 0 and arr[1, 3, 2] == 7
+    small = resize_nearest(img, 8, 8)
+    assert small.shape == (8, 8, 3)
+    # compressed formats fail loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
 
 
 def test_media_join(spark):

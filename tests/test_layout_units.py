@@ -105,3 +105,45 @@ def test_schema_stable(spark):
     got = layout(_boxes(spark, rows), num_partitions=2)
     expect = [f.split()[0] for f in ORDERED_BOX_SCHEMA.split(", ")] + ["box_page_id"]
     assert [f.name for f in got.schema.fields] == expect
+
+
+def test_merge_overlapping_boxes_pairs_islands(spark):
+    """G4: greedy pairwise merge of consecutive-reading-order overlapping
+    boxes within (doc, column) — reference bbox_functions.py:459-505."""
+    from reading_the_unreadable_spark.operators.layout import merge_overlapping_boxes
+
+    rows = [
+        # doc A col 1: three mutually-overlapping consecutive boxes ->
+        # pair (1,2) merges, 3 stays (merged ro=1, so 3 is 2 away)
+        ("A", 1, 1, 0.0, 0.0, 10.0, 10.0),
+        ("A", 1, 2, 0.0, 5.0, 10.0, 15.0),
+        ("A", 1, 3, 0.0, 9.0, 10.0, 19.0),
+        # doc A col 2: overlap but NON-consecutive reading order -> no merge
+        ("A", 2, 5, 20.0, 0.0, 30.0, 10.0),
+        ("A", 2, 7, 20.0, 2.0, 30.0, 12.0),
+        # doc B col 1: consecutive but overlap below 50% of smaller -> no merge
+        ("B", 1, 1, 0.0, 0.0, 10.0, 10.0),
+        ("B", 1, 2, 0.0, 8.0, 10.0, 18.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, column_number int, reading_order int, "
+        "x1 double, y1 double, x2 double, y2 double",
+    )
+    out = {
+        (r["doc_id"], r["column_number"], r["reading_order"]): r
+        for r in merge_overlapping_boxes(df).collect()
+    }
+    assert set(out) == {
+        ("A", 1, 1),
+        ("A", 1, 3),
+        ("A", 2, 5),
+        ("A", 2, 7),
+        ("B", 1, 1),
+        ("B", 1, 2),
+    }
+    merged = out[("A", 1, 1)]
+    assert (merged["y1"], merged["y2"]) == (0.0, 15.0)
+    assert merged["center_y"] == 7.5
+    # untouched box keeps its own geometry
+    assert out[("A", 1, 3)]["y1"] == 9.0
