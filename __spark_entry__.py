@@ -420,6 +420,17 @@ def q_simhash_pairs(spark, sf):
     return D.simhash_pairs(_t(spark, sf, "documents"))
 
 
+def q_near_dup_verified(spark, sf):
+    """Composed near-dup pipeline: SimHash Hamming-LSH candidates →
+    exact token-Jaccard verify bounded by the candidate count (the
+    scale-correct composition; all-pairs verify never happens)."""
+    docs = _t(spark, sf, "documents")
+    cand = D.simhash_pairs(docs).filter(F.col("hamming") <= 12)
+    return D.jaccard_verify_pairs(docs, cand).select(
+        "doc_a", "doc_b", "hamming", "jaccard"
+    )
+
+
 def q_token_stats(spark, sf):
     return TS.token_stats(_t(spark, sf, "documents"))
 
@@ -530,6 +541,11 @@ def q_ann_lsh(spark, sf):
     return S.ann_lsh_topk(_t(spark, sf, "embeddings"), n_probes=10, k=3)
 
 
+def q_ann_multiprobe(spark, sf):
+    """Scale ANN: 12-bit random-hyperplane LSH + Hamming-1 multiprobe."""
+    return S.ann_multiprobe_topk(_t(spark, sf, "embeddings"), n_probes=10, k=3)
+
+
 def q_label_centroids(spark, sf):
     return S.label_centroids(_t(spark, sf, "embeddings"))
 
@@ -585,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "near_dup_verified": q_near_dup_verified,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -596,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_overlap": q_merge_overlap,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_multiprobe": q_ann_multiprobe,
         "label_centroids": q_label_centroids,
         "extract_articles": q_extract_articles,
         "extract_spans": q_extract_spans,
@@ -1096,6 +1114,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": D.simhash_oracle_sql(),
         "simhash_pairs": D.simhash_pairs_oracle_sql(),
+        "near_dup_verified": f"""
+            WITH cand AS ({D.simhash_pairs_oracle_sql()}),
+            toks AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+              FROM documents)
+            SELECT c.doc_a, c.doc_b, c.hamming,
+                   round(len(list_intersect(a.t, b.t)) * 1.0 /
+                         (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6)
+                     AS jaccard
+            FROM cand c JOIN toks a ON c.doc_a = a.doc_id
+                        JOIN toks b ON c.doc_b = b.doc_id
+            WHERE c.hamming <= 12
+        """,
         "cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
             scored AS (
@@ -1126,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cos_sim DESC, vec_id) AS rank
               FROM scored) WHERE rank <= 3
         """,
+        "ann_multiprobe": S.ann_multiprobe_oracle_sql(n_probes=10, k=3),
         "label_centroids": """
             SELECT label, (dim - 1)::INT AS dim,
                    round(avg(embedding[dim]::DOUBLE), 6) AS centroid,

@@ -244,6 +244,28 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify_pairs(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact token-set Jaccard for a GIVEN candidate pair set — the
+    composition contract for near-dup pipelines: candidate generation
+    (MinHash/SimHash LSH, sub-quadratic) decides WHAT to compare; this
+    stage's cost is bounded by the candidate count, never the corpus
+    pair count.  ``pairs`` must carry (doc_a, doc_b); extra columns
+    (band counts, hamming) pass through."""
+    toks = documents.select(
+        "doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("toks")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .drop("toks_a", "toks_b")
+    )
+
+
 HIGH_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 

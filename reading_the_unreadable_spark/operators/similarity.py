@@ -107,6 +107,118 @@ def ann_lsh_topk(
     )
 
 
+# -------------------------- random-hyperplane LSH with multiprobe (scale ANN)
+# Deterministic hyperplane weights shared bit-for-bit with the DuckDB
+# oracle: at 2^n_bits buckets the candidate set per probe is ~n/2^bits of
+# the corpus, and Hamming-1 multiprobe recovers the recall a single
+# bucket loses — the standard production trade (more planes = smaller
+# buckets, more probes = recall back).
+ANN_BITS = 12
+ANN_DIM = 64
+_ANN_SEED = 20260816
+
+
+def _gen_planes(n_bits: int = ANN_BITS, dim: int = ANN_DIM) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(_ANN_SEED))
+    # round to 6dp so the literals embed identically in Spark and SQL
+    return [[round(float(x), 6) for x in rng.standard_normal(dim)] for _ in range(n_bits)]
+
+
+HYPERPLANES = _gen_planes()
+
+
+def hyperplane_bucket(v: Column, planes: list[list[float]] | None = None) -> Column:
+    """Integer LSH bucket: bit i = sign of the projection onto plane i.
+    The projection is a left-fold dot product (same association order as
+    the oracle's explicit sum, so the sign is bit-reproducible)."""
+    planes = planes or HYPERPLANES
+    bucket = F.lit(0).cast("int")
+    for i, p in enumerate(planes):
+        proj = dot(v, F.array(*[F.lit(w) for w in p]))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_multiprobe_topk(
+    embeddings: DataFrame, n_probes: int = 10, k: int = 3
+) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH + Hamming-1 multiprobe:
+    candidates live in ONE bucket each; every probe searches its own
+    bucket plus the ``ANN_BITS`` buckets one bit-flip away (explode on
+    the probe side — the small side — never the corpus side).  The join
+    is a bucket equi-join with the probe side broadcast: per-probe work
+    is ~(bits+1)·n/2^bits candidates, independent of corpus pair count."""
+    base = embeddings.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("vec"),
+        hyperplane_bucket(_as_double(F.col("embedding"))).alias("bucket"),
+    )
+    flips = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(ANN_BITS)],
+    )
+    probes = (
+        base.filter(F.col("vec_id") < n_probes)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("vec").alias("pvec"),
+            F.explode(flips).alias("bucket"),
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(base, "bucket")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("pvec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+def ann_multiprobe_oracle_sql(n_probes: int = 10, k: int = 3) -> str:
+    """DuckDB replica: identical plane literals, identical left-to-right
+    projection sums, identical multiprobe bucket list."""
+    projs = []
+    for p in HYPERPLANES:
+        terms = " + ".join(
+            f"(embedding[{j + 1}]::DOUBLE * ({w!r}))" for j, w in enumerate(p)
+        )
+        projs.append(f"({terms})")
+    bucket = " + ".join(
+        f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, proj in enumerate(projs)
+    )
+    flip_list = ", ".join(f"xor(bucket, {1 << i})" for i in range(ANN_BITS))
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec, ({bucket}) AS bucket
+          FROM embeddings),
+        probes AS (
+          SELECT vec_id AS probe_id, vec AS pvec,
+                 unnest([bucket, {flip_list}]) AS bucket
+          FROM base WHERE vec_id < {n_probes}),
+        scored AS (
+          SELECT p.probe_id, c.vec_id,
+                 round(list_cosine_similarity(p.pvec, c.vec), 6) AS cos_sim
+          FROM probes p JOIN base c ON p.bucket = c.bucket
+          WHERE p.probe_id != c.vec_id)
+        SELECT probe_id, rank::INT AS rank, vec_id, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored) WHERE rank <= {k}
+    """
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid, one row per (label, dim) — IVF coarse-quantizer
     training step expressed as posexplode + groupBy."""

@@ -39,3 +39,57 @@ def test_incremental_exactly_once(spark):
     q = incremental_extract(spark, docs_dir, out_dir, ckpt, num_partitions=8)
     q.awaitTermination()
     assert spark.read.parquet(out_dir).count() == 30
+
+
+def test_windowed_counts_and_stateful_dedup(spark):
+    """Watermarked windowed agg + dropDuplicatesWithinWatermark over a
+    rate-limited file stream, driven with availableNow + memory sink."""
+    import pyspark.sql.functions as F
+
+    from reading_the_unreadable_spark.sources.docs import DOCS_SCHEMA
+    from reading_the_unreadable_spark.streaming.windowed import (
+        dedup_stream,
+        windowed_span_counts,
+    )
+
+    base = f"{BASE}_windowed"
+    shutil.rmtree(base, ignore_errors=True)
+    docs_dir = f"{base}/docs"
+    corpus = synth.make_corpus(12, seed_tag="win")
+    # duplicate 4 docs across "deliveries" (at-least-once source)
+    _write_batch(spark, corpus, docs_dir)
+    _write_batch(spark, corpus[:4], docs_dir)
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .parquet(docs_dir)
+        .withColumn("ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+    )
+
+    counts = windowed_span_counts(stream, window="10 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{base}/ckpt1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    assert len(rows) == 1  # one synthetic event-time window
+    assert rows[0]["n_docs"] == 16  # pre-dedup: 12 + 4 re-deliveries
+
+    deduped = dedup_stream(stream)
+    q2 = (
+        deduped.select("doc_id").writeStream.format("memory")
+        .queryName("dedup_docs")
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got = spark.sql("SELECT doc_id FROM dedup_docs").collect()
+    assert len(got) == 12  # re-deliveries dropped, state bounded by watermark
+    assert len({r["doc_id"] for r in got}) == 12
