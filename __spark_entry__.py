@@ -546,6 +546,12 @@ def q_ann_multiprobe(spark, sf):
     return S.ann_multiprobe_topk(_t(spark, sf, "embeddings"), n_probes=10, k=3)
 
 
+def q_ann_ivf(spark, sf):
+    """IVF inverted-file ANN: broadcast coarse quantizer, nearest-cell
+    assignment, nprobe-cell search."""
+    return S.ann_ivf_topk(_t(spark, sf, "embeddings"), n_probes=10, k=3, nprobe_cells=2)
+
+
 def q_label_centroids(spark, sf):
     return S.label_centroids(_t(spark, sf, "embeddings"))
 
@@ -614,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_multiprobe": q_ann_multiprobe,
+        "ann_ivf": q_ann_ivf,
         "label_centroids": q_label_centroids,
         "extract_articles": q_extract_articles,
         "extract_spans": q_extract_spans,
@@ -1158,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) WHERE rank <= 3
         """,
         "ann_multiprobe": S.ann_multiprobe_oracle_sql(n_probes=10, k=3),
+        "ann_ivf": S.ann_ivf_oracle_sql(n_probes=10, k=3, nprobe_cells=2),
         "label_centroids": """
             SELECT label, (dim - 1)::INT AS dim,
                    round(avg(embedding[dim]::DOUBLE), 6) AS centroid,

@@ -229,3 +229,116 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg("x"), 6).alias("centroid"), F.count("*").alias("n_vecs"))
     )
+
+
+# ----------------------------------------------------------------- IVF ANN
+def _cell_vectors(embeddings: DataFrame) -> DataFrame:
+    """Coarse-quantizer cells: per-label centroid VECTORS (label, cvec).
+    6dp-rounded per dimension so Spark's partial-agg averaging and the
+    oracle's single-pass averaging agree exactly."""
+    return (
+        label_centroids(embeddings)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("cvec")
+        )
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    n_probes: int = 10,
+    k: int = 3,
+    nprobe_cells: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k — the inverted-file scale path:
+
+    1. train the coarse quantizer (per-label centroid cells — at real
+       scale a k-means loop over a sample; cells stay tiny and are
+       BROADCAST);
+    2. assign every vector to its nearest cell (broadcast join + rank,
+       one pass over the corpus);
+    3. probes search only their ``nprobe_cells`` closest cells' inverted
+       lists — the classic recall/cost dial.
+
+    Per-probe work is nprobe_cells/n_cells of the corpus, never all of
+    it; the big side is touched by exactly one broadcast-join pass for
+    assignment and one bucket equi-join for search."""
+    cells = _cell_vectors(embeddings).select(
+        F.col("label").alias("cell"), "cvec"
+    )
+    base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+    sim_to_cell = F.round(cosine(F.col("vec"), F.col("cvec")), 6)
+    scored_cells = base.join(F.broadcast(cells)).select(
+        "vec_id", "vec", "cell", sim_to_cell.alias("cell_sim")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_sim"), F.asc("cell")
+    )
+    ranked = scored_cells.withColumn("cell_rank", F.row_number().over(w_assign))
+    assigned = ranked.filter(F.col("cell_rank") == 1).select(
+        "vec_id", "vec", "cell"
+    )
+    probe_cells = (
+        ranked.filter(
+            (F.col("vec_id") < n_probes) & (F.col("cell_rank") <= nprobe_cells)
+        )
+        .select(F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec"), "cell")
+    )
+    scored = (
+        F.broadcast(probe_cells)
+        .join(assigned, "cell")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("pvec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+def ann_ivf_oracle_sql(
+    n_probes: int = 10, k: int = 3, nprobe_cells: int = 2, dim: int = ANN_DIM
+) -> str:
+    return f"""
+        WITH cents AS (
+          SELECT label, d,
+                 round(avg(embedding[d]::DOUBLE), 6) AS c
+          FROM embeddings, (SELECT unnest(generate_series(1, {dim})) AS d)
+          GROUP BY label, d),
+        cells AS (
+          SELECT label AS cell, list(c ORDER BY d) AS cvec
+          FROM cents GROUP BY label),
+        scored_cells AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, c.cell,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6)
+                   AS cell_sim
+          FROM embeddings e, cells c),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cell_sim DESC, cell) AS cell_rank
+          FROM scored_cells),
+        assigned AS (
+          SELECT vec_id, vec, cell FROM ranked WHERE cell_rank = 1),
+        probe_cells AS (
+          SELECT vec_id AS probe_id, vec AS pvec, cell
+          FROM ranked WHERE vec_id < {n_probes} AND cell_rank <= {nprobe_cells}),
+        scored AS (
+          SELECT p.probe_id, a.vec_id,
+                 round(list_cosine_similarity(p.pvec, a.vec), 6) AS cos_sim
+          FROM probe_cells p JOIN assigned a ON p.cell = a.cell
+          WHERE p.probe_id != a.vec_id)
+        SELECT probe_id, rank::INT AS rank, vec_id, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored) WHERE rank <= {k}
+    """

@@ -102,6 +102,48 @@ def test_window_topk_no_global_window_on_full_data(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bucketed_join_no_exchange(spark):
+    """Two tables bucketed+sorted on doc_id must join with zero Exchange
+    and zero Sort — the co-located-join storage contract."""
+    import shutil
+
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows, write_bucketed
+
+    for t in ("bkt_left", "bkt_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/rtu_spark_warehouse/{t}", ignore_errors=True)
+    docs = docs_from_rows(spark, synth.make_corpus(40, seed_tag="bkt"))
+    left = docs.select("doc_id", F.size("spans").alias("n_spans"))
+    right = docs.select("doc_id", F.lit(1).alias("flag"))
+    write_bucketed(left, "bkt_left", n_buckets=8)
+    write_bucketed(right, "bkt_right", n_buckets=8)
+    # hint("merge"): at this toy size the planner would broadcast (and
+    # rightly skip bucketing); at scale the join IS sort-merge, which is
+    # the case the bucketing contract covers
+    joined = spark.table("bkt_left").hint("merge").join(
+        spark.table("bkt_right"), "doc_id"
+    )
+    plan = _plan(joined)
+    assert "Exchange" not in plan, plan[:1500]
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # (a within-partition Sort remains: Spark only trusts sortBy files
+    # when each bucket is a single file — the shuffle elimination is the
+    # contract that matters at scale)
+    assert joined.count() == 40
+
+
+def test_extract_sorts_never_touch_text(spark):
+    """Narrow-row discipline, asserted on the physical plan: no Sort
+    operator in the production extract plan may include the text payload
+    in its input ordering — text is sorted zero times by the JVM."""
+    docs = docs_from_rows(spark, synth.make_corpus(20))
+    plan = _plan(extract(docs, num_partitions=8))
+    sort_lines = [ln for ln in plan.splitlines() if ln.strip().startswith(("Sort ", "+- Sort ", ":- Sort "))]
+    offenders = [ln for ln in sort_lines if re.search(r"\btext#", ln.split("],")[0])]
+    assert not offenders, offenders
+
+
 @pytest.mark.parametrize("name", ["pricing_summary", "region_revenue"])
 def test_partial_aggregation(spark, name):
     """Map-side combine: HashAggregate appears in partial+final pairs."""
