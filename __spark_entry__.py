@@ -423,9 +423,12 @@ def q_simhash_pairs(spark, sf):
 def q_near_dup_verified(spark, sf):
     """Composed near-dup pipeline: SimHash Hamming-LSH candidates →
     exact token-Jaccard verify bounded by the candidate count (the
-    scale-correct composition; all-pairs verify never happens)."""
+    scale-correct composition; all-pairs verify never happens).  The
+    synthetic corpus shares one small vocabulary, so simhashes crowd
+    together — the tight hamming≤2 gate keeps the demo candidate set at
+    near-dup semantics instead of half of all pairs."""
     docs = _t(spark, sf, "documents")
-    cand = D.simhash_pairs(docs).filter(F.col("hamming") <= 12)
+    cand = D.simhash_pairs(docs).filter(F.col("hamming") <= 2)
     return D.jaccard_verify_pairs(docs, cand).select(
         "doc_a", "doc_b", "hamming", "jaccard"
     )
@@ -1132,7 +1135,7 @@ def oracle_sql() -> dict[str, str]:
                      AS jaccard
             FROM cand c JOIN toks a ON c.doc_a = a.doc_id
                         JOIN toks b ON c.doc_b = b.doc_id
-            WHERE c.hamming <= 12
+            WHERE c.hamming <= 2
         """,
         "cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),

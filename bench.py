@@ -71,7 +71,11 @@ HEADLINE = [
     "one_hot_labels",
     "cosine_topk",
     "ann_lsh",
+    "ann_multiprobe",
+    "ann_ivf",
     "label_centroids",
+    "near_dup_verified",
+    "merge_overlap",
     "extract_spans",
     "extract_articles",
 ]

@@ -337,9 +337,11 @@ def simhash_pairs(documents: DataFrame, bits: int = 32, bands: int = 4) -> DataF
     ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a, b = sliced.alias("a"), sliced.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    hamming = sum(
-        F.shiftright(xor, j).bitwiseAND(F.lit(1)).cast("int") for j in range(bits)
-    )
+    # single bit_count expression, NOT a 32-term shift/mask sum: a giant
+    # inlined expression in a join condition or filter blows past the JVM
+    # codegen method limit and drops the whole join to interpreted mode
+    # (measured 6x slower when a hamming filter was pushed into the join)
+    hamming = F.bit_count(xor).cast("int")
     return (
         a.join(
             b,
@@ -352,16 +354,23 @@ def simhash_pairs(documents: DataFrame, bits: int = 32, bands: int = 4) -> DataF
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .distinct()
+        # dedup multi-band matches via groupBy + min (hamming is a pure
+        # function of the pair, so min == the value).  Deliberately NOT
+        # distinct(): with hamming as a grouping key, a downstream
+        # `hamming <= t` filter is pushable below the aggregate and into
+        # the join, where constraint inference adds isnotnull(simhash)
+        # null-checks that re-evaluate the whole simhash fold AT THE SCAN
+        # on both sides (measured 3x slowdown).  An aggregate output is a
+        # pushdown barrier.
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
     )
 
 
 def simhash_pairs_oracle_sql(bits: int = 32, bands: int = 4) -> str:
     slice_bits = bits // bands
     mask = (1 << slice_bits) - 1
-    hamming = " + ".join(
-        f"((xor(a.simhash, b.simhash) >> {j}) & 1)::INT" for j in range(bits)
-    )
+    hamming = "bit_count(xor(a.simhash, b.simhash))::INT"
     return f"""
         WITH sh AS ({simhash_oracle_sql(bits)}),
         sliced AS (

@@ -93,3 +93,56 @@ def test_windowed_counts_and_stateful_dedup(spark):
     got = spark.sql("SELECT doc_id FROM dedup_docs").collect()
     assert len(got) == 12  # re-deliveries dropped, state bounded by watermark
     assert len({r["doc_id"] for r in got}) == 12
+
+
+def test_stateful_running_totals_survive_restart(spark):
+    """applyInPandasWithState: per-periodical totals accumulate across
+    micro-batches and across query RESTARTS (state in the checkpoint)."""
+    import pyspark.sql.functions as F
+
+    from reading_the_unreadable_spark.sources.docs import DOCS_SCHEMA
+    from reading_the_unreadable_spark.streaming.stateful import running_totals
+
+    base = f"{BASE}_stateful"
+    shutil.rmtree(base, ignore_errors=True)
+    docs_dir, ckpt, out_dir = f"{base}/docs", f"{base}/ckpt", f"{base}/totals"
+    corpus = synth.make_corpus(24, seed_tag="state")
+    expected = {}
+    for row in corpus:
+        per = row["doc_id"].split("-")[0]
+        d, s = expected.get(per, (0, 0))
+        expected[per] = (d + 1, s + len(row["spans"]))
+
+    def drain():
+        stream = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_dir)
+
+        def sink(batch_df, epoch_id):
+            # memory sink cannot recover from a checkpoint; foreachBatch can
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            running_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # update mode re-emits a key whenever it changes; latest epoch wins
+        out = {}
+        for r in spark.read.parquet(out_dir).orderBy("epoch").collect():
+            out[r["periodical"]] = (r["total_docs"], r["total_spans"])
+        return out
+
+    _write_batch(spark, corpus[:10], docs_dir)
+    first = drain()
+    assert sum(d for d, _ in first.values()) == 10
+
+    # restart with more data: totals CONTINUE from checkpointed state
+    _write_batch(spark, corpus[10:], docs_dir)
+    combined = dict(first)
+    combined.update(drain())
+    assert combined == expected
