@@ -526,6 +526,38 @@ def q_merge_overlap(spark, sf):
     return out
 
 
+def q_fill_gaps(spark, sf):
+    """G6: fill_column_gaps over the deterministic adapter layout — every
+    page is eligible (2 columns, one block) and each column head sits 70px
+    below the print-area top, so two synthesized gap boxes appear per doc."""
+    from reading_the_unreadable_spark.operators.layout import fill_column_gaps, layout
+
+    boxes = boxes_from_documents_table(_t(spark, sf, "documents"))
+    filled = fill_column_gaps(layout(boxes))
+    return filled.select(
+        "doc_id",
+        "offset",
+        "kind",
+        "column_number",
+        "page_block",
+        "reading_order",
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+        (F.length("text") > 0).cast("int").alias("has_text"),
+    )
+
+
+def q_page_coverage(spark, sf):
+    """A14: pixel-coverage raster (grouped Arrow UDF) over the adapter
+    boxes; the fixed geometry makes coverage/overlap exactly computable."""
+    from reading_the_unreadable_spark.operators.metrics import page_coverage
+
+    boxes = boxes_from_documents_table(_t(spark, sf, "documents"))
+    return page_coverage(boxes)
+
+
 def q_cer_eval(spark, sf):
     """S9/F15: CER of a deterministically corrupted rendition vs the
     original — the metric half of the folder-of-txt ground-truth path
@@ -620,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_permissive": q_json_permissive,
         "cer_eval": q_cer_eval,
         "merge_overlap": q_merge_overlap,
+        "fill_gaps": q_fill_gaps,
+        "page_coverage": q_page_coverage,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_multiprobe": q_ann_multiprobe,
@@ -1110,6 +1144,48 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             -- the reading-order-gap box never merges
             SELECT doc_id, 1, 4, 0.0, 40.0, 10.0, 50.0, 5.0, 45.0 FROM g
+        """,
+        "fill_gaps": """
+            WITH halves AS (
+              SELECT 'doc-' || doc_id AS doc_id,
+                     string_split(text, ' ') AS w,
+                     greatest(len(string_split(text, ' ')) // 2, 1) AS half
+              FROM documents),
+            lens AS (
+              SELECT doc_id,
+                     length(array_to_string(w[1:half], ' ')) AS len1,
+                     length(array_to_string(w[half+1:len(w)], ' ')) AS len2
+              FROM halves)
+            SELECT doc_id, 0 AS offset, 'title' AS kind, 0 AS column_number,
+                   1 AS page_block, 1 AS reading_order,
+                   50.0 AS x1, 80.0 AS y1, 950.0 AS x2, 130.0 AS y2,
+                   1 AS has_text
+            FROM lens
+            UNION ALL
+            SELECT doc_id, 1, 'text', 1, 1, 2, 50.0, 150.0, 500.0, 600.0,
+                   CASE WHEN len1 > 0 THEN 1 ELSE 0 END FROM lens
+            UNION ALL
+            SELECT doc_id, 2, 'text', 2, 1, 3, 500.0, 150.0, 950.0, 600.0,
+                   CASE WHEN len2 > 0 THEN 1 ELSE 0 END FROM lens
+            UNION ALL
+            -- synthesized head gap boxes: column tops sit 70px below the
+            -- print-area top (title y1=80 vs column y1=150)
+            SELECT doc_id, -1, 'text', 1, 1, 2, 50.0, 80.0, 500.0, 150.0, 0
+            FROM lens
+            UNION ALL
+            SELECT doc_id, -1, 'text', 2, 1, 3, 500.0, 80.0, 950.0, 150.0, 0
+            FROM lens
+        """,
+        "page_coverage": """
+            -- analytic raster for the fixed adapter geometry at 1/4 scale:
+            -- grid bbox x 12..238, y 20..150 (226 x 130 = 29380 cells);
+            -- title covers 13x226, each text half 113x113; no overlaps
+            SELECT 'doc-' || doc_id AS doc_id,
+                   470080.0 AS print_area,
+                   round((13*226 + 2*113*113) * 1.0 / 29380, 6) AS covered_frac,
+                   0.0 AS overlap_frac,
+                   3 AS n_boxes
+            FROM documents
         """,
         "cer_eval": r"""
             WITH n AS (
