@@ -143,3 +143,23 @@ def test_articles_shape(spark, corpus):
     # articles with a title have non-null titles; article 0 (pre-title) may not
     titled = arts[arts["article_id"] > 0]
     assert titled["title"].notna().all()
+
+
+def test_documents_table_docs_adapter(spark):
+    """docs_from_documents_table: the harness documents table adapted to
+    the north-rule docs shape runs through the FULL pipeline (synthetic
+    geometry attach included) and yields ordered spans per doc."""
+    from pyspark.sql import functions as F
+
+    from reading_the_unreadable_spark.sources.docs import docs_from_documents_table
+
+    documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    docs = docs_from_documents_table(documents)
+    assert docs.columns == ["doc_id", "spans"]
+    flat = extract(docs, num_partitions=4)
+    per_doc = flat.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.min("order").alias("mn")
+    )
+    rows = per_doc.collect()
+    assert len(rows) == 50
+    assert all(r["n"] >= 1 and r["mn"] == 1 for r in rows)
