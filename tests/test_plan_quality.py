@@ -149,3 +149,25 @@ def test_partial_aggregation(spark, name):
     """Map-side combine: HashAggregate appears in partial+final pairs."""
     plan = _plan(entrymod.queries()[name](spark, SF))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_skew_partition_balance(spark):
+    """Skew audit: with the 50x-span XL broadsheet tail in the corpus, the
+    doc_id hash exchange must still balance SPAN counts across partitions
+    (docs are indivisible for the per-doc windows, so balance comes from
+    doc-count law-of-large-numbers + hash spreading of the XL tail)."""
+    from reading_the_unreadable_spark.operators.geometry import docs_to_geo_boxes
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows
+
+    docs = docs_from_rows(spark, synth.make_corpus(400, seed_tag="skew"))
+    boxes = docs_to_geo_boxes(docs, num_partitions=8).repartition(8, "doc_id")
+    sizes = [
+        r["n"]
+        for r in boxes.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 8
+    mean = sum(sizes) / len(sizes)
+    # every partition within 2x of the mean despite the heavy tail
+    assert max(sizes) < 2 * mean, sizes
