@@ -450,6 +450,11 @@ def q_fingerprint(spark, sf):
     return TS.fingerprint(_t(spark, sf, "documents"))
 
 
+def q_bpe_tokens(spark, sf):
+    """BPE-ish regex token counting (training-cost estimation)."""
+    return TS.bpe_token_stats(_t(spark, sf, "documents"))
+
+
 def q_readability(spark, sf):
     """F16: Flesch reading ease — the scalar Arrow pandas_udf path."""
     return TS.readability(_t(spark, sf, "documents"))
@@ -647,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
+        "bpe_tokens": q_bpe_tokens,
         "readability": q_readability,
         "one_hot_labels": q_one_hot_labels,
         "json_permissive": q_json_permissive,
@@ -1087,6 +1093,22 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS fingerprint,
                    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS norm_len
             FROM documents
+        """,
+        "bpe_tokens": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')
+                       AS toks,
+                     len(string_split(text, ' ')) AS n_ws
+              FROM documents)
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_bpe_tokens,
+                   len(list_filter(toks, x -> regexp_matches(x, '^[a-z]')))::BIGINT
+                     AS n_alpha_tokens,
+                   len(list_filter(toks, x -> regexp_matches(x, '^[0-9]')))::BIGINT
+                     AS n_digit_tokens,
+                   n_ws::BIGINT AS n_ws_tokens
+            FROM t
         """,
         "readability": """
             SELECT doc_id,

@@ -88,6 +88,32 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish subword proxy: alpha runs / digit runs / single non-alnum marks —
+# the token classes a byte-pair tokenizer's pre-tokenizer splits on.  The
+# pattern is deliberately restricted to syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """Regex-class token counting (LLM-training cost estimation): counts
+    of alpha/digit/punct token classes plus the whitespace count, all
+    native expressions — zero shuffle, streams over 100 TB."""
+    lower = F.lower(F.col("text"))
+    toks = F.regexp_extract_all(lower, F.lit(BPE_PATTERN), 0)
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]"))).cast("long").alias(
+            "n_alpha_tokens"
+        ),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]"))).cast("long").alias(
+            "n_digit_tokens"
+        ),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
 # ---- F16 readability (the one op that earns a scalar pandas_udf) -----------
 # Flesch reading ease with a deterministic vowel-group syllable heuristic
 # (the reference calls the textstat lib, comparative_analysis.py:338; the
