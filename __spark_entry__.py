@@ -586,6 +586,14 @@ def q_ann_multiprobe(spark, sf):
     return S.ann_multiprobe_topk(_t(spark, sf, "embeddings"), n_probes=10, k=3)
 
 
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs (LSH candidates, exact-cosine
+    gate).  The synthetic embeddings are near-orthogonal random vectors,
+    so the demo threshold sits at 0.3 to keep the result non-trivial; on
+    a real near-dup corpus this is ~0.9."""
+    return S.embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.3)
+
+
 def q_ann_ivf(spark, sf):
     """IVF inverted-file ANN: broadcast coarse quantizer, nearest-cell
     assignment, nprobe-cell search."""
@@ -664,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_multiprobe": q_ann_multiprobe,
         "ann_ivf": q_ann_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
         "label_centroids": q_label_centroids,
         "extract_articles": q_extract_articles,
         "extract_spans": q_extract_spans,
@@ -1267,6 +1276,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_multiprobe": S.ann_multiprobe_oracle_sql(n_probes=10, k=3),
         "ann_ivf": S.ann_ivf_oracle_sql(n_probes=10, k=3, nprobe_cells=2),
+        "embedding_near_dup": S.embedding_near_dup_oracle_sql(threshold=0.3),
         "label_centroids": """
             SELECT label, (dim - 1)::INT AS dim,
                    round(avg(embedding[dim]::DOUBLE), 6) AS centroid,

@@ -231,6 +231,67 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space dedup
+    variant: candidates are generated by the hyperplane-LSH bucket
+    (Hamming-1 multiprobe on the replicated side, so pairs whose buckets
+    differ by one sign bit are still found), then gated by exact cosine ≥
+    threshold.  Join key is the bucket — pair space is Σ over buckets of
+    |bucket|·(bits+1), never n²."""
+    base = embeddings.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("vec"),
+        hyperplane_bucket(_as_double(F.col("embedding"))).alias("bucket"),
+    )
+    flips = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(ANN_BITS)],
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("vec").alias("vec_b_v"),
+        F.explode(flips).alias("bucket"),
+    )
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("vec_a_v"), "bucket")
+    cos = F.round(cosine(F.col("vec_a_v"), F.col("vec_b_v")), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_oracle_sql(threshold: float = 0.95) -> str:
+    projs = []
+    for p in HYPERPLANES:
+        terms = " + ".join(
+            f"(embedding[{j + 1}]::DOUBLE * ({w!r}))" for j, w in enumerate(p)
+        )
+        projs.append(f"({terms})")
+    bucket = " + ".join(
+        f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, proj in enumerate(projs)
+    )
+    flip_list = ", ".join(f"xor(bucket, {1 << i})" for i in range(ANN_BITS))
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS vec, ({bucket}) AS bucket
+          FROM embeddings),
+        b AS (
+          SELECT vec_id AS vec_b, vec AS vec_b_v,
+                 unnest([bucket, {flip_list}]) AS bucket
+          FROM base)
+        SELECT a.vec_id AS vec_a, b.vec_b,
+               round(list_cosine_similarity(a.vec, b.vec_b_v), 6) AS cos_sim
+        FROM base a JOIN b ON a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_b
+          AND round(list_cosine_similarity(a.vec, b.vec_b_v), 6) >= {threshold}
+    """
+
+
 # ----------------------------------------------------------------- IVF ANN
 def _cell_vectors(embeddings: DataFrame) -> DataFrame:
     """Coarse-quantizer cells: per-label centroid VECTORS (label, cvec).
