@@ -64,6 +64,7 @@ HEADLINE = [
     "simhash_pairs",
     "rollup_revenue",
     "token_stats",
+    "bpe_tokens",
     "quality_score",
     "lang_id",
     "readability",
@@ -73,6 +74,7 @@ HEADLINE = [
     "ann_lsh",
     "ann_multiprobe",
     "ann_ivf",
+    "embedding_near_dup",
     "label_centroids",
     "near_dup_verified",
     "merge_overlap",
