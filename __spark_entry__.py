@@ -539,6 +539,9 @@ def q_fill_gaps(spark, sf):
 
     boxes = boxes_from_documents_table(_t(spark, sf, "documents"))
     filled = fill_column_gaps(layout(boxes))
+    # x widening (L8a) pulls box edges to the epsilon-padded column bins
+    # (500.0005 / 950.001); 4dp rounding on both sides keeps the
+    # cross-engine double representations hash-identical
     return filled.select(
         "doc_id",
         "offset",
@@ -546,11 +549,59 @@ def q_fill_gaps(spark, sf):
         "column_number",
         "page_block",
         "reading_order",
-        "x1",
+        F.round("x1", 4).alias("x1"),
         "y1",
-        "x2",
+        F.round("x2", 4).alias("x2"),
         "y2",
         (F.length("text") > 0).cast("int").alias("has_text"),
+    )
+
+
+def q_layout_postprocess(spark, sf):
+    """L4a/L8a/L8b driver coverage: the REAL layout chain over a
+    deterministic five-box page per document — a full-width title, a
+    narrow column-1 text box (widened to its bin edges by L8a), a column-2
+    sliver pair (the y2 adjustment collapses the first to 4px → dropped by
+    L8b), and an ``isolate_formula`` box (relabeled to title by L4a).
+    Every output coordinate is a fixed constant the DuckDB oracle states
+    verbatim."""
+    from reading_the_unreadable_spark.operators.layout import layout
+
+    def _box(off, kind, x1, y1, x2, y2):
+        return F.struct(
+            F.lit(off).alias("offset"),
+            F.lit(kind).alias("kind"),
+            F.lit(kind).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(float(x1)).alias("x1"),
+            F.lit(float(y1)).alias("y1"),
+            F.lit(float(x2)).alias("x2"),
+            F.lit(float(y2)).alias("y2"),
+            F.lit(0.9).alias("confidence"),
+        )
+
+    boxes = F.array(
+        _box(0, "title", 50, 80, 950, 130),
+        _box(1, "text", 200, 150, 400, 595),  # narrow → widened
+        _box(2, "text", 500, 150, 950, 580),  # collapses to 4px → dropped
+        _box(3, "text", 500, 154, 950, 600),
+        _box(4, "isolate_formula", 500, 610, 950, 640),  # → title
+    )
+    exploded = _t(spark, sf, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.explode(boxes).alias("b"),
+    )
+    flat = exploded.select("doc_id", "b.*")
+    out = layout(flat)
+    return out.select(
+        "doc_id",
+        "kind",
+        "column_number",
+        "reading_order",
+        F.round("x1", 4).alias("x1"),
+        "y1",
+        F.round("x2", 4).alias("x2"),
+        "y2",
     )
 
 
@@ -667,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cer_eval": q_cer_eval,
         "merge_overlap": q_merge_overlap,
         "fill_gaps": q_fill_gaps,
+        "layout_postprocess": q_layout_postprocess,
         "page_coverage": q_page_coverage,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -1176,6 +1228,22 @@ def oracle_sql() -> dict[str, str]:
             -- the reading-order-gap box never merges
             SELECT doc_id, 1, 4, 0.0, 40.0, 10.0, 50.0, 5.0, 45.0 FROM g
         """,
+        "layout_postprocess": """
+            -- constants derived by hand from the L-chain spec (oracle.py):
+            -- median text width 450 → k=2 bins [50, 500.0005, 950.001];
+            -- narrow box widened to its bin (L8a); the (150,580) box
+            -- y2-adjusts to 154 → 4px sliver dropped (L8b);
+            -- isolate_formula → title (L4a); second y2 pass leaves the
+            -- column-2 survivor ending at the formula's y1 (610)
+            SELECT 'doc-' || doc_id AS doc_id, kind, column_number,
+                   reading_order, x1, y1, x2, y2
+            FROM documents, (VALUES
+              ('title', 0, 1, 50.0, 80.0, 950.0, 130.0),
+              ('text',  1, 2, 50.0, 150.0, 500.0005, 595.0),
+              ('text',  2, 3, 500.0, 154.0, 950.001, 610.0),
+              ('title', 2, 4, 500.0, 610.0, 950.001, 640.0)
+            ) AS t(kind, column_number, reading_order, x1, y1, x2, y2)
+        """,
         "fill_gaps": """
             WITH halves AS (
               SELECT 'doc-' || doc_id AS doc_id,
@@ -1187,24 +1255,28 @@ def oracle_sql() -> dict[str, str]:
                      length(array_to_string(w[1:half], ' ')) AS len1,
                      length(array_to_string(w[half+1:len(w)], ' ')) AS len2
               FROM halves)
+            -- x edges reflect the L8a widening to the epsilon-padded
+            -- column bins: col1 right edge 50+(900.001)/2 = 500.0005,
+            -- col2 right edge 950.001 (col-0 title clamps to the print
+            -- area and is untouched; x1=500 of col2 is NOT > its c1)
             SELECT doc_id, 0 AS offset, 'title' AS kind, 0 AS column_number,
                    1 AS page_block, 1 AS reading_order,
                    50.0 AS x1, 80.0 AS y1, 950.0 AS x2, 130.0 AS y2,
                    1 AS has_text
             FROM lens
             UNION ALL
-            SELECT doc_id, 1, 'text', 1, 1, 2, 50.0, 150.0, 500.0, 600.0,
+            SELECT doc_id, 1, 'text', 1, 1, 2, 50.0, 150.0, 500.0005, 600.0,
                    CASE WHEN len1 > 0 THEN 1 ELSE 0 END FROM lens
             UNION ALL
-            SELECT doc_id, 2, 'text', 2, 1, 3, 500.0, 150.0, 950.0, 600.0,
+            SELECT doc_id, 2, 'text', 2, 1, 3, 500.0, 150.0, 950.001, 600.0,
                    CASE WHEN len2 > 0 THEN 1 ELSE 0 END FROM lens
             UNION ALL
             -- synthesized head gap boxes: column tops sit 70px below the
             -- print-area top (title y1=80 vs column y1=150)
-            SELECT doc_id, -1, 'text', 1, 1, 2, 50.0, 80.0, 500.0, 150.0, 0
+            SELECT doc_id, -1, 'text', 1, 1, 2, 50.0, 80.0, 500.0005, 150.0, 0
             FROM lens
             UNION ALL
-            SELECT doc_id, -1, 'text', 2, 1, 3, 500.0, 80.0, 950.0, 150.0, 0
+            SELECT doc_id, -1, 'text', 2, 1, 3, 500.0, 80.0, 950.001, 150.0, 0
             FROM lens
         """,
         "page_coverage": """

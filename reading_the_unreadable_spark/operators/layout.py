@@ -27,6 +27,8 @@ MERGE_WIDTH_MULTIPLIER = 1.5
 ABANDON_TOP_FRACTION = 0.1
 MIN_OVERLAP_FRACTION = 0.1
 BIN_EPSILON = 0.001
+MIN_BOX_HEIGHT = 10.0  # reference postprocess_bbox(min_height=10)
+CANONICAL_KINDS = ("figure", "table", "text")
 
 ORDERED_BOX_SCHEMA = (
     "doc_id string, offset int, kind string, text string, media_ref string, "
@@ -102,14 +104,42 @@ def _columns_native(df: DataFrame) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("int"),
     )
+    # column edges (reference assign_columns' c1/c2,
+    # ``bbox_functions.py:296-319``): the owning bin's edges for
+    # single-column boxes, the print-area edges for column-0 boxes —
+    # consumed by the L8a x-widening step.
+    single = F.col("column_number") >= 1
+    df = df.withColumn(
+        "c1",
+        F.when(single, edge((F.col("column_number") - 1).cast("int"))).otherwise(
+            F.col("_px1")
+        ),
+    ).withColumn(
+        "c2",
+        F.when(single, edge(F.col("column_number").cast("int"))).otherwise(
+            F.col("_px2")
+        ),
+    )
     return df.drop("_px1", "_px2", "_pw", "_med_w", "_k")
 
 
 def _blocks_dedup_order(df: DataFrame) -> DataFrame:
-    """L5–L8: page blocks (gaps-and-islands window instead of the
-    reference's O(n·k) loop, ``bbox_functions.py:323-372``), duplicate-box
-    removal keeping max confidence (``:383-409``), reading-order numbering
-    (``:412-419``), and y2 adjustment (``:586-611``)."""
+    """L4a + L5–L8b: non-canonical-class→title relabel
+    (``bbox_functions.py:852-856``), page blocks (gaps-and-islands window
+    instead of the reference's O(n·k) loop, ``bbox_functions.py:323-372``),
+    duplicate-box removal keeping max confidence (``:383-409``),
+    reading-order numbering (``:412-419``), y2 adjustment (``:586-611``),
+    x widening to column edges (``:614-646``), and the min-height sliver
+    filter (``:870-871``)."""
+    # L4a: a real layout model emits classes beyond the canonical set
+    # (isolate_formula, figure_caption, …) — everything not figure/table/
+    # text becomes title (abandon rows are already gone after L2).
+    df = df.withColumn(
+        "kind",
+        F.when(F.col("kind").isin(*CANONICAL_KINDS), F.col("kind")).otherwise(
+            F.lit("title")
+        ),
+    )
     w_scan = (
         Window.partitionBy("doc_id")
         .orderBy("y1", "offset")
@@ -143,7 +173,17 @@ def _blocks_dedup_order(df: DataFrame) -> DataFrame:
         "y1", "offset"
     )
     df = df.withColumn("y2", F.coalesce(F.lead("y1").over(w_col), F.col("y2")))
-    return df
+    # L8a: widen non-figure boxes to their column edges (x1 := min(x1, c1),
+    # x2 := max(x2, c2)) — reference adjust_x_coordinates.
+    nonfig = F.col("kind") != "figure"
+    df = df.withColumn(
+        "x1", F.when(nonfig & (F.col("x1") > F.col("c1")), F.col("c1")).otherwise(F.col("x1"))
+    ).withColumn(
+        "x2", F.when(nonfig & (F.col("x2") < F.col("c2")), F.col("c2")).otherwise(F.col("x2"))
+    )
+    # L8b: drop sliver boxes the y2 adjustment collapsed below min_height.
+    df = df.filter(F.col("y2") - F.col("y1") >= F.lit(MIN_BOX_HEIGHT))
+    return df.drop("c1", "c2")
 
 
 def _merge_frame(pdf: pd.DataFrame, post_correct: bool = False) -> pd.DataFrame:
@@ -204,6 +244,14 @@ def _merge_frame(pdf: pd.DataFrame, post_correct: bool = False) -> pd.DataFrame:
             out.iat[j, oc["x2"]] = x2a[m].max()
             out.iat[j, oc["y2"]] = y2[m[-1]]
             out.iat[j, oc["confidence"]] = conf[m].max()
+    # L9b second y2 adjustment (reference postprocess_bbox re-runs
+    # adjust_y2_coordinates after the merge/deletion pass): rows within
+    # (doc, block, column) are already in ascending-y1 emit order, so a
+    # group shift re-closes the gaps the min-height deletions opened.
+    nxt = out.groupby(["doc_id", "page_block", "column_number"], sort=False)[
+        "y1"
+    ].shift(-1)
+    out["y2"] = nxt.fillna(out["y2"])
     # L10 renumber in-UDF: head emit order within a doc IS ascending old
     # reading_order (both follow (block, column, y1, offset)), so the
     # renumber is a per-doc cumcount — saves a whole post-merge window

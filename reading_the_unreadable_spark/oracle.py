@@ -19,7 +19,11 @@ Stage L (layout, per page):
   L4  column assignment: k evenly spaced bins over the print width
       (epsilon-padded); a box belongs to every bin it overlaps by ≥10% of
       its own width; >1 bin ⇒ column 0 (full-width separator), else the
-      1-based bin index
+      1-based bin index; each box records its column edges c1/c2 (the
+      owning bin's edges, or the print-area edges for column 0)
+  L4a non-canonical-class relabel: any kind outside {figure, table, text}
+      becomes title (abandon already dropped at L2) — reference
+      ``bbox_functions.py:852-856``
   L5  page blocks: boxes sorted by (y1, offset); block id = running count
       of column-0 separator boxes (separator starts its own block)
   L6  exact-duplicate removal: identical (x1,y1,x2,y2) rounded to 6dp
@@ -27,10 +31,17 @@ Stage L (layout, per page):
   L7  reading order = rank over (block, column, y1, offset)
   L8  y2 adjustment: within (block, column) ordered by (y1, offset),
       y2 := next box's y1 (last box keeps its own)
+  L8a x widening: non-figure boxes extend to their column edges
+      (x1 := min(x1, c1), x2 := max(x2, c2)) — reference
+      ``bbox_functions.py:614-646``
+  L8b min-height filter: boxes whose post-adjust height < 10 are dropped
+      — reference ``bbox_functions.py:870-871``
   L9  merge run of consecutive text boxes within (block, column>0) while
       the merged span height stays ≤ 1.5 × column_width; texts joined
       with a paragraph break; merged box keeps the first box's identity
       and the max confidence
+  L9b second y2 adjustment over the merged/filtered boxes (reference
+      re-runs adjust_y2_coordinates after the merge pass)
   L10 reading order renumbered
 
 Stage T (text / articles):
@@ -123,6 +134,12 @@ def _layout_page(g: pd.DataFrame) -> pd.DataFrame:
     first_bin = hits.argmax(axis=1) + 1
     g["column_number"] = np.where(n_hits > 1, 0, np.where(n_hits == 1, first_bin, 0))
     g["column_width"] = col_w
+    single = g["column_number"].to_numpy() >= 1
+    cidx = np.where(single, g["column_number"].to_numpy(), 1).astype(int)
+    g["c1"] = np.where(single, edges[cidx - 1], px1)
+    g["c2"] = np.where(single, edges[cidx], px2)
+    # L4a relabel non-canonical classes to title
+    g.loc[~g["kind"].isin(["figure", "table", "text"]), "kind"] = "title"
     # L5 page blocks
     g = g.sort_values(["y1", "offset"]).reset_index(drop=True)
     g["page_block"] = (g["column_number"] == 0).cumsum()
@@ -148,6 +165,15 @@ def _layout_page(g: pd.DataFrame) -> pd.DataFrame:
     )
     nxt = g.groupby(["page_block", "column_number"])["y1"].shift(-1)
     g["y2"] = nxt.fillna(g["y2"])
+    # L8a widen non-figure boxes to their column edges
+    nonfig = g["kind"] != "figure"
+    g.loc[nonfig & (g["x1"] > g["c1"]), "x1"] = g["c1"]
+    g.loc[nonfig & (g["x2"] < g["c2"]), "x2"] = g["c2"]
+    g = g.drop(columns=["c1", "c2"])
+    # L8b min-height sliver filter
+    g = g[(g["y2"] - g["y1"]) >= 10.0].reset_index(drop=True)
+    if g.empty:
+        return g
     # L9 merge consecutive text boxes within (block, column>0)
     merged_rows = []
     for (_, col), grp in g.groupby(["page_block", "column_number"], sort=True):
@@ -175,6 +201,12 @@ def _layout_page(g: pd.DataFrame) -> pd.DataFrame:
         if acc is not None:
             merged_rows.append(acc)
     g = pd.DataFrame.from_records(merged_rows)
+    # L9b second y2 adjustment over the merged/filtered boxes
+    g = g.sort_values(["page_block", "column_number", "y1", "offset"]).reset_index(
+        drop=True
+    )
+    nxt = g.groupby(["page_block", "column_number"])["y1"].shift(-1)
+    g["y2"] = nxt.fillna(g["y2"])
     # L10 renumber
     g = g.sort_values("reading_order").reset_index(drop=True)
     g["reading_order"] = np.arange(1, len(g) + 1)

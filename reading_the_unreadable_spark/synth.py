@@ -15,7 +15,11 @@ reclassification zone, perfect-duplicate boxes differing only in
 confidence, vertically overlapping boxes, adjacent same-class boxes
 eligible for the 1.5×column_width merge, figures and fenced-TSV tables
 interleaved with text, hyphen-broken / line-broken / ALL-CAPS-paragraph
-OCR noise, and a ~50× span-count broadsheet skew tail.
+OCR noise, and a ~50× span-count broadsheet skew tail.  Round-3 families:
+non-canonical layout-model classes (isolate_formula / figure_caption —
+the L4a relabel-to-title path), narrow in-column boxes (the L8a x-widening
+path), and near-coincident box tops that the y2 adjustment collapses into
+sub-10px slivers (the L8b min-height filter path).
 """
 
 from __future__ import annotations
@@ -187,8 +191,12 @@ def synth_page(doc_id: str, geometry_only: bool = False) -> list[Box]:
         y = y_start + float(rng.integers(0, 30))
         while y < bottom - 120.0:
             r = rng.random()
-            if r < 0.66:
+            if r < 0.60:
                 kind, h = "text", float(rng.integers(80, 300))
+            elif r < 0.66:
+                # non-canonical layout-model class (L4a relabel → title)
+                kind = "isolate_formula" if rng.random() < 0.5 else "figure_caption"
+                h = float(rng.integers(30, 50))
             elif r < 0.82:
                 kind, h = "title", float(rng.integers(40, 61))
             elif r < 0.92:
@@ -203,15 +211,26 @@ def synth_page(doc_id: str, geometry_only: bool = False) -> list[Box]:
                 text, media = "", None
             elif kind == "text":
                 text, media = _text_content(rng_text), None
-            elif kind == "title":
+            elif kind in ("title", "isolate_formula", "figure_caption"):
                 text, media = _title_content(rng_text), None
             else:
                 text, media = _table_content(rng_text), None
-            boxes.append(Box(kind, text, media, cx1, y, cx2, y2, conf()))
+            # narrow in-column box (L8a widens it back to the bin edges)
+            bx1, bx2 = cx1, cx2
+            if kind == "text" and rng.random() < 0.15:
+                quarter = (cx2 - cx1) * 0.25
+                bx1, bx2 = cx1 + quarter, cx2 - quarter
+            boxes.append(Box(kind, text, media, bx1, y, bx2, y2, conf()))
             gap = float(rng.integers(5, 20))
+            r_gap = rng.random()
             # vertical overlap into the next box (y2-adjust path)
-            if rng.random() < 0.25:
+            if r_gap < 0.25:
                 gap = -20.0
+            elif r_gap < 0.33:
+                # next box starts 4px below this one's top: the y2
+                # adjustment collapses this box to a sub-10px sliver
+                # (L8b min-height filter path)
+                gap = (y + 4.0) - y2
             y = y2 + gap
 
     # perfect-duplicate box, lower confidence (dedup-keep-max-conf path)

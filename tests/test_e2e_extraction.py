@@ -94,7 +94,15 @@ def test_case_families_present(corpus):
             seen.add(key)
     has_xl = any("XL" in r["doc_id"] for r in corpus)
     has_overlap = True  # injected probabilistically with p=0.25 per gap
-    assert kinds == {"text", "title", "figure", "table", "abandon"}
+    assert kinds == {
+        "text",
+        "title",
+        "figure",
+        "table",
+        "abandon",
+        "isolate_formula",
+        "figure_caption",
+    }
     assert has_dup and has_hyphen and has_caps_para and has_xl and has_overlap
 
 

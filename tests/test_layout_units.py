@@ -100,6 +100,77 @@ def test_fill_skips_multiblock_pages(spark):
     assert filled.filter(F.col("offset") == -1).count() == 0
 
 
+def test_adjust_x_widens_narrow_box_to_column_edges(spark):
+    """L8a (reference bbox_functions.py:614-646): a narrow non-figure box
+    widens to its column's bin edges; x of a box already at/бeyond the
+    edge stays put; column-0 boxes clamp to the print area."""
+    rows = [
+        ("d", 0, "title", "MAST", None, 20.0, 50.0, 980.0, 100.0, 0.9),
+        ("d", 1, "text", "narrow", None, 150.0, 120.0, 350.0, 500.0, 0.9),
+        ("d", 2, "text", "wide", None, 520.0, 120.0, 980.0, 900.0, 0.9),
+    ]
+    got = {r["text"]: r for r in layout(_boxes(spark, rows), num_partitions=2).collect()}
+    # print area [20, 980], median text width (200+460)/2=330 → k=2;
+    # edges 20, 20+960.001/2, 980.001
+    e1 = 20.0 + (960.0 + 0.001) / 2.0
+    assert got["narrow"]["column_number"] == 1
+    assert got["narrow"]["x1"] == 20.0  # x1 > c1 → widened left
+    assert abs(got["narrow"]["x2"] - e1) < 1e-9  # x2 < c2 → widened right
+    assert abs(got["wide"]["x1"] - e1) < 1e-9  # x1 > its c1 → pulled to edge
+    assert abs(got["wide"]["x2"] - 980.001) < 1e-9
+    # column-0 masthead already spans the print area → untouched
+    assert (got["MAST"]["x1"], got["MAST"]["x2"]) == (20.0, 980.0)
+
+
+def test_adjust_x_skips_figures(spark):
+    rows = [
+        ("d", 0, "figure", "", "m", 150.0, 120.0, 350.0, 500.0, 0.9),
+        ("d", 1, "text", "t", None, 20.0, 520.0, 480.0, 900.0, 0.9),
+    ]
+    got = {r["kind"]: r for r in layout(_boxes(spark, rows), num_partitions=2).collect()}
+    assert (got["figure"]["x1"], got["figure"]["x2"]) == (150.0, 350.0)
+
+
+def test_min_height_sliver_dropped(spark):
+    """L8b (reference bbox_functions.py:870-871): a box the y2 adjustment
+    collapsed below 10px is dropped; the survivor's y2 then re-closes the
+    gap via the post-merge second y2 adjustment."""
+    rows = [
+        ("d", 0, "text", "a", None, 20.0, 100.0, 480.0, 494.0, 0.9),
+        ("d", 1, "text", "sliver", None, 20.0, 496.0, 480.0, 500.0, 0.9),
+        ("d", 2, "text", "b", None, 20.0, 500.0, 480.0, 900.0, 0.9),
+    ]
+    got = layout(_boxes(spark, rows), num_partitions=2).collect()
+    texts = {r["text"] for r in got}
+    assert "sliver" not in texts  # y2-adjusted height 500-496=4 < 10 → dropped
+    # a's y2 was adjusted to the sliver's y1 (496); the second y2 pass
+    # re-closes it to b's y1 (a+b don't merge: 800 > 1.5*460)
+    a = next(r for r in got if r["text"] == "a")
+    assert a["y2"] == 500.0
+    assert [r["reading_order"] for r in sorted(got, key=lambda r: r["y1"])] == [1, 2]
+
+
+def test_noncanonical_kind_relabeled_title(spark):
+    """L4a (reference bbox_functions.py:852-856): classes outside
+    {figure, table, text} become title and get the title text treatment
+    downstream (no text-merge with adjacent text boxes)."""
+    from reading_the_unreadable_spark.plans.pipeline import extract_from_boxes
+
+    rows = [
+        ("d", 0, "isolate_formula", "e = m c squared", None, 20.0, 100.0, 480.0, 140.0, 0.9),
+        ("d", 1, "text", "body text", None, 20.0, 160.0, 480.0, 500.0, 0.9),
+    ]
+    ordered = layout(_boxes(spark, rows), num_partitions=2).collect()
+    kinds = {r["text"]: r["kind"] for r in ordered}
+    assert kinds["e = m c squared"] == "title"
+    assert kinds["body text"] == "text"
+    spans = extract_from_boxes(_boxes(spark, rows), num_partitions=2).collect()
+    assert [(s["kind"], s["text"]) for s in sorted(spans, key=lambda s: s["order"])] == [
+        ("title", "e = m c squared"),
+        ("text", "body text"),
+    ]
+
+
 def test_schema_stable(spark):
     rows = [("d", 0, "text", "a", None, 20.0, 100.0, 480.0, 900.0, 0.9)]
     got = layout(_boxes(spark, rows), num_partitions=2)
