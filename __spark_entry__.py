@@ -557,6 +557,45 @@ def q_fill_gaps(spark, sf):
     )
 
 
+def q_combine_segments(spark, sf):
+    """A5/G9 (knit): the real segment-recombination operator — custom_id
+    decomposition, token sums, segment counts, and the LCS knit fold —
+    over deterministic two-segment splits of each document.  The segments
+    share a 66-char unique marker (md5-derived, bracketed with characters
+    absent from the corpus) as their overlap, so the knitter's
+    longest-common-substring is the marker itself and the knitted content
+    is exactly first-half ‖ marker ‖ second-half — which the DuckDB
+    oracle states in closed form, making the whole operator (including
+    the pandas-UDF knit) value-hash checkable."""
+    from reading_the_unreadable_spark.operators.knit import combine_segments
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    half = F.greatest((n / 2).cast("int"), F.lit(1))
+    first = F.array_join(F.slice(words, 1, half), " ")
+    second = F.array_join(F.slice(words, half + 1, n), " ")
+    marker = F.concat(
+        F.lit("«"), F.md5(did), F.md5(F.concat(did, F.lit("x"))), F.lit("»")
+    )
+    base = F.concat(F.lit("DOC-"), did, F.lit("_page_0_text_B1C1R1_segment_"))
+
+    def seg(k: int, content):
+        return d.select(
+            F.concat(base, F.lit(str(k))).alias("custom_id"),
+            content.alias("content"),
+            (F.col("n_chars") % 50 + F.lit(k)).cast("long").alias("prompt_tokens"),
+            (F.col("n_chars") % 40 + F.lit(2 * k)).cast("long").alias("completion_tokens"),
+            (F.col("n_chars") % 90 + F.lit(3 * k)).cast("long").alias("total_tokens"),
+        )
+
+    segments = seg(0, F.concat(first, marker)).unionByName(
+        seg(1, F.concat(marker, second))
+    )
+    return combine_segments(segments)
+
+
 def q_layout_postprocess(spark, sf):
     """L4a/L8a/L8b driver coverage: the REAL layout chain over a
     deterministic five-box page per document — a full-width title, a
@@ -615,12 +654,18 @@ def q_page_coverage(spark, sf):
 
 
 def q_cer_eval(spark, sf):
-    """S9/F15: CER of a deterministically corrupted rendition vs the
-    original — the metric half of the folder-of-txt ground-truth path
-    (sources/ground_truth.py feeds the same operator from .txt files)."""
+    """S9/F15: span-grain CER of a deterministically corrupted rendition
+    vs the original — the metric half of the folder-of-txt ground-truth
+    path (sources/ground_truth.py feeds the same operators from .txt
+    files).  Texts are chunked into 20-word spans first (the reference
+    computes CER per cropped box, result_section.py:240-242) so the
+    quadratic edit-distance DP runs on short strings."""
     d = _t(spark, sf, "documents")
-    corrupted = d.select("doc_id", F.regexp_replace("text", "e", "").alias("text"))
-    return M.cer(corrupted, d)
+    gt = M.chunk_spans(d.select("doc_id", "text"), words_per_span=20)
+    pred = gt.select(
+        "doc_id", "span_idx", F.regexp_replace("text", "e", "").alias("text")
+    )
+    return M.cer_spans(pred, gt)
 
 
 # --------------------------------------------------------------- similarity
@@ -719,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_overlap": q_merge_overlap,
         "fill_gaps": q_fill_gaps,
         "layout_postprocess": q_layout_postprocess,
+        "combine_segments": q_combine_segments,
         "page_coverage": q_page_coverage,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -1244,6 +1290,27 @@ def oracle_sql() -> dict[str, str]:
               ('title', 2, 4, 500.0, 610.0, 950.001, 640.0)
             ) AS t(kind, column_number, reading_order, x1, y1, x2, y2)
         """,
+        "combine_segments": """
+            WITH halves AS (
+              SELECT doc_id::VARCHAR AS did, n_chars,
+                     string_split(text, ' ') AS w,
+                     greatest(len(string_split(text, ' ')) // 2, 1) AS half
+              FROM documents)
+            SELECT 'DOC-' || did || '_page_0' AS page_id,
+                   'DOC-' || did AS issue_id,
+                   0 AS page_number,
+                   'text' AS "class",
+                   1 AS block, 1 AS "column", 1 AS reading_order,
+                   'B1C1R1' AS box_page_id,
+                   (n_chars % 50) + (n_chars % 50 + 1) AS prompt_tokens,
+                   (n_chars % 40) + (n_chars % 40 + 2) AS completion_tokens,
+                   (n_chars % 90) + (n_chars % 90 + 3) AS total_tokens,
+                   2::BIGINT AS segment_count,
+                   array_to_string(w[1:half], ' ')
+                     || '«' || md5(did) || md5(did || 'x') || '»'
+                     || array_to_string(w[half+1:len(w)], ' ') AS content
+            FROM halves
+        """,
         "fill_gaps": """
             WITH halves AS (
               SELECT 'doc-' || doc_id AS doc_id,
@@ -1291,15 +1358,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "cer_eval": r"""
-            WITH n AS (
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            spans AS (
               SELECT doc_id,
-                     lower(regexp_replace(text, '\s+', ' ', 'g')) AS g,
-                     lower(regexp_replace(replace(text, 'e', ''), '\s+', ' ', 'g')) AS p
-              FROM documents)
+                     array_to_string(w[(i*20+1):(i*20+20)], ' ') AS gt
+              FROM w, LATERAL (SELECT unnest(generate_series(
+                     0, cast(ceil(len(w) / 20.0) AS INT) - 1)) AS i)),
+            n AS (
+              SELECT doc_id,
+                     lower(regexp_replace(gt, '\s+', ' ', 'g')) AS g,
+                     lower(regexp_replace(replace(gt, 'e', ''), '\s+', ' ', 'g')) AS p
+              FROM spans)
             SELECT doc_id,
-                   round(levenshtein(g, p) * 1.0 / length(g), 6) AS cer,
-                   length(g)::BIGINT AS gt_len
-            FROM n
+                   round(sum(levenshtein(g, p)) * 1.0 / sum(length(g)), 6) AS cer,
+                   sum(length(g))::BIGINT AS gt_len
+            FROM n GROUP BY doc_id
         """,
         "simhash": D.simhash_oracle_sql(),
         "simhash_pairs": D.simhash_pairs_oracle_sql(),

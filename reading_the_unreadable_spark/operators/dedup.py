@@ -17,6 +17,9 @@ results bit-for-bit.
 
 from __future__ import annotations
 
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -27,15 +30,35 @@ BAND_ROWS = 2
 
 
 def _spread(documents: DataFrame, n_tasks: int | None = None) -> DataFrame:
-    """Round-robin repartition of the input.
+    """Round-robin rebalance of the input — ONLY when the scan is
+    under-split.
 
     Compute-heavy per-row work (md5 folds, shingling, set intersections)
-    otherwise runs inside the scan tasks — and a small table is one file,
-    so one task would do everything.  On a real many-split table this is a
-    cheap rebalance; on skewed file layouts it is the difference between
-    1× and N× parallelism."""
+    runs inside the scan tasks, and a small single-file table would put
+    everything in one task.  A well-split production table already has
+    ≥ cores splits, and round-robin shuffling the full text corpus it
+    doesn't need is exactly the 100 TB anti-pattern — so this is a no-op
+    unless the scan has fewer partitions than the target parallelism."""
     n = n_tasks or documents.sparkSession.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() >= n:
+        return documents
     return documents.repartition(n)
+
+
+def _stage_boundary(df: DataFrame, tag: str) -> DataFrame:
+    """Materialize ``df`` to scratch parquet and read it back — an eager
+    stage boundary for plans that consume an expensive intermediate more
+    than once.
+
+    Versus ``.cache()`` (what an earlier revision used): a corpus-scale
+    cached intermediate pins executor storage memory and thrashes at
+    100 TB, while a parquet boundary is bounded by scratch disk, is
+    readable with column pruning by each consumer, and survives executor
+    loss.  On a cluster the path would be a job-scoped scratch dir; the
+    tmpdir works identically in local mode."""
+    path = f"{tempfile.gettempdir()}/rtu_stage/{tag}_{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -113,10 +136,13 @@ def minhash_lsh_pairs(
     appearing in k documents costs O(k), never O(k²) — the global
     shingle×shingle self-join an earlier revision had is structurally
     impossible here (asserted by tests/test_plan_quality.py)."""
-    sh = shingles(_spread(documents), n).cache()
+    # shingles feed four consumers (signatures, per-doc counts, and both
+    # sides of the verify join): one scratch-parquet boundary instead of
+    # four full recomputes — and instead of a corpus-scale .cache()
+    sh = _stage_boundary(shingles(_spread(documents), n), "minhash_shingles")
     sigs = lsh_band_signatures(minhash_signatures(sh, n_hashes), band_rows)
     a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
+    cand = _stage_boundary(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -124,8 +150,8 @@ def minhash_lsh_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared_bands"))
-        .cache()  # small (pairs only); reused as the spine and the inter probe
+        .agg(F.count("*").alias("shared_bands")),
+        "minhash_cand",  # small (pairs only); spine + inter probe
     )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand_sh_a = cand.select("doc_a", "doc_b").join(
@@ -162,11 +188,10 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
     bucket_col: str = "lang",
-    salt: int = 16,
 ) -> DataFrame:
     """Word-set Jaccard over pairs co-bucketed by ``bucket_col`` AND a
-    token-count band — the join key is (bucket, size_band, salt), so the
-    pair space is bounded per bucket, not quadratic in the corpus.
+    token-count band — the join key is (bucket, size_band), so the pair
+    space is bounded per bucket, not quadratic in the corpus.
 
     Size banding (the scale guard): ``jaccard >= t`` implies
     ``min(|A|,|B|)/max(|A|,|B|) >= t``, so a qualifying pair's token
@@ -180,9 +205,14 @@ def ngram_jaccard_pairs(
     window — per-band cardinality is bounded by the corpus's length
     histogram, not its total size.
 
-    Low-cardinality bucket keys (here ~5 langs) would cap join
-    parallelism at the key count, so the left side is additionally salted
-    by hash(doc_id) and the right side replicated ``salt`` times."""
+    Replication is exactly 3× (the ±1 band neighbors, algorithmically
+    required) — an earlier revision also exploded a 16-way salt against
+    the low-cardinality bucket keys, shuffling the token-array corpus at
+    48× amplification (~petabytes at 100 TB scale).  Hot (bucket, band)
+    keys are instead handled by AQE's skew-join split
+    (``spark.sql.adaptive.skewJoin`` — on in session.py), which divides
+    an oversized partition among tasks at runtime without replicating
+    the build side for every key."""
     import math
 
     toks = documents.select(
@@ -202,21 +232,11 @@ def ngram_jaccard_pairs(
     # probe side spread across tasks: the pair evaluation happens in the
     # probe task of the join, so probe parallelism IS the operator's
     # parallelism.
-    a = (
-        _spread(toks)
-        .withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(salt)))
-        .alias("a")
-    )
-    b = (
-        toks.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-        .withColumn(
-            "band",
-            F.explode(
-                F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
-            ),
-        )
-        .alias("b")
-    )
+    a = _spread(toks).alias("a")
+    b = toks.withColumn(
+        "band",
+        F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)),
+    ).alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
     jac = inter.cast("double") / union
@@ -231,7 +251,6 @@ def ngram_jaccard_pairs(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & size_ok,
         )

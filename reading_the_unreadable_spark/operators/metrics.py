@@ -101,6 +101,52 @@ def cer(predictions: DataFrame, ground_truth: DataFrame, key: str = "doc_id") ->
     )
 
 
+def chunk_spans(
+    df: DataFrame, text_col: str = "text", words_per_span: int = 50
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, span_idx, text): fixed word-count chunks.
+
+    The alignment grain for :func:`cer_spans` when the corpus has no
+    natural span structure — pure native expressions, zero shuffle."""
+    w = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(w) / F.lit(words_per_span)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_spans - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(w, i * words_per_span + F.lit(1), F.lit(words_per_span)), " "
+        ),
+    )
+    return df.select("doc_id", F.posexplode(chunks).alias("span_idx", text_col))
+
+
+def cer_spans(
+    predictions: DataFrame, ground_truth: DataFrame, keys: tuple = ("doc_id", "span_idx")
+) -> DataFrame:
+    """Span-grain CER, aggregated to the document: per-span edit
+    distances summed over the doc, divided by the summed ground-truth
+    length.
+
+    This is the REFERENCE grain — it computes CER per cropped box item
+    (``result_section.py:240-242``), never per full page — and the scale
+    lever: Levenshtein is O(|a|·|b|) per row, so chunking a 10 k-char
+    document into k spans divides the DP work by ~k while the join and
+    aggregation stay embarrassingly parallel.  Whole-document CER (the
+    :func:`cer` operator) is quadratic in doc length and dominates any
+    corpus-scale job it appears in."""
+    norm = lambda c: F.lower(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
+    joined = predictions.alias("p").join(ground_truth.alias("g"), list(keys))
+    gt, pred = norm(F.col("g.text")), norm(F.col("p.text"))
+    per_span = joined.select(
+        F.col(keys[0]).alias("doc_id"),
+        F.levenshtein(gt, pred).alias("_lev"),
+        F.length(gt).alias("_len"),
+    )
+    return per_span.groupBy("doc_id").agg(
+        F.round(F.sum("_lev").cast("double") / F.sum("_len"), 6).alias("cer"),
+        F.sum("_len").cast("long").alias("gt_len"),
+    )
+
+
 def cer_summary(cer_df: DataFrame) -> DataFrame:
     return cer_df.agg(
         F.round(F.expr("percentile(cer, 0.5)"), 6).alias("median_cer"),

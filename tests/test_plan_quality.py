@@ -95,6 +95,28 @@ def test_ngram_join_is_size_banded(spark):
     assert any("band" in ln for ln in join_lines), join_lines
 
 
+def test_ngram_replication_bounded(spark):
+    """The ngram probe side may be replicated ONLY by the ±1 band
+    explode (3×, algorithmically required) — no salt explode: the plan
+    must contain no salt column, and the only Generate over the token
+    frame expands a 3-element array."""
+    plan = _plan(entrymod.q_ngram_jaccard(spark, SF))
+    assert "salt" not in plan, "salt replication reintroduced"
+    gen_lines = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    # one explode on the b side (band array); no sequence(0, salt) explode
+    assert len(gen_lines) == 1, gen_lines
+    assert "sequence" not in gen_lines[0], gen_lines[0]
+
+
+def test_dedup_no_storage_cache(spark):
+    """Corpus-scale intermediates must not be pinned with .cache():
+    InMemoryTableScan must not appear in any dedup plan (the reuse
+    boundary is scratch parquet instead)."""
+    for name in ("minhash_lsh", "ngram_jaccard", "simhash_pairs"):
+        plan = _plan(entrymod.queries()[name](spark, SF))
+        assert "InMemoryTableScan" not in plan, name
+
+
 def test_window_topk_no_global_window_on_full_data(spark):
     """cosine_topk must use TakeOrdered (distributed top-k), not a
     single-partition window over the full table."""
