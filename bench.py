@@ -32,15 +32,21 @@ BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "4000"))
 def _synth_tag() -> str:
     """Fingerprint of the synthetic generator so cached corpora are
     invalidated whenever synth.py changes (stale spans would no longer
-    match re-derived geometry)."""
+    match re-derived geometry).  Hashes the FULL synth_page output —
+    kind/text/media/offset AND geometry — so a text-only generator
+    change (e.g. an RNG-stream split) also invalidates the cache."""
     import hashlib
 
-    from reading_the_unreadable_spark.synth import page_arrays
+    from reading_the_unreadable_spark.synth import synth_page
 
-    geo = page_arrays("bench-cache-probe_page_0")
+    boxes = synth_page("bench-cache-probe_page_0")
     h = hashlib.md5()
-    for k in sorted(geo):
-        h.update(geo[k].tobytes())
+    for b in boxes:
+        h.update(
+            repr(
+                (b.kind, b.text, b.media_ref, b.offset, b.x1, b.y1, b.x2, b.y2, b.confidence)
+            ).encode()
+        )
     return h.hexdigest()[:8]
 
 
@@ -78,6 +84,8 @@ HEADLINE = [
     "label_centroids",
     "near_dup_verified",
     "merge_overlap",
+    "combine_segments",
+    "layout_postprocess",
     "extract_spans",
     "extract_articles",
 ]

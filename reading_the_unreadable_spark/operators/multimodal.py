@@ -2,12 +2,14 @@
 typed metadata, with REAL decode for the container-friendly formats.
 
 Codec situation in this image: no PIL/cv2/soundfile.  Rather than stub
-everything, the two formats that need no codec library — uncompressed
-24-bit BMP and binary PGM/PPM (P5/P6) — are decoded with a pure-numpy
-parser, so the full pipeline (binary column → decode → resize →
-feature-extract) runs for real, end-to-end, over Arrow batches.
-Compressed formats (PNG/JPEG) raise NotImplementedError with a clear
-message; swapping in PIL later changes only ``decode_image``.
+everything, the formats that need no codec library are decoded for real:
+uncompressed 24-bit BMP and binary PGM/PPM (P5/P6) with a pure-numpy
+parser, and 8-bit non-interlaced PNG (gray/GA/RGB/RGBA) via stdlib zlib
++ a numpy unfilter — so the full pipeline (binary column → decode →
+resize → feature-extract) runs end-to-end over Arrow batches on the
+formats real corpora actually use.  JPEG (and exotic PNG variants)
+raise NotImplementedError with a clear message; swapping in PIL later
+changes only ``decode_image``.
 
 Scale design: decode/feature runs in ``mapInPandas`` (one Python entry
 per Arrow batch, per-worker init scope for model/codec state); media
@@ -96,23 +98,161 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
         i = j
     i += 1  # single whitespace after maxval
     w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        # two-byte samples; fail loudly rather than decode garbage
+        raise NotImplementedError(f"16-bit PNM (maxval={maxval}) not supported")
     channels = 3 if payload[:2] == b"P6" else 1
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=i)
     arr = data.reshape(h, w, channels)
     return np.repeat(arr, 3, axis=2) if channels == 1 else arr.copy()
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type → samples/pixel
+
+
+def _png_chunks(payload: bytes):
+    i = len(PNG_SIG)
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        yield ctype, payload[i + 8 : i + 8 + length]
+        if ctype == b"IEND":
+            return
+        i += 12 + length  # length + type + data + crc
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Undo the per-scanline PNG filters (0 none, 1 sub, 2 up, 3 average,
+    4 paeth).  Rows depend on the previous row, so the walk is per-row;
+    within a row the sub/average/paeth recurrences run on small numpy
+    slices — fine for the mapInPandas batch grain this feeds."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # up
+            cur = (line + prev) & 0xFF
+        else:  # sub / average / paeth need the in-row recurrence
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
+                elif f == 4:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + numpy unfilter): 8-bit
+    gray / gray+alpha / RGB / RGBA, non-interlaced — the common web/page
+    formats.  Palette, 16-bit, and Adam7 raise loudly."""
+    import zlib
+
+    ihdr = idat = None
+    parts = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            parts.append(data)
+    if ihdr is None or not parts:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color_type} interlace={interlace}: "
+            "only 8-bit non-interlaced gray/GA/RGB/RGBA supported"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(parts))
+    if len(raw) != h * (w * ch + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    arr = _png_unfilter(raw, h, w, ch)
+    if color_type == 0:
+        return np.repeat(arr, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    return arr[:, :, :3].copy()  # RGB / RGBA→RGB
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (8-bit RGB, non-interlaced) with a selectable
+    per-row filter — lets tests exercise every unfilter branch."""
+    import zlib
+
+    h, w, _ = arr.shape
+    a = arr.astype(np.int32)
+    rows = []
+    prev = np.zeros((w, 3), dtype=np.int32)
+    for y in range(h):
+        cur = a[y]
+        left = np.vstack([np.zeros((1, 3), np.int32), cur[:-1]])
+        ul = np.vstack([np.zeros((1, 3), np.int32), prev[:-1]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = (cur - left) & 0xFF
+        elif filter_type == 2:
+            enc = (cur - prev) & 0xFF
+        elif filter_type == 3:
+            enc = (cur - (left + prev) // 2) & 0xFF
+        elif filter_type == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = (cur - pred) & 0xFF
+        else:
+            raise ValueError(filter_type)
+        rows.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows))
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """binary → HxWx3 uint8 RGB.  BMP/PGM/PPM decode for real (pure
-    numpy); compressed formats need a codec lib absent from this image."""
+    """binary → HxWx3 uint8 RGB.  BMP/PGM/PPM/PNG decode for real (pure
+    numpy + stdlib zlib); JPEG needs a codec lib absent from this image."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
         raise NotImplementedError(
-            "PNG/JPEG decode needs PIL/cv2 (not in this container); "
-            "re-encode as BMP/PPM or install a codec"
+            "JPEG decode needs PIL/cv2 (not in this container); "
+            "re-encode as BMP/PPM/PNG or install a codec"
         )
     raise ValueError(f"unknown image magic {payload[:4]!r}")
 

@@ -103,11 +103,94 @@ def test_codec_roundtrip_and_resize():
     assert arr[0, 0, 0] == 0 and arr[1, 3, 2] == 7
     small = resize_nearest(img, 8, 8)
     assert small.shape == (8, 8, 3)
-    # compressed formats fail loudly, not silently
+    # formats without a pure-python decode fail loudly, not silently
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"P5\n2 2\n65535\n" + bytes(8))  # 16-bit PNM
+
+
+def test_png_roundtrip_all_filters():
+    """Pure-zlib PNG decode: every scanline filter type (0 none, 1 sub,
+    2 up, 3 average, 4 paeth) round-trips bit-exactly."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    img = rng.integers(0, 256, size=(9, 13, 3)).astype(np.uint8)
+    for ftype in range(5):
+        got = decode_image(encode_png(img, filter_type=ftype))
+        assert np.array_equal(got, img), f"filter {ftype} mismatch"
+
+
+def test_png_grayscale_and_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark.operators.multimodal import PNG_SIG, decode_image
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    # 2x3 8-bit grayscale, filter 0 rows
+    gray = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(2))
+    png = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    arr = decode_image(png)
+    assert arr.shape == (2, 3, 3)
+    assert np.array_equal(arr[:, :, 0], gray)
+    # 16-bit PNG raises loudly
+    png16 = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_image(png16)
+
+
+def test_media_features_png_end_to_end(spark):
+    """PNG payloads flow through the real mapInPandas decode path."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    rows = []
+    for i in range(6):
+        img = rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+        rows.append(
+            (f"p{i}.png", "image", bytearray(encode_png(img, filter_type=i % 5)), 24, 16, None)
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = extract_media_features(media, resize_to=(8, 8)).collect()
+    assert len(got) == 6
+    for r in got:
+        assert (r["width"], r["height"]) == (8, 8)
+        assert abs(sum(r["feat"][4:]) - 1.0) < 1e-5
 
 
 def test_media_join(spark):
