@@ -80,9 +80,10 @@ def q_top_customers(spark, sf):
         )
     )
     top = rev.orderBy(F.desc("_rev"), F.asc("c_custkey")).limit(20)
-    # rank over the already-limited 20 rows; the lit(1) partition key keeps
-    # WindowExec from logging its single-partition warning on every run
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("_rev"), F.asc("c_custkey"))
+    # rank over the already-limited 20 rows: a deliberately unpartitioned
+    # window — single-partition is correct and size-bounded here (the
+    # cosmetic WindowExec warning is silenced at the logger in session.py)
+    w = Window.orderBy(F.desc("_rev"), F.asc("c_custkey"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "c_custkey", "c_name", F.round("_rev", 2).alias("revenue")
     )
@@ -700,6 +701,15 @@ def q_label_centroids(spark, sf):
     return S.label_centroids(_t(spark, sf, "embeddings"))
 
 
+def q_centroid_dendrogram(spark, sf):
+    """F17: agglomerative dendrogram over label centroids — centroid
+    training is distributed, the k×k linkage runs driver-side (matching
+    the reference's collect-then-scipy shape on a label-bounded matrix).
+    Genuinely non-SQL-expressible (iterative union-find-style merges), so
+    no oracle_sql entry: the driver records the rows-only check."""
+    return S.centroid_dendrogram(_t(spark, sf, "embeddings"))
+
+
 # -------------------------------------------------------- extraction (flagship)
 # Both queries drive the REAL layout + extraction operators (column
 # inference, block segmentation, reading order, merge, OCR post-correct,
@@ -772,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "label_centroids": q_label_centroids,
+        "centroid_dendrogram": q_centroid_dendrogram,
         "extract_articles": q_extract_articles,
         "extract_spans": q_extract_spans,
     }

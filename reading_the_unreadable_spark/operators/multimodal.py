@@ -344,6 +344,52 @@ def extract_media_features(
     return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
+MEDIA_EXTENSIONS = {
+    "bmp": "image",
+    "png": "image",
+    "pgm": "image",
+    "ppm": "image",
+    "jpg": "image",
+    "jpeg": "image",
+    "wav": "audio",
+    "mp4": "video",
+}
+
+
+def read_media_folder(
+    spark: SparkSession, path: str, glob: str = "*"
+) -> DataFrame:
+    """S11 — folder-of-media source via Spark's built-in ``binaryFile``
+    format (the distributed replacement for the reference's per-page
+    ``cv2.imread`` loop, ``send_to_lm_functions.py:715-737``): each file
+    becomes one MEDIA_SCHEMA row with the payload as a binary column.
+
+    binaryFile scans split at file granularity, so a folder of millions
+    of page scans parallelizes across the cluster; ``pathGlobFilter``
+    prunes at the listing, before any bytes are read."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    kind = F.coalesce(
+        *[
+            F.when(ext == e, F.lit(k))
+            for e, k in MEDIA_EXTENSIONS.items()
+        ],
+        F.lit("binary"),
+    )
+    return df.select(
+        F.col("path").alias("media_ref"),
+        kind.alias("kind"),
+        F.col("content").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
 def join_media_to_spans(spans: DataFrame, media_feats: DataFrame) -> DataFrame:
     """Attach media features to figure spans (broadcast if small)."""
     return spans.join(

@@ -14,6 +14,7 @@ DuckDB oracle (list_cosine_similarity over DOUBLE[]) matches exactly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -56,9 +57,10 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
     # top-k via TakeOrdered (distributed partial top-k per partition, no
     # single-partition global window); rank is then assigned on k rows.
     topk = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
-    # lit(1) partition key: same single-partition execution over the k rows,
-    # without WindowExec's no-partition warning flooding logs
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    # deliberately unpartitioned window over the ≤k post-limit rows —
+    # single-partition is correct and size-bounded (warning silenced at
+    # the logger, see session.py; invariant pinned by plan test)
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "vec_id", "label", "cos_sim"
     )
@@ -155,6 +157,46 @@ def hyperplane_bucket(v: Column, planes: list[list[float]] | None = None) -> Col
     return bucket
 
 
+def hyperplane_buckets_udf(tables: list[list[list[float]]] | None = None):
+    """Arrow-vectorized bucket computation for CORPUS-side hashing: one
+    pandas_udf returning the per-table bucket array.
+
+    Bit-identical to :func:`hyperplane_bucket` and to the SQL oracles:
+    elementwise products are IEEE-exact either way, and the summation
+    uses ``np.add.accumulate`` — strictly sequential left-to-right
+    association, the same fold order as the Catalyst ``aggregate`` and
+    the oracle's explicit ``+`` chain — so every projection SIGN matches
+    bit-for-bit.  (``np.dot``/``einsum`` would use pairwise/SIMD
+    association and could flip near-zero signs.)
+
+    Why a UDF here when the engine rule is expressions-first: Catalyst
+    evaluates higher-order functions (aggregate/zip_with) INTERPRETED,
+    outside whole-stage codegen — 72 plane folds × 64 dims per row ran
+    ~8× slower than this single Arrow batch matmul-shaped loop.  The
+    north rule's prescribed shape is exactly this: vectorized
+    pandas/Arrow UDFs, no per-row Python."""
+    import numpy as np
+
+    tables = tables or HYPERPLANE_TABLES
+    flat = np.array(
+        [plane for table in tables for plane in table], dtype=np.float64
+    )  # (T*bits, dim)
+    n_tables, n_bits = len(tables), len(tables[0])
+
+    @F.pandas_udf("array<int>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        e = np.vstack(emb.to_numpy()).astype(np.float64)  # float32→64 exact
+        n = e.shape[0]
+        buckets = np.zeros((n, n_tables), dtype=np.int64)
+        for idx in range(flat.shape[0]):
+            proj = np.add.accumulate(e * flat[idx], axis=1)[:, -1]
+            t, i = divmod(idx, n_bits)
+            buckets[:, t] += (proj >= 0).astype(np.int64) << i
+        return pd.Series(list(buckets.astype(np.int32)))
+
+    return _buckets
+
+
 def ann_multiprobe_topk(
     embeddings: DataFrame, n_probes: int = 10, k: int = 3
 ) -> DataFrame:
@@ -167,7 +209,9 @@ def ann_multiprobe_topk(
     base = embeddings.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("vec"),
-        hyperplane_bucket(_as_double(F.col("embedding"))).alias("bucket"),
+        F.element_at(
+            hyperplane_buckets_udf([HYPERPLANES])(F.col("embedding")), 1
+        ).alias("bucket"),
     )
     flips = F.array(
         F.col("bucket"),
@@ -265,11 +309,7 @@ def embedding_near_dup_pairs(
     keyed = base.select(
         "vec_id",
         "vec",
-        F.posexplode(
-            F.array(
-                *[hyperplane_bucket(F.col("vec"), planes=p) for p in HYPERPLANE_TABLES]
-            )
-        ).alias("t", "bucket"),
+        F.posexplode(hyperplane_buckets_udf()(F.col("vec"))).alias("t", "bucket"),
     )
     a = keyed.select(
         F.col("vec_id").alias("vec_a"), F.col("vec").alias("vec_a_v"), "t", "bucket"
@@ -323,6 +363,52 @@ def embedding_near_dup_oracle_sql(threshold: float = 0.95) -> str:
                     JOIN base b ON c.vec_b = b.vec_id
         WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= {threshold}
     """
+
+
+def centroid_dendrogram(embeddings: DataFrame, linkage: str = "average") -> DataFrame:
+    """F17 (reference ``comparative_analysis.py:279-305``): agglomerative
+    dendrogram over the per-label centroid vectors, cosine distance.
+
+    Same scale shape as the reference: the matrix is label×label (tiny,
+    bounded by the label vocabulary), so the centroids are computed
+    distributed (:func:`label_centroids` — one shuffle), collected, and
+    the O(k³) linkage runs driver-side in pure numpy (scipy absent from
+    this image; the reference feeds scipy the same collected matrix).
+    Output is the scipy-style merge table: one row per merge step with
+    the two cluster names, the linkage distance, and the merged size."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    rows = _cell_vectors(embeddings).collect()
+    names = [r["label"] for r in rows]
+    vecs = np.array([r["cvec"] for r in rows], dtype=np.float64)
+    n = len(names)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    dist = 1.0 - vn @ vn.T
+    # active clusters: name, member indices
+    clusters: list[tuple[str, list[int]]] = [(names[i], [i]) for i in range(n)]
+    out = []
+    step = 0
+    while len(clusters) > 1:
+        best = None
+        for i in range(len(clusters)):
+            for j in range(i + 1, len(clusters)):
+                mi, mj = clusters[i][1], clusters[j][1]
+                block = dist[np.ix_(mi, mj)]
+                d = float(block.mean()) if linkage == "average" else float(block.min())
+                # deterministic tie-break on the (sorted) name pair
+                key = (round(d, 12), clusters[i][0], clusters[j][0])
+                if best is None or key < best[0]:
+                    best = (key, i, j, d)
+        _, i, j, d = best
+        (na, ma), (nb, mb) = clusters[i], clusters[j]
+        step += 1
+        out.append((step, na, nb, round(d, 6), len(ma) + len(mb)))
+        clusters = [c for k, c in enumerate(clusters) if k not in (i, j)]
+        clusters.append((f"merge_{step}", ma + mb))
+    return spark.createDataFrame(
+        out, "step int, cluster_a string, cluster_b string, distance double, size int"
+    )
 
 
 # ----------------------------------------------------------------- IVF ANN

@@ -51,4 +51,21 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # WindowExec warns "No Partition Defined" on ANY unpartitioned window,
+    # including the two intentional ones in this engine: rank assignment
+    # over the ≤k rows LEFT AFTER a GlobalLimit (top_customers,
+    # cosine_topk) — single-partition by construction and size-bounded.
+    # (A lit(1) partition key does not silence it: constant folding strips
+    # the literal from the window spec.)  A plan test asserts every
+    # unpartitioned window sits above a limit
+    # (tests/test_plan_quality.py::test_unpartitioned_windows_only_post_limit),
+    # so the warning is cosmetic here; quiet it at the logger.
+    try:
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments just keep the warning
     return spark

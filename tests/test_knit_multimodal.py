@@ -193,6 +193,66 @@ def test_media_features_png_end_to_end(spark):
         assert abs(sum(r["feat"][4:]) - 1.0) < 1e-5
 
 
+def test_binaryfile_media_source(spark, tmp_path):
+    """S11: spark.read binaryFile folder scan → MEDIA_SCHEMA → real
+    decode, end-to-end."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        read_media_folder,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    for i in range(3):
+        img = rng.integers(0, 256, size=(8, 12, 3)).astype(np.uint8)
+        (tmp_path / f"page_{i}.bmp").write_bytes(encode_bmp(img))
+    for i in range(2):
+        img = rng.integers(0, 256, size=(8, 12, 3)).astype(np.uint8)
+        (tmp_path / f"scan_{i}.png").write_bytes(encode_png(img))
+    media = read_media_folder(spark, str(tmp_path))
+    assert media.count() == 5
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 5
+    for r in feats:
+        assert r["kind"] == "image"
+        assert (r["width"], r["height"]) == (12, 8)
+        assert abs(sum(r["feat"][4:]) - 1.0) < 1e-5
+    # glob pruning happens at the listing
+    only_png = read_media_folder(spark, str(tmp_path), glob="*.png")
+    assert only_png.count() == 2
+
+
+def test_centroid_dendrogram(spark):
+    """F17: numpy agglomerative linkage over label centroids — the two
+    nearby labels merge first; k labels → k-1 merge steps."""
+    from reading_the_unreadable_spark.operators.similarity import centroid_dendrogram
+
+    rows = []
+    base = {
+        "a": [1.0, 0.0, 0.0, 0.0],
+        "b": [0.99, 0.12, 0.0, 0.0],  # near 'a'
+        "c": [0.0, 1.0, 0.0, 0.0],
+        "d": [0.0, 0.0, 1.0, 0.0],
+    }
+    vid = 0
+    for label, v in base.items():
+        for k in range(3):  # 3 vectors per label, tiny jitter on dim 3
+            vec = list(v)
+            vec[3] = 0.01 * k
+            rows.append((vid, label, vec))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id int, label string, embedding array<double>"
+    )
+    got = centroid_dendrogram(emb).orderBy("step").collect()
+    assert len(got) == 3  # k-1 merges
+    assert {got[0]["cluster_a"], got[0]["cluster_b"]} == {"a", "b"}
+    assert got[0]["distance"] < got[-1]["distance"]
+    assert got[-1]["size"] == 4
+
+
 def test_media_join(spark):
     from reading_the_unreadable_spark.operators.multimodal import join_media_to_spans
 

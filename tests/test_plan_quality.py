@@ -124,6 +124,34 @@ def test_window_topk_no_global_window_on_full_data(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def _unpartitioned_window_nodes(plan: str) -> list[str]:
+    """Window specs whose args carry no partition column: partition cols
+    print as bare `col#id`, order cols as `col#id ASC/DESC ...`, so a
+    spec starting with an ordered column (or starting directly at the
+    frame) is unpartitioned."""
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*?)specifiedwindowframe", plan):
+        head = m.group(1).strip().rstrip(",").strip()
+        first = head.split(",")[0] if head else ""
+        if not head or " ASC" in first or " DESC" in first:
+            out.append(m.group(0)[:100])
+    return out
+
+
+def test_unpartitioned_windows_only_post_limit(spark):
+    """Every unpartitioned window in the query surface must operate on a
+    size-bounded post-limit frame (GlobalLimit / TakeOrdered in the same
+    plan) — never on full data.  This is the invariant that makes the
+    suppressed WindowExec single-partition warning cosmetic."""
+    for name, fn in entrymod.queries().items():
+        plan = _plan(fn(spark, SF))
+        bad = _unpartitioned_window_nodes(plan)
+        if bad:
+            assert (
+                "GlobalLimit" in plan or "TakeOrderedAndProject" in plan
+            ), f"{name}: unpartitioned window without a limit: {bad[0]}"
+
+
 def test_bucketed_join_no_exchange(spark):
     """Two tables bucketed+sorted on doc_id must join with zero Exchange
     and zero Sort — the co-located-join storage contract."""
