@@ -726,6 +726,17 @@ def q_extract_spans(spark, sf):
     return extract_from_boxes(boxes)
 
 
+def q_extract_spans_filled(spark, sf):
+    """The reference-DEFAULT chain (postprocess_bbox fill_columns=True):
+    in-chain gap boxes are synthesized (head of each adapter column, 70px)
+    and merged into the column text — span output must be IDENTICAL to
+    the unfilled chain because gap text is empty and T2 drops empty
+    parts.  Oracle: the same SQL as extract_spans — the invariance is the
+    assertion."""
+    boxes = boxes_from_documents_table(_t(spark, sf, "documents"))
+    return extract_from_boxes(boxes, fill_columns=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -785,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_dendrogram": q_centroid_dendrogram,
         "extract_articles": q_extract_articles,
         "extract_spans": q_extract_spans,
+        "extract_spans_filled": q_extract_spans_filled,
     }
 
 
@@ -907,6 +919,7 @@ FROM arts GROUP BY doc_id, article_id
 def oracle_sql() -> dict[str, str]:
     sql = {
         "extract_spans": _EXTRACT_SPANS_SQL,
+        "extract_spans_filled": _EXTRACT_SPANS_SQL,
         "extract_articles": _EXTRACT_ARTICLES_SQL,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

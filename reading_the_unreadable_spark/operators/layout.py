@@ -38,8 +38,16 @@ ORDERED_BOX_SCHEMA = (
 
 
 def _abandon_and_print_area(boxes: DataFrame) -> DataFrame:
-    """L1–L2: print-area bounds, top-zone abandon reclassification, filter."""
+    """L0–L2: DocLayout-YOLO's 'plain text' class normalizes to 'text'
+    BEFORE any layout math (reference ``pipeline_stages.py:193-195`` —
+    without this, the L4a relabel would wrongly title-ize body text and
+    L3's median text width would skip it); then print-area bounds,
+    top-zone abandon reclassification, filter."""
     w = Window.partitionBy("doc_id")
+    boxes = boxes.withColumn(
+        "kind",
+        F.when(F.col("kind") == "plain text", F.lit("text")).otherwise(F.col("kind")),
+    )
     df = (
         boxes.withColumn("center_y", (F.col("y1") + F.col("y2")) / F.lit(2.0))
         .withColumn("_py1", F.min("y1").over(w))
@@ -181,6 +189,66 @@ def _blocks_dedup_order(df: DataFrame) -> DataFrame:
     ).withColumn(
         "x2", F.when(nonfig & (F.col("x2") < F.col("c2")), F.col("c2")).otherwise(F.col("x2"))
     )
+    return df
+
+
+def _fill_gaps_inline(df: DataFrame) -> DataFrame:
+    """L8a.5 (reference ``bbox_functions.py:682-786``, chain position per
+    ``postprocess_bbox`` — between the x widening and the min-height
+    filter): on eligible pages (>1 column, exactly one block), synthesize
+    an empty text box above the first / below the last box of every
+    column that doesn't reach the page's content bounds.  Sub-10px gaps
+    are dropped by the L8b filter right after, reproducing the
+    reference's implicit threshold.
+
+    Plan shape: windows on the existing doc_id clustering + ONE
+    ``inline`` explode of a per-row [self, head?, tail?] struct array —
+    no self-union, so the upstream window chain is computed once, not
+    three times."""
+    cols = df.columns
+    w_doc = Window.partitionBy("doc_id")
+    w_col = Window.partitionBy("doc_id", "column_number")
+    eligible = (F.max("column_number").over(w_doc) > 1) & (
+        F.size(F.collect_set("page_block").over(w_doc)) == 1
+    )
+    df = (
+        df.withColumn("_elig", eligible & (F.col("column_number") > 0))
+        .withColumn("_first", F.row_number().over(w_col.orderBy("reading_order")) == 1)
+        .withColumn(
+            "_last", F.row_number().over(w_col.orderBy(F.desc("reading_order"))) == 1
+        )
+        .withColumn("_dy1", F.min("y1").over(w_doc))
+        .withColumn("_dy2", F.max("y2").over(w_doc))
+    )
+
+    def gap_struct(y1c, y2c):
+        overrides = {
+            "offset": F.lit(-1),
+            "kind": F.lit("text"),
+            "confidence": F.lit(0.0),
+            "y1": y1c,
+            "y2": y2c,
+            "center_y": (y1c + y2c) / F.lit(2.0),
+            "reading_order": F.lit(-1),
+        }
+        return F.struct(
+            *[overrides.get(c, F.col(c)).alias(c) for c in cols]
+        )
+
+    self_struct = F.struct(*[F.col(c).alias(c) for c in cols])
+    head = F.when(
+        F.col("_elig") & F.col("_first") & (F.col("y1") > F.col("_dy1")),
+        gap_struct(F.col("_dy1"), F.col("y1")),
+    )
+    tail = F.when(
+        F.col("_elig") & F.col("_last") & (F.col("y2") < F.col("_dy2")),
+        gap_struct(F.col("y2"), F.col("_dy2")),
+    )
+    arr = F.filter(F.array(self_struct, head, tail), lambda x: x.isNotNull())
+    return df.select(F.inline(arr))
+
+
+def _min_height_filter(df: DataFrame) -> DataFrame:
     # L8b: drop sliver boxes the y2 adjustment collapsed below min_height.
     df = df.filter(F.col("y2") - F.col("y1") >= F.lit(MIN_BOX_HEIGHT))
     return df.drop("c1", "c2")
@@ -462,6 +530,7 @@ def _sorted_frame(
     boxes: DataFrame,
     num_partitions: int | None = None,
     payload: DataFrame | None = None,
+    fill_columns: bool = False,
 ) -> DataFrame:
     """Shared stage-2 prefix: doc_id exchange → narrow geometry windows →
     payload re-attach → merge-order sort.
@@ -498,10 +567,14 @@ def _sorted_frame(
     geo = _abandon_and_print_area(geo)
     geo = _columns_native(geo)
     geo = _blocks_dedup_order(geo)
+    if fill_columns:
+        geo = _fill_gaps_inline(geo)
+    geo = _min_height_filter(geo)
     entry = F.element_at(F.col("_payload"), F.col("offset"))
     df = (
         geo.join(payload_map, "doc_id")
-        .withColumn("text", entry["text"])
+        # synthesized gap boxes (offset -1) have no payload entry → empty text
+        .withColumn("text", F.coalesce(entry["text"], F.lit("")))
         .withColumn("media_ref", entry["media_ref"])
     )
     df = df.select(
@@ -533,16 +606,22 @@ def layout(
     num_partitions: int | None = None,
     payload: DataFrame | None = None,
     post_correct: bool = False,
+    fill_columns: bool = False,
 ) -> DataFrame:
     """Full stage 2: boxes → ordered boxes with reading_order.
 
     ``num_partitions`` forces the single doc_id exchange width (skew knob;
     AQE may coalesce).  See :func:`_sorted_frame` for the narrow-row
     window design; ``post_correct=True`` folds the T1 OCR normalization
-    into the merge UDF\'s pandas pass (one Arrow text round-trip)."""
+    into the merge UDF\'s pandas pass (one Arrow text round-trip).
+    ``fill_columns=True`` runs the reference's default in-chain column
+    gap fill (``postprocess_bbox(fill_columns=True)``); our default False
+    mirrors the per-periodical opt-in of ``result_section.py:89-92`` —
+    gap boxes carry empty text, so extracted SPANS are identical either
+    way (T2 drops empty parts), only box geometry consumers differ."""
     import functools
 
-    merged = _sorted_frame(boxes, num_partitions, payload).mapInPandas(
+    merged = _sorted_frame(boxes, num_partitions, payload, fill_columns).mapInPandas(
         functools.partial(_merge_stream, post_correct=post_correct),
         schema=ORDERED_BOX_SCHEMA,
     )
@@ -561,6 +640,7 @@ def layout_extract_spans(
     boxes: DataFrame,
     num_partitions: int | None = None,
     payload: DataFrame | None = None,
+    fill_columns: bool = False,
 ) -> DataFrame:
     """Fused production plan: the SAME sorted stream the box merge uses,
     with merge → OCR post-correct → paragraph split → title reclass/merge
@@ -569,6 +649,6 @@ def layout_extract_spans(
     two full-frame text sorts, an explode, and a second Arrow round-trip
     — and its semantics are pinned byte-equal to the declarative
     operators by tests/test_e2e_extraction.py."""
-    return _sorted_frame(boxes, num_partitions, payload).mapInPandas(
+    return _sorted_frame(boxes, num_partitions, payload, fill_columns).mapInPandas(
         _merge_extract_stream, schema=SPAN_SCHEMA
     )

@@ -10,6 +10,8 @@ Pipeline semantics (behavioral contract derived from the reference, see
 SURVEY.md §3.2/§3.3; reimplemented from scratch):
 
 Stage L (layout, per page):
+  L0  class normalization: 'plain text' → 'text' (the raw DocLayout-YOLO
+      label) — reference ``pipeline_stages.py:193-195``
   L1  print area = min/max of all box coordinates
   L2  abandon reclassification: boxes whose center_y falls at/under the
       max-y2 of abandon boxes in the top 10% of the print area become
@@ -94,8 +96,10 @@ def docs_to_boxes(docs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame.from_records(recs)
 
 
-def _layout_page(g: pd.DataFrame) -> pd.DataFrame:
+def _layout_page(g: pd.DataFrame, fill_columns: bool = False) -> pd.DataFrame:
     g = g.sort_values("offset").reset_index(drop=True)
+    # L0 'plain text' → 'text' class normalization (pipeline_stages.py:193-195)
+    g.loc[g["kind"] == "plain text", "kind"] = "text"
     # L1 print area
     px1, py1 = g["x1"].min(), g["y1"].min()
     px2, py2 = g["x2"].max(), g["y2"].max()
@@ -170,14 +174,48 @@ def _layout_page(g: pd.DataFrame) -> pd.DataFrame:
     g.loc[nonfig & (g["x1"] > g["c1"]), "x1"] = g["c1"]
     g.loc[nonfig & (g["x2"] < g["c2"]), "x2"] = g["c2"]
     g = g.drop(columns=["c1", "c2"])
+    # L8a.5 optional in-chain column gap fill (reference default
+    # fill_columns=True; ours False — see operators/layout.py)
+    if fill_columns:
+        eligible = (g["column_number"].max() > 1) and (g["page_block"].nunique() == 1)
+        if eligible:
+            dy1, dy2 = g["y1"].min(), g["y2"].max()
+            new_rows = []
+            for col in sorted(g.loc[g["column_number"] > 0, "column_number"].unique()):
+                cg = g[g["column_number"] == col]
+                top = cg.loc[cg["reading_order"].idxmin()]
+                bot = cg.loc[cg["reading_order"].idxmax()]
+                for y1v, y2v, src in (
+                    (dy1, top["y1"], top),
+                    (bot["y2"], dy2, bot),
+                ):
+                    if y2v > y1v:
+                        r = src.to_dict()
+                        r.update(
+                            offset=-1,
+                            kind="text",
+                            text="",
+                            media_ref=None,
+                            confidence=0.0,
+                            y1=y1v,
+                            y2=y2v,
+                            reading_order=-1,
+                        )
+                        new_rows.append(r)
+            if new_rows:
+                g = pd.concat(
+                    [g, pd.DataFrame.from_records(new_rows)], ignore_index=True
+                )
     # L8b min-height sliver filter
     g = g[(g["y2"] - g["y1"]) >= 10.0].reset_index(drop=True)
     if g.empty:
         return g
     # L9 merge consecutive text boxes within (block, column>0)
+    # (sorted by (y1, offset) — identical to reading_order order for real
+    # boxes, and the position synthesized gap boxes slot into)
     merged_rows = []
     for (_, col), grp in g.groupby(["page_block", "column_number"], sort=True):
-        grp = grp.sort_values("reading_order")
+        grp = grp.sort_values(["y1", "offset"])
         acc = None
         for _, row in grp.iterrows():
             r = row.to_dict()
@@ -207,16 +245,20 @@ def _layout_page(g: pd.DataFrame) -> pd.DataFrame:
     )
     nxt = g.groupby(["page_block", "column_number"])["y1"].shift(-1)
     g["y2"] = nxt.fillna(g["y2"])
-    # L10 renumber
-    g = g.sort_values("reading_order").reset_index(drop=True)
+    # L10 renumber (sorted by the same keys the L7 rank used — identical
+    # to reading_order order for real boxes, and well-defined for the
+    # fill-synthesized rows whose reading_order is the -1 placeholder)
+    g = g.sort_values(["page_block", "column_number", "y1", "offset"]).reset_index(
+        drop=True
+    )
     g["reading_order"] = np.arange(1, len(g) + 1)
     return g
 
 
-def layout(boxes: pd.DataFrame) -> pd.DataFrame:
+def layout(boxes: pd.DataFrame, fill_columns: bool = False) -> pd.DataFrame:
     out = []
     for _, g in boxes.groupby("doc_id", sort=True):
-        out.append(_layout_page(g))
+        out.append(_layout_page(g, fill_columns))
     return pd.concat(out, ignore_index=True)
 
 
@@ -262,11 +304,11 @@ def text_stage(g: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def extract(docs: pd.DataFrame) -> pd.DataFrame:
+def extract(docs: pd.DataFrame, fill_columns: bool = False) -> pd.DataFrame:
     """Full pipeline: docs → flat extracted spans (doc_id, kind, text,
     media_ref, order)."""
     boxes = docs_to_boxes(docs)
-    ordered = layout(boxes)
+    ordered = layout(boxes, fill_columns)
     spans = text_stage(ordered)
     out = spans[["doc_id", "kind", "text", "media_ref", "order"]].copy()
     out["media_ref"] = out["media_ref"].where(pd.notna(out["media_ref"]), None)

@@ -16,7 +16,11 @@ from ..operators.geometry import docs_payload, docs_to_geo_boxes
 from ..operators.layout import layout_extract_spans
 
 
-def extract(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def extract(
+    docs: DataFrame,
+    num_partitions: int | None = None,
+    fill_columns: bool = False,
+) -> DataFrame:
     """docs(doc_id, spans) → flat extracted spans (doc_id, kind, text,
     media_ref, order).
 
@@ -32,17 +36,26 @@ def extract(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     declarative operators in :mod:`..operators.articles`."""
     boxes = docs_to_geo_boxes(docs, num_partitions=num_partitions)
     return layout_extract_spans(
-        boxes, num_partitions=num_partitions, payload=docs_payload(docs)
+        boxes,
+        num_partitions=num_partitions,
+        payload=docs_payload(docs),
+        fill_columns=fill_columns,
     )
 
 
-def extract_from_boxes(boxes: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def extract_from_boxes(
+    boxes: DataFrame,
+    num_partitions: int | None = None,
+    fill_columns: bool = False,
+) -> DataFrame:
     """Extraction over a boxes frame that already carries geometry
     (production shape: layout-model output lands next to the spans;
     also the deterministic documents-table adapter).  Skips only the
     geometry-attach stage — layout analysis, reading order, OCR
     post-correction, and span construction are the same operators."""
-    return layout_extract_spans(boxes, num_partitions=num_partitions)
+    return layout_extract_spans(
+        boxes, num_partitions=num_partitions, fill_columns=fill_columns
+    )
 
 
 def extract_nested(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:

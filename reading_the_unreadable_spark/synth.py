@@ -193,6 +193,9 @@ def synth_page(doc_id: str, geometry_only: bool = False) -> list[Box]:
             r = rng.random()
             if r < 0.60:
                 kind, h = "text", float(rng.integers(80, 300))
+                # raw DocLayout-YOLO label (L0 normalizes it to 'text')
+                if rng.random() < 0.12:
+                    kind = "plain text"
             elif r < 0.66:
                 # non-canonical layout-model class (L4a relabel → title)
                 kind = "isolate_formula" if rng.random() < 0.5 else "figure_caption"
@@ -209,7 +212,7 @@ def synth_page(doc_id: str, geometry_only: bool = False) -> list[Box]:
                 fig_counter += 1
             elif geometry_only:
                 text, media = "", None
-            elif kind == "text":
+            elif kind in ("text", "plain text"):
                 text, media = _text_content(rng_text), None
             elif kind in ("title", "isolate_formula", "figure_caption"):
                 text, media = _title_content(rng_text), None

@@ -37,16 +37,21 @@ def build_pkg() -> str:
 
 def _synth_tag() -> str:
     """Generator fingerprint — invalidates cached corpora when synth.py
-    changes (stale spans would not match re-derived geometry)."""
+    changes (stale spans would not match re-derived geometry).  Hashes
+    the FULL synth_page output (text included), not just geometry."""
     import hashlib
 
     sys.path.insert(0, str(REPO))
-    from reading_the_unreadable_spark.synth import page_arrays
+    from reading_the_unreadable_spark.synth import synth_page
 
-    geo = page_arrays("bench-cache-probe_page_0")
+    boxes = synth_page("bench-cache-probe_page_0")
     h = hashlib.md5()
-    for k in sorted(geo):
-        h.update(geo[k].tobytes())
+    for b in boxes:
+        h.update(
+            repr(
+                (b.kind, b.text, b.media_ref, b.offset, b.x1, b.y1, b.x2, b.y2, b.confidence)
+            ).encode()
+        )
     return h.hexdigest()[:8]
 
 

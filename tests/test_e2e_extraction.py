@@ -66,6 +66,47 @@ def test_fused_equals_declarative_operator_chain(spark, corpus, spark_spans):
     )
 
 
+def test_fill_columns_spark_equals_oracle(spark, corpus):
+    """Reference-default chain (fill_columns=True): the in-chain column
+    gap fill must produce identical span sequences AND identical ordered
+    boxes between Spark and the oracle (gap boxes change geometry and
+    merge behavior, never span text — empty parts are dropped at T2)."""
+    sub = corpus[:40]
+    docs = docs_from_rows(spark, sub)
+    got = (
+        extract(docs, num_partitions=8, fill_columns=True)
+        .toPandas()
+        .sort_values(["doc_id", "order"])
+        .reset_index(drop=True)
+    )
+    want = oracle.extract(pd.DataFrame(sub), fill_columns=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "kind", "text", "media_ref", "order"]],
+        want[["doc_id", "kind", "text", "media_ref", "order"]],
+        check_dtype=False,
+    )
+    # fill actually fires somewhere in the corpus: the ordered-box grain
+    # shows synthesized gap geometry on at least one multi-column page
+    from reading_the_unreadable_spark.operators.geometry import (
+        docs_payload,
+        docs_to_geo_boxes,
+    )
+    from reading_the_unreadable_spark.operators.layout import layout as spark_layout
+
+    with_fill = spark_layout(
+        docs_to_geo_boxes(docs, num_partitions=8),
+        num_partitions=8,
+        payload=docs_payload(docs),
+        fill_columns=True,
+    )
+    without = spark_layout(
+        docs_to_geo_boxes(docs, num_partitions=8),
+        num_partitions=8,
+        payload=docs_payload(docs),
+    )
+    assert with_fill.count() > without.count()
+
+
 def test_synth_deterministic():
     a = synth.synth_page("NS-e2e-1850-01-01_page_0")
     b = synth.synth_page("NS-e2e-1850-01-01_page_0")
@@ -96,6 +137,7 @@ def test_case_families_present(corpus):
     has_overlap = True  # injected probabilistically with p=0.25 per gap
     assert kinds == {
         "text",
+        "plain text",
         "title",
         "figure",
         "table",

@@ -150,6 +150,18 @@ def test_min_height_sliver_dropped(spark):
     assert [r["reading_order"] for r in sorted(got, key=lambda r: r["y1"])] == [1, 2]
 
 
+def test_plain_text_normalized_to_text(spark):
+    """L0 (reference pipeline_stages.py:193-195): the raw DocLayout-YOLO
+    'plain text' label becomes 'text' BEFORE layout math — it counts for
+    the median text width and is NOT title-ized by the L4a relabel."""
+    rows = [
+        ("d", 0, "plain text", "a", None, 20.0, 100.0, 480.0, 300.0, 0.9),
+        ("d", 1, "text", "b", None, 20.0, 320.0, 480.0, 900.0, 0.9),
+    ]
+    got = {r["text"]: r["kind"] for r in layout(_boxes(spark, rows), num_partitions=2).collect()}
+    assert got == {"a": "text", "b": "text"}
+
+
 def test_noncanonical_kind_relabeled_title(spark):
     """L4a (reference bbox_functions.py:852-856): classes outside
     {figure, table, text} become title and get the title text treatment
