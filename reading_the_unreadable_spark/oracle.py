@@ -13,6 +13,13 @@ Stage L (layout, per page):
   L0  class normalization: 'plain text' → 'text' (the raw DocLayout-YOLO
       label) — reference ``pipeline_stages.py:193-195``
   L1  print area = min/max of all box coordinates
+      (note on reference parity: the reference's "center_x"/"center_y"
+      are computed as width+x1 / height+y1 — i.e. x2/y2, not centers
+      (``bbox_functions.py:667-668``) — and feed its abandon mask and
+      some sort keys.  This engine uses true geometric semantics per
+      SURVEY §3.2; the difference is observable only for boxes that
+      straddle a threshold/sort boundary, and our synthesized corpora +
+      oracles use the same semantics on both sides.)
   L2  abandon reclassification: boxes whose center_y falls at/under the
       max-y2 of abandon boxes in the top 10% of the print area become
       abandon; all abandon boxes are dropped
