@@ -87,6 +87,7 @@ HEADLINE = [
     "combine_segments",
     "layout_postprocess",
     "extract_spans",
+    "extract_spans_filled",
     "extract_articles",
 ]
 

@@ -2,9 +2,9 @@
 
 One logical plan, lazily composed; Catalyst sees the whole chain, so
 column pruning / filter pushdown / exchange reuse apply across stages.
-The only exchanges in the physical plan are (1) the explicit salt-aware
-repartition on doc_id feeding the layout windows and (2) the final
-re-nest groupBy — everything in between reuses partitioning.
+The only exchanges in the physical plan are (1) the explicit repartition
+on doc_id feeding the layout windows (width = the skew knob) and (2) the
+final re-nest groupBy — everything in between reuses partitioning.
 """
 
 from __future__ import annotations
@@ -58,9 +58,15 @@ def extract_from_boxes(
     )
 
 
-def extract_nested(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def extract_nested(
+    docs: DataFrame,
+    num_partitions: int | None = None,
+    fill_columns: bool = False,
+) -> DataFrame:
     """docs → extracted(doc_id, spans<kind,text,media_ref,order>)."""
-    return nest_spans(extract(docs, num_partitions=num_partitions))
+    return nest_spans(
+        extract(docs, num_partitions=num_partitions, fill_columns=fill_columns)
+    )
 
 
 def extract_articles(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:

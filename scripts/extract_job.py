@@ -44,6 +44,13 @@ def main() -> None:
         help="fault injection: stop after N buckets (kill/resume testing)",
     )
     ap.add_argument(
+        "--fill-columns",
+        action="store_true",
+        help="run the reference-default in-chain column gap fill "
+        "(postprocess_bbox fill_columns=True); span output is identical, "
+        "box geometry consumers see the synthesized gap boxes",
+    )
+    ap.add_argument(
         "--sink",
         choices=["parquet", "noop"],
         default="parquet",
@@ -107,11 +114,13 @@ def main() -> None:
         return
 
     if args.warmup:
-        extract_nested(docs, num_partitions=args.partitions).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        extract_nested(
+            docs, num_partitions=args.partitions, fill_columns=args.fill_columns
+        ).write.format("noop").mode("overwrite").save()
 
-    out = extract_nested(docs, num_partitions=args.partitions)  # plan once
+    out = extract_nested(
+        docs, num_partitions=args.partitions, fill_columns=args.fill_columns
+    )  # plan once
     walls = []
     for _ in range(max(args.iterations, 1)):
         t0 = time.monotonic()
