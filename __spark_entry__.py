@@ -558,6 +558,72 @@ def q_fill_gaps(spark, sf):
     )
 
 
+def _html_corpus(spark, sf):
+    """Deterministic raw-HTML adapter over the documents table: each doc
+    becomes a page with head machinery (title/script), a k-link nav
+    (k = n_chars % 3 + 1), a main div (h1 + the two text halves as
+    paragraphs), and an all-link footer — every boilerplate family the
+    strip/main-content operators must handle, in closed form for the
+    DuckDB oracles."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    half = F.greatest((n / 2).cast("int"), F.lit(1))
+    first = F.array_join(F.slice(words, 1, half), " ")
+    second = F.array_join(F.slice(words, half + 1, n), " ")
+    k = (F.col("n_chars") % 3 + 1).cast("int")
+    nav = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat(
+                F.lit('<a href="/p">link '), i.cast("string"), F.lit("</a>")
+            ),
+        ),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>t</title><script>var x = 1 < 2;</script></head>"),
+        F.lit("<body><nav>"),
+        nav,
+        F.lit("</nav><div><h1>SECTION "),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        first,
+        F.lit("</p><p>"),
+        second,
+        F.lit('</p></div><footer><a href="/t">terms &amp; conditions</a>'),
+        F.lit("</footer></body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        html.alias("html"),
+    )
+
+
+def q_html_strip(spark, sf):
+    """North-rule HTML family: full boilerplate strip (head/script/style/
+    comments removed, tags dropped, entities decoded) to visible text."""
+    from reading_the_unreadable_spark.operators.html import strip_html
+
+    return strip_html(_html_corpus(spark, sf))
+
+
+def q_html_main_text(spark, sf):
+    """North-rule HTML family: link-density main-content extraction —
+    the nav and footer (all-anchor blocks) drop, the h1 + paragraphs
+    survive in document order."""
+    from reading_the_unreadable_spark.operators.html import main_text
+
+    return main_text(_html_corpus(spark, sf))
+
+
+def q_html_blocks(spark, sf):
+    """Block grain: segmentation + per-block link-density scoring."""
+    from reading_the_unreadable_spark.operators.html import html_blocks
+
+    return html_blocks(_html_corpus(spark, sf))
+
+
 def q_combine_segments(spark, sf):
     """A5/G9 (knit): the real segment-recombination operator — custom_id
     decomposition, token sums, segment counts, and the LCS knit fold —
@@ -786,6 +852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_gaps": q_fill_gaps,
         "layout_postprocess": q_layout_postprocess,
         "combine_segments": q_combine_segments,
+        "html_strip": q_html_strip,
+        "html_main_text": q_html_main_text,
+        "html_blocks": q_html_blocks,
         "page_coverage": q_page_coverage,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -1313,6 +1382,76 @@ def oracle_sql() -> dict[str, str]:
               ('text',  2, 3, 500.0, 154.0, 950.001, 610.0),
               ('title', 2, 4, 500.0, 610.0, 950.001, 640.0)
             ) AS t(kind, column_number, reading_order, x1, y1, x2, y2)
+        """,
+        "html_strip": """
+            WITH h AS (
+              SELECT doc_id, source, n_chars, string_split(text, ' ') AS w,
+                     greatest(len(string_split(text, ' ')) // 2, 1) AS half,
+                     (n_chars % 3 + 1)::INT AS k
+              FROM documents),
+            parts AS (
+              SELECT 'doc-' || doc_id AS doc_id,
+                     array_to_string(list_transform(generate_series(1, k),
+                       i -> 'link ' || i), ' ') AS nav,
+                     'SECTION ' || source AS h1,
+                     array_to_string(w[1:half], ' ') AS p1,
+                     array_to_string(w[half+1:len(w)], ' ') AS p2
+              FROM h)
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     nav || ' ' || h1 || ' ' || p1 || ' ' || p2
+                       || ' terms & conditions',
+                     ' {2,}', ' ', 'g')) AS text
+            FROM parts
+        """,
+        "html_main_text": """
+            WITH h AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w,
+                     greatest(len(string_split(text, ' ')) // 2, 1) AS half
+              FROM documents),
+            parts AS (
+              SELECT 'doc-' || doc_id AS doc_id,
+                     'SECTION ' || source AS h1,
+                     array_to_string(w[1:half], ' ') AS p1,
+                     array_to_string(w[half+1:len(w)], ' ') AS p2
+              FROM h)
+            SELECT doc_id,
+                   array_to_string(list_filter(
+                     [CASE WHEN length(h1) >= 10 THEN h1 END,
+                      CASE WHEN length(p1) >= 10 THEN p1 END,
+                      CASE WHEN length(p2) >= 10 THEN p2 END],
+                     x -> x IS NOT NULL), chr(10) || chr(10)) AS text
+            FROM parts
+        """,
+        "html_blocks": """
+            -- the adapter page always splits into exactly 7 blocks:
+            -- nav (all-link), h1, p1, p2, '', footer (all-link), tail
+            WITH h AS (
+              SELECT doc_id, source, n_chars, string_split(text, ' ') AS w,
+                     greatest(len(string_split(text, ' ')) // 2, 1) AS half,
+                     (n_chars % 3 + 1)::INT AS k
+              FROM documents),
+            parts AS (
+              SELECT 'doc-' || doc_id AS doc_id,
+                     array_to_string(list_transform(generate_series(1, k),
+                       i -> 'link ' || i), ' ') AS nav,
+                     'SECTION ' || source AS h1,
+                     array_to_string(w[1:half], ' ') AS p1,
+                     array_to_string(w[half+1:len(w)], ' ') AS p2
+              FROM h)
+            SELECT doc_id, 0 AS block_idx, nav AS text,
+                   length(nav)::INT AS n_chars, length(nav)::INT AS link_chars,
+                   1.0::DOUBLE AS link_density, 0 AS is_content FROM parts
+            UNION ALL SELECT doc_id, 1, h1, length(h1)::INT, 0, 0.0::DOUBLE,
+                   CASE WHEN length(h1) >= 10 THEN 1 ELSE 0 END FROM parts
+            UNION ALL SELECT doc_id, 2, p1, length(p1)::INT, 0, 0.0::DOUBLE,
+                   CASE WHEN length(p1) >= 10 THEN 1 ELSE 0 END FROM parts
+            UNION ALL SELECT doc_id, 3, p2, length(p2)::INT, 0, 0.0::DOUBLE,
+                   CASE WHEN length(p2) >= 10 THEN 1 ELSE 0 END FROM parts
+            UNION ALL SELECT doc_id, 4, '', 0, 0, 0.0::DOUBLE, 0 FROM parts
+            UNION ALL SELECT doc_id, 5, 'terms & conditions', 18, 18,
+                   1.0::DOUBLE, 0 FROM parts
+            UNION ALL SELECT doc_id, 6, '', 0, 0, 0.0::DOUBLE, 0 FROM parts
         """,
         "combine_segments": """
             WITH halves AS (

@@ -84,6 +84,8 @@ HEADLINE = [
     "label_centroids",
     "near_dup_verified",
     "merge_overlap",
+    "html_strip",
+    "html_main_text",
     "combine_segments",
     "layout_postprocess",
     "extract_spans",

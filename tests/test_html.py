@@ -1,0 +1,94 @@
+"""HTML boilerplate strip + link-density main-content extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reading_the_unreadable_spark.operators.html import (
+    html_blocks,
+    main_text,
+    strip_html,
+)
+
+PAGE = (
+    "<!DOCTYPE html><html><head><title>My Site</title>"
+    "<style>.x { color: red }</style><script>if (a < b) { go() }</script></head>"
+    "<body>"
+    '<header><a href="/">Home</a> <a href="/news">News</a></header>'
+    "<!-- comment with <p>fake tag</p> -->"
+    '<div id="content">'
+    "<h1>Storm hits the coast</h1>"
+    "<p>The storm made landfall on Tuesday &amp; caused damage.</p>"
+    '<p>Officials said <a href="/report">the full report</a> will follow '
+    "shortly after review.</p>"
+    "</div>"
+    '<footer><a href="/terms">Terms</a> <a href="/priv">Privacy</a> - 2026</footer>'
+    "</body></html>"
+)
+
+
+def _df(spark, pages):
+    return spark.createDataFrame(pages, "doc_id string, html string")
+
+
+def test_strip_html_removes_machinery(spark):
+    got = strip_html(_df(spark, [("d", PAGE)])).collect()[0]["text"]
+    assert "color" not in got and "go()" not in got  # style/script gone
+    assert "My Site" not in got  # head gone
+    assert "fake tag" not in got  # comments gone
+    assert "Tuesday & caused damage" in got  # entity decoded
+    assert "<" not in got and ">" not in got
+    assert got.startswith("Home News Storm hits the coast")
+
+
+def test_html_blocks_link_density(spark):
+    rows = {
+        r["block_idx"]: r
+        for r in html_blocks(_df(spark, [("d", PAGE)])).collect()
+    }
+    by_text = {r["text"]: r for r in rows.values()}
+    nav = by_text["Home News"]
+    assert nav["link_density"] == 1.0 and nav["is_content"] == 0
+    h1 = by_text["Storm hits the coast"]
+    assert h1["link_density"] == 0.0 and h1["is_content"] == 1
+    # anchors inside real content keep the block below the threshold
+    rep = by_text[
+        "Officials said the full report will follow shortly after review."
+    ]
+    assert 0 < rep["link_density"] <= 0.33 and rep["is_content"] == 1
+    footer = by_text["Terms Privacy - 2026"]
+    assert footer["link_density"] > 0.33 and footer["is_content"] == 0
+
+
+def test_main_text_extraction(spark):
+    got = main_text(_df(spark, [("d", PAGE)])).collect()[0]["text"]
+    assert got == (
+        "Storm hits the coast\n\n"
+        "The storm made landfall on Tuesday & caused damage.\n\n"
+        "Officials said the full report will follow shortly after review."
+    )
+
+
+def test_main_text_multiple_docs_and_edge_cases(spark):
+    pages = [
+        ("a", PAGE),
+        ("b", "<p>no body tag but a long enough paragraph</p>"),
+        ("c", ""),  # empty html -> zero blocks survive
+        ("d", "<ul><li><a href='/'>one</a></li><li><a href='/'>two</a></li></ul>"),
+    ]
+    got = {r["doc_id"]: r["text"] for r in main_text(_df(spark, pages)).collect()}
+    assert "Storm hits the coast" in got["a"]
+    assert got["b"] == "no body tag but a long enough paragraph"
+    assert "c" not in got  # nothing survives
+    assert "d" not in got  # pure link list = boilerplate
+
+
+def test_blocks_are_map_side_only(spark):
+    """Block segmentation + scoring must add zero exchanges."""
+    plan = (
+        html_blocks(_df(spark, [("d", PAGE)]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
