@@ -624,6 +624,42 @@ def q_html_blocks(spark, sf):
     return html_blocks(_html_corpus(spark, sf))
 
 
+def q_pdf_extract(spark, sf):
+    """North-rule PDF family: documents rendered to REAL single-page PDFs
+    (8-word lines via absolute Tm placement; content streams
+    Flate-compressed for even n_chars, raw for odd) then parsed back by
+    the from-scratch PDF text/layout parser — both directions run inside
+    Arrow mapInPandas; the oracle states the run grid (x=72,
+    y=720-14·run) and chunked text in closed form."""
+    import pandas as pd_local
+
+    from reading_the_unreadable_spark.operators.pdf import (
+        encode_pdf,
+        parse_pdf_spans,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+
+    def enc(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                words = (text or "").split(" ")
+                lines = [
+                    " ".join(words[i : i + 8]) for i in range(0, len(words), 8)
+                ]
+                out["doc_id"].append(f"doc-{doc_id}")
+                out["payload"].append(
+                    encode_pdf([lines], compress=(n_chars % 2 == 0))
+                )
+            yield pd_local.DataFrame(out)
+
+    payloads = d.mapInPandas(enc, "doc_id string, payload binary")
+    return parse_pdf_spans(payloads)
+
+
 def q_combine_segments(spark, sf):
     """A5/G9 (knit): the real segment-recombination operator — custom_id
     decomposition, token sums, segment counts, and the LCS knit fold —
@@ -855,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": q_html_strip,
         "html_main_text": q_html_main_text,
         "html_blocks": q_html_blocks,
+        "pdf_extract": q_pdf_extract,
         "page_coverage": q_page_coverage,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -1382,6 +1419,18 @@ def oracle_sql() -> dict[str, str]:
               ('text',  2, 3, 500.0, 154.0, 950.001, 610.0),
               ('title', 2, 4, 500.0, 610.0, 950.001, 640.0)
             ) AS t(kind, column_number, reading_order, x1, y1, x2, y2)
+        """,
+        "pdf_extract": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            runs AS (
+              SELECT 'doc-' || doc_id AS doc_id, i - 1 AS run,
+                     array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ') AS text
+              FROM w, LATERAL (SELECT unnest(generate_series(
+                     1, cast(ceil(len(w) / 8.0) AS INT))) AS i))
+            SELECT doc_id, 0 AS page, run,
+                   72.0::DOUBLE AS x, (720.0 - 14.0 * run)::DOUBLE AS y, text
+            FROM runs
         """,
         "html_strip": """
             WITH h AS (

@@ -86,6 +86,7 @@ HEADLINE = [
     "merge_overlap",
     "html_strip",
     "html_main_text",
+    "pdf_extract",
     "combine_segments",
     "layout_postprocess",
     "extract_spans",

@@ -1,0 +1,316 @@
+"""PDF text/layout parse — the north rule's "PDF/layout parse" family.
+
+Codec situation in this image: no pdfminer/PyMuPDF.  Same approach as
+the PNG codec in :mod:`multimodal`: implement the container profile that
+needs only the stdlib — classic (non-xref-stream) PDF structure, raw or
+FlateDecode content streams, and the standard text-showing operators
+(``BT/ET``, ``Tm``, ``Td``/``TD``, ``T*``, ``Tj``, ``'``, ``TJ``) with
+full string-escape handling (``\\(`` ``\\)`` ``\\\\`` ``\\n`` … and
+octal) — and raise loudly on anything beyond it (encryption, other
+filters, xref streams' compressed object streams).
+
+Output grain is the LAYOUT grain: one row per text-showing operation
+with its text-space position, so parsed runs can feed the box pipeline
+(:func:`pdf_to_boxes` → ``operators.layout``) exactly like layout-model
+boxes do.
+
+Spark integration is Arrow-batched ``mapInPandas`` over binary payload
+columns (per the multimodal contract: payloads never collected, never in
+a row-wise UDF).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+PDF_SPAN_SCHEMA = "doc_id string, page int, run int, x double, y double, text string"
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_ESCAPES = {
+    ord("n"): "\n",
+    ord("r"): "\r",
+    ord("t"): "\t",
+    ord("b"): "\b",
+    ord("f"): "\f",
+    ord("("): "(",
+    ord(")"): ")",
+    ord("\\"): "\\",
+}
+
+
+# ----------------------------------------------------------------- writer
+def _escape_pdf_string(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def encode_pdf(
+    pages: list[list[str]],
+    compress: bool = False,
+    start_y: float = 720.0,
+    leading: float = 14.0,
+) -> bytes:
+    """Minimal classic-structure PDF writer: one content stream per page,
+    each line placed with an absolute ``Tm`` then shown with ``Tj``.
+    ``compress=True`` Flate-encodes the content streams (the common real
+    case) so the parser's inflate path is exercised."""
+    objects: list[bytes] = []  # 1-indexed
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    page_ids: list[int] = []
+    content_ids: list[int] = []
+    for lines in pages:
+        ops = [b"BT", b"/F1 12 Tf"]
+        y = start_y
+        for line in lines:
+            ops.append(f"1 0 0 1 72 {y:g} Tm".encode())
+            ops.append(b"(" + _escape_pdf_string(line).encode("latin-1") + b") Tj")
+            y -= leading
+        ops.append(b"ET")
+        data = b"\n".join(ops)
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b" /Filter /FlateDecode"
+        content_ids.append(
+            add(
+                b"<< /Length %d%s >>\nstream\n%s\nendstream"
+                % (len(data), filt, data)
+            )
+        )
+    pages_id = len(objects) + len(pages) + 1
+    for cid in content_ids:
+        page_ids.append(
+            add(
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+                % (pages_id, font, cid)
+            )
+        )
+    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
+    assert add(
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_ids))
+    ) == pages_id
+    catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % (len(objects) + 1, catalog, xref_at)
+    )
+    return bytes(out)
+
+
+# ----------------------------------------------------------------- parser
+def _decode_string(tok: bytes) -> str:
+    """PDF literal string body → str (escapes + octal)."""
+    out: list[str] = []
+    i = 0
+    while i < len(tok):
+        c = tok[i]
+        if c == 0x5C and i + 1 < len(tok):  # backslash
+            nxt = tok[i + 1]
+            if 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
+                j = i + 1
+                digits = b""
+                while j < len(tok) and len(digits) < 3 and 0x30 <= tok[j] <= 0x37:
+                    digits += tok[j : j + 1]
+                    j += 1
+                out.append(chr(int(digits, 8)))
+                i = j
+                continue
+            out.append(_ESCAPES.get(nxt, chr(nxt)))
+            i += 2
+            continue
+        out.append(chr(c))
+        i += 1
+    return "".join(out)
+
+
+_TOKEN_RE = re.compile(
+    rb"\((?:\\.|[^()\\])*\)"  # literal string (with escapes)
+    rb"|\[|\]"
+    rb"|/[A-Za-z0-9]+"
+    rb"|[-+.0-9]+"
+    rb"|[A-Za-z'\"*]+"
+)
+
+
+def parse_content_text(stream: bytes) -> list[tuple[float, float, str]]:
+    """Content stream → [(x, y, text)] in stream order, tracking the text
+    matrix (Tm), relative moves (Td/TD), leading (TL), and next-line ops
+    (T*, ').  One tuple per text-showing operator; TJ arrays concatenate
+    their strings (kerning numbers dropped — layout consumers use the
+    run position, not intra-run advances)."""
+    runs: list[tuple[float, float, str]] = []
+    stack: list[bytes] = []
+    x = y = 0.0
+    leading = 0.0
+    in_array: list[str] | None = None
+    for m in _TOKEN_RE.finditer(stream):
+        tok = m.group(0)
+        if tok == b"[":
+            in_array = []
+            continue
+        if tok == b"]":
+            stack.append(b"\x00ARRAY")  # placeholder; strings held in in_array
+            continue
+        if tok.startswith(b"("):
+            s = _decode_string(tok[1:-1])
+            if in_array is not None:
+                in_array.append(s)
+            else:
+                stack.append(b"\x00STR" + s.encode("utf-8", "surrogatepass"))
+            continue
+        if tok[:1] in b"-+.0123456789":
+            stack.append(tok)
+            continue
+        if tok.startswith(b"/"):
+            stack.append(tok)
+            continue
+        # operator
+        op = tok
+        if op == b"Tm" and len(stack) >= 6:
+            x, y = float(stack[-2]), float(stack[-1])
+        elif op in (b"Td", b"TD") and len(stack) >= 2:
+            x += float(stack[-2])
+            y += float(stack[-1])
+            if op == b"TD":
+                leading = -float(stack[-1])
+        elif op == b"TL" and stack:
+            leading = float(stack[-1])
+        elif op == b"T*":
+            y -= leading
+        elif op == b"Tj" and stack and stack[-1].startswith(b"\x00STR"):
+            runs.append((x, y, stack[-1][4:].decode("utf-8", "surrogatepass")))
+        elif op == b"'":
+            y -= leading
+            if stack and stack[-1].startswith(b"\x00STR"):
+                runs.append((x, y, stack[-1][4:].decode("utf-8", "surrogatepass")))
+        elif op == b"TJ" and in_array is not None:
+            runs.append((x, y, "".join(in_array)))
+            in_array = None
+        stack.clear()
+    return runs
+
+
+def decode_pdf(payload: bytes) -> list[list[tuple[float, float, str]]]:
+    """PDF bytes → per-page text runs [(x, y, text), …].
+
+    Classic-structure profile; raises NotImplementedError on encryption,
+    non-Flate filters, or xref/object streams (the honest-subset
+    contract, like PNG in :mod:`multimodal`)."""
+    if not payload.startswith(b"%PDF-"):
+        raise ValueError(f"not a PDF: {payload[:8]!r}")
+    if b"/Encrypt" in payload:
+        raise NotImplementedError("encrypted PDF not supported")
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(payload):
+        objs[int(m.group(1))] = m.group(2)
+    if not objs and b"/ObjStm" in payload:
+        raise NotImplementedError("xref/object streams not supported")
+    pages: list[list[tuple[float, float, str]]] = []
+    for num in sorted(objs):
+        body = objs[num]
+        if b"/Type" not in body or b"/Page" not in body or b"/Pages" in body:
+            continue
+        ref = _REF_RE.search(body)
+        if not ref:
+            pages.append([])
+            continue
+        cbody = objs.get(int(ref.group(1)), b"")
+        start = re.search(rb"stream\r?\n", cbody)
+        if not start:
+            pages.append([])
+            continue
+        lm = re.search(rb"/Length\s+(\d+)", cbody)
+        if lm:
+            # slice by the declared /Length — binary-safe (compressed
+            # data may legitimately end in \r or contain marker-like
+            # byte runs; a regex up to `endstream` truncates those)
+            data = cbody[start.end() : start.end() + int(lm.group(1))]
+        else:
+            sm = _STREAM_RE.search(cbody)
+            if not sm:
+                pages.append([])
+                continue
+            data = sm.group(1)
+        if b"/Filter" in cbody:
+            if b"/FlateDecode" not in cbody:
+                raise NotImplementedError(
+                    f"unsupported stream filter in obj {int(ref.group(1))}"
+                )
+            data = zlib.decompress(data)
+        pages.append(parse_content_text(data))
+    return pages
+
+
+# ------------------------------------------------------------ Spark plumbing
+def parse_pdf_spans(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, payload binary) → one row per text run with its page and
+    text-space position — Arrow-batched mapInPandas, payloads never leave
+    the executors."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "page", "run", "x", "y", "text")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                for pg, runs in enumerate(decode_pdf(bytes(payload))):
+                    for i, (x, y, text) in enumerate(runs):
+                        rows["doc_id"].append(doc_id)
+                        rows["page"].append(pg)
+                        rows["run"].append(i)
+                        rows["x"].append(x)
+                        rows["y"].append(y)
+                        rows["text"].append(text)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, schema=PDF_SPAN_SCHEMA)
+
+
+def pdf_to_boxes(
+    spans: DataFrame,
+    char_width: float = 6.0,
+    line_height: float = 12.0,
+    page_height: float = 792.0,
+) -> DataFrame:
+    """Parsed PDF runs → the box frame the layout chain consumes
+    (top-left y-down coordinates, width estimated from run length): the
+    "PDF/layout parse" bridge — downstream column inference / reading
+    order / article segmentation are the SAME operators the newspaper
+    path uses."""
+    from pyspark.sql import functions as F
+
+    return spans.select(
+        F.concat_ws("#", "doc_id", F.col("page").cast("string")).alias("doc_id"),
+        F.col("run").alias("offset"),
+        F.lit("text").alias("kind"),
+        "text",
+        F.lit(None).cast("string").alias("media_ref"),
+        F.col("x").alias("x1"),
+        (F.lit(page_height) - F.col("y") - F.lit(line_height)).alias("y1"),
+        (F.col("x") + F.length("text") * F.lit(char_width)).alias("x2"),
+        (F.lit(page_height) - F.col("y")).alias("y2"),
+        F.lit(1.0).alias("confidence"),
+    )

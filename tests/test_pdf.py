@@ -1,0 +1,95 @@
+"""PDF write/parse round-trip + the PDF→layout bridge."""
+
+from __future__ import annotations
+
+import pytest
+
+from reading_the_unreadable_spark.operators.pdf import (
+    decode_pdf,
+    encode_pdf,
+    parse_content_text,
+    parse_pdf_spans,
+    pdf_to_boxes,
+)
+
+
+def test_roundtrip_plain_and_compressed():
+    pages = [["hello world", "second (line) with \\ escapes"], ["page two"]]
+    for compress in (False, True):
+        got = decode_pdf(encode_pdf(pages, compress=compress))
+        assert [[t for _, _, t in page] for page in got] == [
+            ["hello world", "second (line) with \\ escapes"],
+            ["page two"],
+        ]
+        # absolute Tm positions with the default leading
+        assert got[0][0][:2] == (72.0, 720.0)
+        assert got[0][1][:2] == (72.0, 706.0)
+
+
+def test_content_operators():
+    runs = parse_content_text(
+        b"BT /F1 12 Tf 14 TL 1 0 0 1 72 700 Tm [ (Hel) -20 (lo) ] TJ "
+        b"0 -14 Td (next) Tj T* (starred) Tj (quoted) ' ET"
+    )
+    assert runs == [
+        (72.0, 700.0, "Hello"),
+        (72.0, 686.0, "next"),
+        (72.0, 672.0, "starred"),
+        (72.0, 658.0, "quoted"),
+    ]
+
+
+def test_string_escapes_octal():
+    runs = parse_content_text(b"BT 1 0 0 1 10 10 Tm (\\110i\\n\\(x\\)) Tj ET")
+    assert runs == [(10.0, 10.0, "Hi\n(x)")]
+
+
+def test_loud_failures():
+    with pytest.raises(ValueError):
+        decode_pdf(b"not a pdf at all")
+    enc = encode_pdf([["x"]]).replace(b"/Type /Catalog", b"/Type /Catalog /Encrypt 9")
+    with pytest.raises(NotImplementedError):
+        decode_pdf(enc)
+    lzw = encode_pdf([["x"]], compress=False).replace(
+        b"/Length", b"/Filter /LZWDecode /Length"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_pdf(lzw)
+
+
+def test_parse_pdf_spans_spark(spark):
+    rows = [
+        ("a", bytearray(encode_pdf([["line one", "line two"], ["p2"]], compress=True))),
+        ("b", bytearray(encode_pdf([["only line"]]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    got = parse_pdf_spans(df).orderBy("doc_id", "page", "run").collect()
+    assert [(r["doc_id"], r["page"], r["run"], r["text"]) for r in got] == [
+        ("a", 0, 0, "line one"),
+        ("a", 0, 1, "line two"),
+        ("a", 1, 0, "p2"),
+        ("b", 0, 0, "only line"),
+    ]
+    assert got[0]["y"] == 720.0 and got[1]["y"] == 706.0
+
+
+def test_pdf_layout_bridge(spark):
+    """Parsed PDF runs flow through the SAME layout + extraction chain
+    as layout-model boxes (the 'PDF/layout parse' contract)."""
+    from reading_the_unreadable_spark.plans.pipeline import extract_from_boxes
+
+    pdf = encode_pdf([["first paragraph line", "second paragraph line"]])
+    df = spark.createDataFrame(
+        [("doc", bytearray(pdf))], "doc_id string, payload binary"
+    )
+    boxes = pdf_to_boxes(parse_pdf_spans(df))
+    from reading_the_unreadable_spark.operators.layout import layout
+
+    # the two runs land in one column and box-merge (paragraph-joined) …
+    merged = layout(boxes, num_partitions=2).collect()
+    assert len(merged) == 1
+    assert merged[0]["text"] == "first paragraph line\n\nsecond paragraph line"
+    # … and the text stage re-splits them into ordered paragraph spans
+    spans = extract_from_boxes(boxes, num_partitions=2).collect()
+    texts = [s["text"] for s in sorted(spans, key=lambda s: s["order"])]
+    assert texts == ["first paragraph line", "second paragraph line"]
