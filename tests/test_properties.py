@@ -81,3 +81,69 @@ def test_title_requires_uppercase(s):
 def test_strip_fences_removes_fences(s):
     out = strip_fences_pd(pd.Series([s])).iloc[0]
     assert not out.startswith("`") and not out.endswith("`")
+
+
+# ------------------------------------------------------------------ PDF codec
+PDF_LINE = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=50
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(PDF_LINE)
+def test_pdf_string_escape_roundtrip(s):
+    from reading_the_unreadable_spark.operators.pdf import (
+        _escape_pdf_string,
+        parse_content_text,
+    )
+
+    stream = (
+        b"BT 1 0 0 1 5 5 Tm ("
+        + _escape_pdf_string(s).encode("latin-1")
+        + b") Tj ET"
+    )
+    assert parse_content_text(stream) == [(5.0, 5.0, s)]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(PDF_LINE, min_size=1, max_size=6), st.booleans())
+def test_pdf_document_roundtrip(lines, compress):
+    from reading_the_unreadable_spark.operators.pdf import decode_pdf, encode_pdf
+
+    pages = decode_pdf(encode_pdf([lines], compress=compress))
+    assert len(pages) == 1
+    assert [t for _, _, t in pages[0]] == lines
+    ys = [y for _, y, _ in pages[0]]
+    assert ys == sorted(ys, reverse=True)  # descending line grid
+
+
+# ------------------------------------------------------------------ HTML strip
+HTML_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(HTML_TEXT)
+def test_html_visible_text_never_leaks_tags(s):
+    """Whatever the input, stripped output contains no tag remnants and
+    no unnormalized whitespace."""
+    from reading_the_unreadable_spark.operators.html import (
+        HTML_ENTITIES,
+        REMOVAL_PATTERNS,
+    )
+
+    # the operator's OWN patterns, applied with Python re (same RE2-safe
+    # subset) — validates the pattern constants hold the invariant for
+    # arbitrary input, cheaper than a Spark job per example
+    import re as _re
+
+    out = s
+    for pat in REMOVAL_PATTERNS:
+        out = _re.sub(pat, " ", out)
+    out = _re.sub(r"<[^>]+>", " ", out)
+    for ent, rep in HTML_ENTITIES:
+        out = out.replace(ent, rep)
+    out = _re.sub(r"\s+", " ", out).strip()
+    assert "<script" not in out.lower() and "<style" not in out.lower()
+    assert "  " not in out and out == out.strip()
