@@ -54,11 +54,26 @@ def _stage_boundary(df: DataFrame, tag: str) -> DataFrame:
     cached intermediate pins executor storage memory and thrashes at
     100 TB, while a parquet boundary is bounded by scratch disk, is
     readable with column pruning by each consumer, and survives executor
-    loss.  On a cluster the path would be a job-scoped scratch dir; the
-    tmpdir works identically in local mode."""
-    path = f"{tempfile.gettempdir()}/rtu_stage/{tag}_{uuid.uuid4().hex}"
+    loss.  On a cluster the path would be a job-scoped scratch dir; here
+    paths live under an application-scoped directory that is removed at
+    interpreter exit, so repeated invocations in a long-lived session
+    cannot fill /tmp.  (Deliberately EAGER: calling a dedup operator
+    runs the upstream jobs at plan-build time — the stage boundary IS
+    the point.)"""
+    import atexit
+    import shutil
+
+    spark = df.sparkSession
+    app_dir = f"{tempfile.gettempdir()}/rtu_stage/{spark.sparkContext.applicationId}"
+    if app_dir not in _STAGE_DIRS:
+        _STAGE_DIRS.add(app_dir)
+        atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
+    path = f"{app_dir}/{tag}_{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    return spark.read.parquet(path)
+
+
+_STAGE_DIRS: set[str] = set()
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:

@@ -95,7 +95,12 @@ def html_blocks(
     cleaned = _remove_machinery(F.col(html_col))
     blocks = F.split(cleaned, BLOCK_SPLIT_PATTERN)
     df = df.select("doc_id", F.posexplode(blocks).alias("block_idx", "_raw"))
-    anchor_texts = F.regexp_extract_all(F.col("_raw"), F.lit(r"(?is)<a[^>]*>(.*?)</a>"), 1)
+    # `<a` must be the WHOLE tag name: `<a>` or `<a␣attrs…>` — a bare
+    # `[^>]*` would also match <article>/<aside>/<abbr>/<audio> and
+    # swallow entire content blocks as "link text"
+    anchor_texts = F.regexp_extract_all(
+        F.col("_raw"), F.lit(r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"), 1
+    )
     link_text = _strip_tags_and_entities(F.array_join(anchor_texts, " "))
     text = _strip_tags_and_entities(F.col("_raw"))
     df = (
@@ -127,14 +132,20 @@ def main_text(
     """(doc_id, html) → (doc_id, text): content blocks joined in document
     order — the main-content extraction the north rule names.  One
     groupBy on doc_id (the only shuffle); block order restored with
-    sort_array over (block_idx, text) structs."""
+    sort_array over (block_idx, text) structs.
+
+    Every input document yields exactly one output row — a page whose
+    blocks are all boilerplate yields an EMPTY string, not a missing
+    doc_id (collect_list skips the nulls the non-content conditional
+    produces, so the aggregate sees only content blocks while the
+    groupBy sees every doc)."""
     blocks = html_blocks(df, html_col, min_text_chars, max_link_density)
-    ordered = F.transform(
-        F.sort_array(F.collect_list(F.struct("block_idx", "text"))),
-        lambda s: s["text"],
+    content = F.when(
+        F.col("is_content") == 1, F.struct("block_idx", "text")
     )
-    return (
-        blocks.filter(F.col("is_content") == 1)
-        .groupBy("doc_id")
-        .agg(F.array_join(ordered, separator).alias("text"))
+    ordered = F.transform(
+        F.sort_array(F.collect_list(content)), lambda s: s["text"]
+    )
+    return blocks.groupBy("doc_id").agg(
+        F.array_join(ordered, separator).alias("text")
     )

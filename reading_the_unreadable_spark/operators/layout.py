@@ -488,7 +488,14 @@ def fill_column_gaps(df: DataFrame, min_gap: float = 10.0) -> DataFrame:
     Synthesized boxes carry kind='text', empty text; they only affect
     geometry consumers (coverage), not extracted span text.  Not part of
     the default chain (mirrors the reference's per-periodical
-    fill_columns flag)."""
+    fill_columns flag).
+
+    Relationship to :func:`_fill_gaps_inline` (the ``fill_columns=True``
+    chain step): this standalone operator runs AFTER layout on ordered
+    boxes and spans columns to their box extents; the inline step runs at
+    the reference's chain position (pre-merge) where gap boxes can still
+    merge into column text.  Both use the same ``>= min_gap``/min-height
+    10px boundary."""
     w_doc = Window.partitionBy("doc_id")
     w_col = Window.partitionBy("doc_id", "column_number")
     eligible = (F.max("column_number").over(w_doc) > 1) & (
@@ -527,13 +534,13 @@ def fill_column_gaps(df: DataFrame, min_gap: float = 10.0) -> DataFrame:
         F.col("_eligible")
         & F.col("_first_in_col")
         & (F.col("column_number") > 0)
-        & (F.col("_col_y1") - F.col("_doc_y1") > min_gap)
+        & (F.col("_col_y1") - F.col("_doc_y1") >= min_gap)
     ).select(*base(F.col("_doc_y1"), F.col("_col_y1")))
     tail_rows = df.filter(
         F.col("_eligible")
         & F.col("_first_in_col")
         & (F.col("column_number") > 0)
-        & (F.col("_doc_y2") - F.col("_col_y2") > min_gap)
+        & (F.col("_doc_y2") - F.col("_col_y2") >= min_gap)
     ).select(*base(F.col("_col_y2"), F.col("_doc_y2")))
     keep = [c for c in df.columns if not c.startswith("_")]
     return df.select(*keep).unionByName(head_rows).unionByName(tail_rows)

@@ -132,13 +132,22 @@ def cer_spans(
     document into k spans divides the DP work by ~k while the join and
     aggregation stay embarrassingly parallel.  Whole-document CER (the
     :func:`cer` operator) is quadratic in doc length and dominates any
-    corpus-scale job it appears in."""
+    corpus-scale job it appears in.
+
+    The join is LEFT from ground truth: a gt span with no prediction row
+    counts as a full deletion (distance = its length) — an inner join
+    would silently EXCLUDE dropped spans and score a pipeline that loses
+    text better than one that extracts it imperfectly."""
     norm = lambda c: F.lower(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
-    joined = predictions.alias("p").join(ground_truth.alias("g"), list(keys))
+    joined = ground_truth.alias("g").join(
+        predictions.alias("p"), list(keys), "left"
+    )
     gt, pred = norm(F.col("g.text")), norm(F.col("p.text"))
     per_span = joined.select(
         F.col(keys[0]).alias("doc_id"),
-        F.levenshtein(gt, pred).alias("_lev"),
+        F.when(F.col("p.text").isNull(), F.length(gt))
+        .otherwise(F.levenshtein(gt, pred))
+        .alias("_lev"),
         F.length(gt).alias("_len"),
     )
     return per_span.groupBy("doc_id").agg(

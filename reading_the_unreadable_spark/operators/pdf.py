@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame
 
 PDF_SPAN_SCHEMA = "doc_id string, page int, run int, x double, y double, text string"
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _ESCAPES = {
@@ -98,9 +97,11 @@ def encode_pdf(
             )
         )
     kids = b" ".join(b"%d 0 R" % p for p in page_ids)
-    assert add(
+    pages_obj = add(
         b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_ids))
-    ) == pages_id
+    )
+    if pages_obj != pages_id:  # never inside assert: -O must not skip the add
+        raise AssertionError(f"pages object id drifted: {pages_obj} != {pages_id}")
     catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
 
     out = bytearray(b"%PDF-1.4\n")
@@ -213,26 +214,91 @@ def parse_content_text(stream: bytes) -> list[tuple[float, float, str]]:
     return runs
 
 
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
+_INT_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\s*(\d+)\s*endobj")
+#  (?!\d) stops backtracking from shortening the number so the negative
+#  indirect-ref lookahead can't be dodged ('/Length 99 0 R' must never
+#  half-match as literal length 9)
+_LEN_LIT_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
+_LEN_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+
+
+def _scan_objects(payload: bytes) -> dict[int, bytes]:
+    """Binary-safe object scan: stream bodies are SKIPPED using the
+    declared /Length before searching for ``endobj``, so compressed
+    bytes that happen to contain ``endobj`` / ``N M obj`` marker runs
+    can neither truncate an object nor register phantom ones.
+    Indirect ``/Length N 0 R`` values are resolved via a pre-pass over
+    the (tiny, text-only) integer objects."""
+    int_objs = {int(m.group(1)): int(m.group(2)) for m in _INT_OBJ_RE.finditer(payload)}
+    objs: dict[int, bytes] = {}
+    pos = 0
+    while True:
+        m = _OBJ_HEAD_RE.search(payload, pos)
+        if not m:
+            return objs
+        start = m.end()
+        sm = re.compile(rb"stream\r?\n").search(payload, start)
+        end_probe = payload.find(b"endobj", start)
+        if sm is not None and (end_probe == -1 or sm.start() < end_probe):
+            head = payload[start : sm.start()]
+            lit = _LEN_LIT_RE.search(head)
+            if lit:
+                length = int(lit.group(1))
+            else:
+                ref = _LEN_REF_RE.search(head)
+                if ref is None or int(ref.group(1)) not in int_objs:
+                    raise NotImplementedError(
+                        "stream object without resolvable /Length"
+                    )
+                length = int_objs[int(ref.group(1))]
+            data_start = sm.end()
+            end_probe = payload.find(b"endobj", data_start + length)
+            if end_probe == -1:
+                raise ValueError("unterminated stream object")
+        elif end_probe == -1:
+            return objs
+        objs[int(m.group(1))] = payload[start:end_probe]
+        pos = end_probe + len(b"endobj")
+
+
+def _page_order(objs: dict[int, bytes]) -> list[int]:
+    """Document page order from the /Pages node's /Kids array (object ids
+    are NOT ordering — real writers emit pages out of id order); falls
+    back to ascending id when no /Kids is present."""
+    page_ids = [
+        num
+        for num, body in objs.items()
+        if b"/Type" in body and b"/Page" in body and b"/Pages" not in body
+    ]
+    for body in objs.values():
+        if b"/Type" in body and b"/Pages" in body and b"/Kids" in body:
+            km = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
+            if km:
+                refs = [int(r) for r in re.findall(rb"(\d+)\s+\d+\s+R", km.group(1))]
+                known = [r for r in refs if r in objs]
+                if known:
+                    return known
+    return sorted(page_ids)
+
+
 def decode_pdf(payload: bytes) -> list[list[tuple[float, float, str]]]:
-    """PDF bytes → per-page text runs [(x, y, text), …].
+    """PDF bytes → per-page text runs [(x, y, text), …] in /Kids order.
 
     Classic-structure profile; raises NotImplementedError on encryption,
-    non-Flate filters, or xref/object streams (the honest-subset
-    contract, like PNG in :mod:`multimodal`)."""
+    non-Flate filters, unresolvable stream lengths, or xref/object
+    streams (the honest-subset contract, like PNG in
+    :mod:`multimodal`)."""
     if not payload.startswith(b"%PDF-"):
         raise ValueError(f"not a PDF: {payload[:8]!r}")
     if b"/Encrypt" in payload:
         raise NotImplementedError("encrypted PDF not supported")
-    objs: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(payload):
-        objs[int(m.group(1))] = m.group(2)
+    objs = _scan_objects(payload)
     if not objs and b"/ObjStm" in payload:
         raise NotImplementedError("xref/object streams not supported")
     pages: list[list[tuple[float, float, str]]] = []
-    for num in sorted(objs):
+    for num in _page_order(objs):
         body = objs[num]
-        if b"/Type" not in body or b"/Page" not in body or b"/Pages" in body:
-            continue
         ref = _REF_RE.search(body)
         if not ref:
             pages.append([])
@@ -242,20 +308,27 @@ def decode_pdf(payload: bytes) -> list[list[tuple[float, float, str]]]:
         if not start:
             pages.append([])
             continue
-        lm = re.search(rb"/Length\s+(\d+)", cbody)
-        if lm:
+        lit = _LEN_LIT_RE.search(cbody[: start.start()])
+        if lit:
             # slice by the declared /Length — binary-safe (compressed
             # data may legitimately end in \r or contain marker-like
             # byte runs; a regex up to `endstream` truncates those)
-            data = cbody[start.end() : start.end() + int(lm.group(1))]
+            data = cbody[start.end() : start.end() + int(lit.group(1))]
         else:
-            sm = _STREAM_RE.search(cbody)
-            if not sm:
-                pages.append([])
-                continue
-            data = sm.group(1)
-        if b"/Filter" in cbody:
-            if b"/FlateDecode" not in cbody:
+            ref_len = _LEN_REF_RE.search(cbody[: start.start()])
+            if ref_len:
+                im = re.match(rb"\s*(\d+)\s*$", objs.get(int(ref_len.group(1)), b""))
+                if not im:
+                    raise NotImplementedError("unresolvable indirect /Length")
+                data = cbody[start.end() : start.end() + int(im.group(1))]
+            else:
+                sm = _STREAM_RE.search(cbody)
+                if not sm:
+                    pages.append([])
+                    continue
+                data = sm.group(1)
+        if b"/Filter" in cbody[: start.start()]:
+            if b"/FlateDecode" not in cbody[: start.start()]:
                 raise NotImplementedError(
                     f"unsupported stream filter in obj {int(ref.group(1))}"
                 )

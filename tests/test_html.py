@@ -79,8 +79,23 @@ def test_main_text_multiple_docs_and_edge_cases(spark):
     got = {r["doc_id"]: r["text"] for r in main_text(_df(spark, pages)).collect()}
     assert "Storm hits the coast" in got["a"]
     assert got["b"] == "no body tag but a long enough paragraph"
-    assert "c" not in got  # nothing survives
-    assert "d" not in got  # pure link list = boilerplate
+    # boilerplate-only / empty docs keep their row with EMPTY text (one
+    # output row per input doc — joins downstream never lose a doc_id)
+    assert got["c"] == ""
+    assert got["d"] == ""
+
+
+def test_anchor_regex_not_fooled_by_article_tags(spark):
+    """<article>/<aside>/<abbr> must not be counted as anchors: the body
+    of an article block is content even though the tag starts with 'a'."""
+    page = (
+        "<article><p>Long body text with exactly one "
+        '<a href="/x">link</a> inside it somewhere.</p></article>'
+    )
+    rows = {r["text"]: r for r in html_blocks(_df(spark, [("d", page)])).collect()}
+    body = rows["Long body text with exactly one link inside it somewhere."]
+    assert body["link_chars"] == len("link")
+    assert body["is_content"] == 1
 
 
 def test_blocks_are_map_side_only(spark):

@@ -46,6 +46,39 @@ def test_cer(spark):
     assert s["median_cer"] < 0.05
 
 
+def test_cer_spans_missing_prediction_counts_as_deletion(spark):
+    """Span-grain CER: a ground-truth span the system never produced is
+    charged its full length, not silently excluded."""
+    from reading_the_unreadable_spark.operators.metrics import cer_spans
+
+    gt = spark.createDataFrame(
+        [("a", 0, "hello world"), ("a", 1, "gone span")],
+        "doc_id string, span_idx int, text string",
+    )
+    pred = spark.createDataFrame(
+        [("a", 0, "hello wxrld")],  # span 1 missing entirely
+        "doc_id string, span_idx int, text string",
+    )
+    got = cer_spans(pred, gt).first()
+    # lev: 1 (substitution) + 9 (full deletion of 'gone span'); len 11+9
+    assert got["gt_len"] == 20
+    assert abs(got["cer"] - 10 / 20) < 1e-9
+
+
+def test_chunk_spans_grid(spark):
+    from reading_the_unreadable_spark.operators.metrics import chunk_spans
+
+    d = spark.createDataFrame(
+        [("a", "one two three four five")], "doc_id string, text string"
+    )
+    got = chunk_spans(d, words_per_span=2).orderBy("span_idx").collect()
+    assert [(r["span_idx"], r["text"]) for r in got] == [
+        (0, "one two"),
+        (1, "three four"),
+        (2, "five"),
+    ]
+
+
 def test_coverage_on_pipeline_boxes(spark):
     from reading_the_unreadable_spark import synth
     from reading_the_unreadable_spark.operators.geometry import docs_to_boxes

@@ -57,6 +57,59 @@ def test_loud_failures():
         decode_pdf(lzw)
 
 
+def test_indirect_length_resolved():
+    """Real writers emit '/Length N 0 R' (length known only after the
+    stream): the parser resolves the integer object."""
+    import re
+
+    pdf = encode_pdf([["indirect length line"]], compress=True)
+    m = re.search(rb"/Length (\d+)", pdf)
+    pdf2 = (
+        pdf.replace(b"/Length " + m.group(1), b"/Length 99 0 R", 1)
+        + b"\n99 0 obj "
+        + m.group(1)
+        + b" endobj\n"
+    )
+    assert decode_pdf(pdf2) == decode_pdf(pdf)
+
+
+def test_kids_array_orders_pages():
+    """Page order comes from /Kids, not object-id order."""
+    import re
+
+    pdf = encode_pdf([["page A"], ["page B"]])
+    km = re.search(rb"/Kids \[([^\]]*)\]", pdf)
+    refs = re.findall(rb"\d+ 0 R", km.group(1))
+    swapped = pdf.replace(km.group(1), b" ".join(reversed(refs)), 1)
+    assert [[t for _, _, t in p] for p in decode_pdf(swapped)] == [
+        ["page B"],
+        ["page A"],
+    ]
+
+
+def test_binary_safe_marker_bytes_in_stream():
+    """Compressed bytes that contain 'endobj' / 'N 0 obj' marker runs
+    must not truncate objects or register phantoms (the /Length-driven
+    scan skips stream data)."""
+    pdf = encode_pdf([["marker test line"]], compress=False)
+    poisoned = pdf.replace(
+        b"(marker test line) Tj", b"(endobj 7 0 obj trap) Tj", 1
+    )
+    # fix the /Length for the new content size
+    import re
+
+    old = re.search(rb"/Length (\d+)", pdf)
+    delta = len(b"(endobj 7 0 obj trap) Tj") - len(b"(marker test line) Tj")
+    poisoned = poisoned.replace(
+        b"/Length " + old.group(1),
+        b"/Length " + str(int(old.group(1)) + delta).encode(),
+        1,
+    )
+    assert [[t for _, _, t in p] for p in decode_pdf(poisoned)] == [
+        ["endobj 7 0 obj trap"]
+    ]
+
+
 def test_parse_pdf_spans_spark(spark):
     rows = [
         ("a", bytearray(encode_pdf([["line one", "line two"], ["p2"]], compress=True))),
