@@ -624,6 +624,95 @@ def q_html_blocks(spark, sf):
     return html_blocks(_html_corpus(spark, sf))
 
 
+def q_c4_filters(spark, sf):
+    """C4 line-rule cleaning over a deterministic multi-line rendition of
+    each document: 6-word lines, every third line left unpunctuated
+    (terminal-punctuation rule), a boilerplate line carrying 'javascript'
+    and 'cookie' markers (blocklist rule), short tail chunks (min-words
+    rule), and one always-kept closing sentence."""
+    from reading_the_unreadable_spark.operators.quality import c4_line_filters
+
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    nc = F.ceil(F.size(words) / F.lit(6)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * 6 + 1, 6), " "),
+            F.when(i % 3 != 2, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    text = F.concat(
+        F.array_join(chunks, "\n"),
+        F.lit(
+            "\nplease enable javascript and accept our cookie policy."
+            "\nthis closing sentence has exactly seven words total."
+        ),
+    )
+    lined = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        text.alias("text"),
+    )
+    return c4_line_filters(lined)
+
+
+def q_gopher_signals(spark, sf):
+    """Gopher/MassiveText repetition + shape signals over a rendition
+    with a duplicated paragraph, a duplicated line, a bullet line, and an
+    ellipsis line — every metric exercises its non-trivial branch.  The
+    oracle rebuilds the identical line/paragraph lists and computes the
+    same list-algebra, so no closed-form uniqueness assumptions."""
+    from reading_the_unreadable_spark.operators.quality import (
+        gopher_repetition_signals,
+    )
+
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    nc = F.ceil(F.size(words) / F.lit(5)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
+    )
+    para = F.array_join(
+        F.concat(
+            chunks,
+            F.array(
+                F.element_at(chunks, 1),  # duplicate of the first line
+                F.lit("- bullet one two three"),
+                F.lit("waiting for more..."),
+            ),
+        ),
+        "\n",
+    )
+    text = F.concat(para, F.lit("\n\n"), para)  # duplicated paragraph
+    lined = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        text.alias("text"),
+    )
+    return gopher_repetition_signals(lined)
+
+
+def q_para_dedup(spark, sf):
+    """Corpus-wide exact paragraph dedup: every document carries a shared
+    boilerplate paragraph between its two halves; after dedup it survives
+    only in the lexicographically-first document."""
+    from reading_the_unreadable_spark.operators.quality import dedup_paragraphs
+
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    half = F.greatest((n / 2).cast("int"), F.lit(1))
+    first = F.array_join(F.slice(words, 1, half), " ")
+    second = F.array_join(F.slice(words, half + 1, n), " ")
+    shared = F.lit("shared boilerplate paragraph about subscription terms")
+    text = F.concat_ws("\n\n", first, shared, second)
+    paras = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        text.alias("text"),
+    )
+    return dedup_paragraphs(paras)
+
+
 def q_pdf_extract(spark, sf):
     """North-rule PDF family: documents rendered to REAL single-page PDFs
     (8-word lines via absolute Tm placement; content streams
@@ -892,6 +981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_text": q_html_main_text,
         "html_blocks": q_html_blocks,
         "pdf_extract": q_pdf_extract,
+        "c4_filters": q_c4_filters,
+        "gopher_signals": q_gopher_signals,
+        "para_dedup": q_para_dedup,
         "page_coverage": q_page_coverage,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -1419,6 +1511,97 @@ def oracle_sql() -> dict[str, str]:
               ('text',  2, 3, 500.0, 154.0, 950.001, 610.0),
               ('title', 2, 4, 500.0, 610.0, 950.001, 640.0)
             ) AS t(kind, column_number, reading_order, x1, y1, x2, y2)
+        """,
+        "c4_filters": """
+            WITH c AS (
+              SELECT doc_id, string_split(text, ' ') AS w,
+                     cast(ceil(len(string_split(text, ' ')) / 6.0) AS INT) AS nc
+              FROM documents),
+            kept AS (
+              SELECT 'doc-' || doc_id AS doc_id, nc,
+                list_filter(list_transform(generate_series(1, nc), i ->
+                  CASE WHEN (i-1) % 3 != 2
+                            AND len(w[(i-1)*6+1:(i-1)*6+6]) >= 5
+                       THEN array_to_string(w[(i-1)*6+1:(i-1)*6+6], ' ') || '.'
+                  END), x -> x IS NOT NULL) AS kl
+              FROM c)
+            SELECT doc_id,
+                   array_to_string(list_append(kl,
+                     'this closing sentence has exactly seven words total.'),
+                     chr(10)) AS text,
+                   (len(kl) + 1)::INT AS n_lines_kept,
+                   (nc + 2)::INT AS n_lines_total,
+                   CASE WHEN len(kl) + 1 >= 3 THEN 1 ELSE 0 END AS kept
+            FROM kept
+        """,
+        "gopher_signals": """
+            WITH c AS (
+              SELECT 'doc-' || doc_id AS doc_id, string_split(text, ' ') AS w,
+                     cast(ceil(len(string_split(text, ' ')) / 5.0) AS INT) AS nc
+              FROM documents),
+            built AS (
+              SELECT doc_id,
+                list_concat(
+                  list_transform(generate_series(1, nc), i ->
+                    array_to_string(w[(i-1)*5+1:(i-1)*5+5], ' ')),
+                  [array_to_string(w[1:5], ' '),
+                   '- bullet one two three', 'waiting for more...']) AS al
+              FROM c),
+            txt AS (
+              SELECT doc_id,
+                     array_to_string(al, chr(10)) || chr(10) || chr(10)
+                       || array_to_string(al, chr(10)) AS text
+              FROM built),
+            g AS (
+              SELECT doc_id,
+                     string_split(text, chr(10)) AS lines,
+                     string_split(text, chr(10)||chr(10)) AS paras,
+                     string_split(text, ' ') AS words
+              FROM txt)
+            SELECT doc_id,
+              round(1 - len(list_distinct(lines)) * 1.0 / len(lines), 6)
+                AS dup_line_frac,
+              round(1 - len(list_distinct(paras)) * 1.0 / len(paras), 6)
+                AS dup_para_frac,
+              round(1 - len(list_distinct(words)) * 1.0 / len(words), 6)
+                AS dup_word_frac,
+              round(list_sum(list_transform(words, x -> length(x))) * 1.0
+                    / len(words), 6) AS mean_word_len,
+              round(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '• %'))
+                    * 1.0 / len(lines), 6) AS bullet_line_frac,
+              round(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+                    * 1.0 / len(lines), 6) AS ellipsis_line_frac
+            FROM g
+        """,
+        "para_dedup": """
+            WITH halves AS (
+              SELECT 'doc-' || doc_id AS doc_id,
+                     string_split(text, ' ') AS w,
+                     greatest(len(string_split(text, ' ')) // 2, 1) AS half
+              FROM documents),
+            paras AS (
+              SELECT doc_id, 0 AS para_idx,
+                     array_to_string(w[1:half], ' ') AS para FROM halves
+              UNION ALL
+              SELECT doc_id, 1,
+                     'shared boilerplate paragraph about subscription terms'
+              FROM halves
+              UNION ALL
+              SELECT doc_id, 2, array_to_string(w[half+1:len(w)], ' ')
+              FROM halves),
+            r AS (
+              SELECT *, md5(regexp_replace(lower(para), '[^a-z]', '', 'g')) AS fp
+              FROM paras),
+            k AS (
+              SELECT *, row_number() OVER (PARTITION BY fp
+                        ORDER BY doc_id, para_idx) AS rn
+              FROM r)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                     chr(10)||chr(10) ORDER BY para_idx), '') AS text,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::INT AS n_paras_kept,
+                   count(*)::INT AS n_paras_total
+            FROM k GROUP BY doc_id
         """,
         "pdf_extract": """
             WITH w AS (

@@ -87,6 +87,9 @@ HEADLINE = [
     "html_strip",
     "html_main_text",
     "pdf_extract",
+    "c4_filters",
+    "gopher_signals",
+    "para_dedup",
     "combine_segments",
     "layout_postprocess",
     "extract_spans",

@@ -1,0 +1,91 @@
+"""C4 line filters, Gopher repetition signals, corpus-wide paragraph dedup."""
+
+from __future__ import annotations
+
+from reading_the_unreadable_spark.operators.quality import (
+    c4_line_filters,
+    dedup_paragraphs,
+    gopher_repetition_signals,
+)
+
+
+def test_c4_line_filters(spark):
+    text = "\n".join(
+        [
+            "this line ends with a period and enough words.",
+            "no terminal punctuation so it is dropped here",
+            "too short.",
+            "please enable javascript to view our fine content.",
+            "accept the cookie banner before reading anything else.",
+            'a quoted ending line with plenty of words"',
+            "another good sentence that survives every single rule!",
+        ]
+    )
+    df = spark.createDataFrame([("d", text)], "doc_id string, text string")
+    got = c4_line_filters(df).first()
+    assert got["n_lines_total"] == 7
+    assert got["n_lines_kept"] == 3
+    assert got["kept"] == 1
+    assert got["text"].split("\n") == [
+        "this line ends with a period and enough words.",
+        'a quoted ending line with plenty of words"',
+        "another good sentence that survives every single rule!",
+    ]
+    # below min_lines → flagged out but text still returned
+    small = spark.createDataFrame(
+        [("s", "one good line with enough words here.")], "doc_id string, text string"
+    )
+    got_s = c4_line_filters(small).first()
+    assert (got_s["n_lines_kept"], got_s["kept"]) == (1, 0)
+
+
+def test_gopher_repetition_signals(spark):
+    text = (
+        "alpha beta gamma\n"
+        "alpha beta gamma\n"          # duplicate line
+        "- bullet item one two\n"
+        "trailing thought goes on...\n"
+        "\n"
+        "second paragraph here"
+    )
+    df = spark.createDataFrame([("d", text)], "doc_id string, text string")
+    got = gopher_repetition_signals(df).first()
+    # 6 lines, 5 distinct → 1/6
+    assert abs(got["dup_line_frac"] - round(1 - 5 / 6, 6)) < 1e-9
+    assert got["dup_para_frac"] == 0.0
+    assert abs(got["bullet_line_frac"] - round(1 / 6, 6)) < 1e-9
+    assert abs(got["ellipsis_line_frac"] - round(1 / 6, 6)) < 1e-9
+    assert got["dup_word_frac"] > 0  # alpha/beta/gamma repeat
+
+
+def test_dedup_paragraphs_keeps_first_global_occurrence(spark):
+    shared = "this exact boilerplate paragraph appears everywhere"
+    rows = [
+        ("doc-a", f"unique alpha text\n\n{shared}\n\nalpha tail"),
+        ("doc-b", f"{shared}\n\nunique beta text"),
+        ("doc-c", f"unique gamma text\n\n{shared}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    # doc-a is lexicographically first → keeps the shared paragraph
+    assert got["doc-a"]["text"] == rows[0][1]
+    assert got["doc-a"]["n_paras_kept"] == 3
+    assert got["doc-b"]["text"] == "unique beta text"
+    assert (got["doc-b"]["n_paras_kept"], got["doc-b"]["n_paras_total"]) == (1, 2)
+    assert got["doc-c"]["text"] == "unique gamma text"
+
+
+def test_dedup_paragraphs_normalized_match(spark):
+    """Fingerprint normalizes case/punctuation: 'Hello, World.' and
+    'hello world' are the same paragraph."""
+    rows = [("doc-a", "Hello, World."), ("doc-b", "hello world")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r["n_paras_kept"] for r in dedup_paragraphs(df).collect()}
+    assert got == {"doc-a": 1, "doc-b": 0}
+
+
+def test_c4_is_pure_map_stage(spark):
+    df = spark.createDataFrame([("d", "x.")], "doc_id string, text string")
+    for op in (c4_line_filters, gopher_repetition_signals):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, op.__name__
