@@ -713,6 +713,22 @@ def q_para_dedup(spark, sf):
     return dedup_paragraphs(paras)
 
 
+def q_unigram_logprob(spark, sf):
+    """CCNet-style LM quality score: unigram distribution trained on the
+    corpus itself, documents scored by mean token log-probability."""
+    from reading_the_unreadable_spark.operators.quality import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf, "documents"))
+
+
+def q_source_mix(spark, sf):
+    """Training-mixture statistics: per-source doc/token counts, token
+    share, and the temperature-scaled (alpha=0.7) sampling weight."""
+    from reading_the_unreadable_spark.operators.quality import source_mix
+
+    return source_mix(_t(spark, sf, "documents"))
+
+
 def q_pdf_extract(spark, sf):
     """North-rule PDF family: documents rendered to REAL single-page PDFs
     (8-word lines via absolute Tm placement; content streams
@@ -984,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "gopher_signals": q_gopher_signals,
         "para_dedup": q_para_dedup,
+        "unigram_logprob": q_unigram_logprob,
+        "source_mix": q_source_mix,
         "page_coverage": q_page_coverage,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -1511,6 +1529,31 @@ def oracle_sql() -> dict[str, str]:
               ('text',  2, 3, 500.0, 154.0, 950.001, 610.0),
               ('title', 2, 4, 500.0, 610.0, 950.001, 640.0)
             ) AS t(kind, column_number, reading_order, x1, y1, x2, y2)
+        """,
+        "unigram_logprob": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            vocab AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+            tot AS (SELECT sum(c) AS total FROM vocab)
+            SELECT doc_id,
+                   round(avg(ln(c * 1.0 / total)), 4) AS avg_logprob,
+                   count(*)::BIGINT AS n_tokens
+            FROM words JOIN vocab USING (word), tot
+            GROUP BY doc_id
+        """,
+        "source_mix": """
+            WITH per AS (
+              SELECT source, count(*) AS n_docs,
+                     sum(len(string_split(text, ' '))) AS n_tokens
+              FROM documents GROUP BY source),
+            tot AS (
+              SELECT sum(n_tokens) AS t,
+                     sum(pow(n_tokens, 0.7)) AS z FROM per)
+            SELECT source, n_docs, n_tokens::BIGINT AS n_tokens,
+                   round(n_tokens * 1.0 / t, 6) AS token_share,
+                   round(pow(n_tokens, 0.7) / z, 6) AS sample_weight
+            FROM per, tot
         """,
         "c4_filters": """
             WITH c AS (

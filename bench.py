@@ -90,6 +90,8 @@ HEADLINE = [
     "c4_filters",
     "gopher_signals",
     "para_dedup",
+    "unigram_logprob",
+    "source_mix",
     "combine_segments",
     "layout_postprocess",
     "extract_spans",

@@ -113,6 +113,62 @@ def gopher_repetition_signals(
     )
 
 
+def unigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style language-model quality score, unigram grain: train the
+    unigram distribution on the corpus itself (one groupBy on word), then
+    score every document by its mean token log-probability — low scores
+    flag gibberish/boilerplate, the classic perplexity filter.
+
+    Two shuffles total (vocab agg, score agg), both on high-cardinality
+    keys; the corpus-total denominator is a 1-row broadcast.  4dp
+    rounding absorbs float summation-order and libm-ulp differences
+    across engines."""
+    words = documents.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    scored = (
+        words.join(vocab, "word")
+        .join(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c") / F.col("total")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+
+
+def source_mix(
+    documents: DataFrame, source_col: str = "source", alpha: float = 0.7
+) -> DataFrame:
+    """Training-mixture statistics per source/domain: document and token
+    counts, token share, and the standard temperature-scaled sampling
+    weight share^α / Σ share^α (α<1 upweights small sources — the
+    multilingual/domain-balancing rule).  One groupBy on the source key;
+    the normalization constant is a broadcast single row."""
+    per = documents.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("_z"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("_tot")
+    weight = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("_z")
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(weight, 6).alias("sample_weight"),
+        )
+    )
+
+
 def dedup_paragraphs(
     documents: DataFrame, text_col: str = "text"
 ) -> DataFrame:

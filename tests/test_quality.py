@@ -84,6 +84,47 @@ def test_dedup_paragraphs_normalized_match(spark):
     assert got == {"doc-a": 1, "doc-b": 0}
 
 
+def test_unigram_logprob_orders_gibberish_last(spark):
+    import math
+
+    from reading_the_unreadable_spark.operators.quality import unigram_logprob
+
+    rows = [
+        ("common", "the cat sat on the mat"),
+        ("common2", "the dog sat on the rug"),
+        ("rare", "zyxwv qprst unique gibberish tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    # frequent-word docs score higher (less negative) than the one made
+    # of corpus-unique tokens
+    assert got["common"]["avg_logprob"] > got["rare"]["avg_logprob"]
+    assert got["common"]["n_tokens"] == 6
+    # exact check: 17 tokens total; 'the' appears 4x
+    the_lp = math.log(4 / 17)
+    assert got["rare"]["avg_logprob"] == round(math.log(1 / 17), 4)
+    assert the_lp > math.log(1 / 17)
+
+
+def test_source_mix_weights(spark):
+    from reading_the_unreadable_spark.operators.quality import source_mix
+
+    rows = [
+        (1, "a b c d", "big"),
+        (2, "e f g h", "big"),
+        (3, "i j", "small"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in source_mix(df).collect()}
+    assert got["big"]["n_docs"] == 2 and got["big"]["n_tokens"] == 8
+    assert abs(got["big"]["token_share"] - 0.8) < 1e-9
+    # temperature alpha<1 upweights the small source above its share
+    assert got["small"]["sample_weight"] > got["small"]["token_share"]
+    assert abs(
+        got["big"]["sample_weight"] + got["small"]["sample_weight"] - 1.0
+    ) < 1e-5
+
+
 def test_c4_is_pure_map_stage(spark):
     df = spark.createDataFrame([("d", "x.")], "doc_id string, text string")
     for op in (c4_line_filters, gopher_repetition_signals):
