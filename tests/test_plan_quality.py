@@ -117,6 +117,23 @@ def test_dedup_no_storage_cache(spark):
         assert "InMemoryTableScan" not in plan, name
 
 
+def test_para_dedup_two_exchanges(spark):
+    """Corpus-wide paragraph dedup: exactly the fingerprint window
+    exchange + the doc reassembly exchange — nothing else."""
+    plan = _plan(entrymod.q_para_dedup(spark, SF))
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 2, f"{n} hash exchanges:\n{plan[:1500]}"
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_map_ops_zero_shuffle(spark):
+    """C4 line filters and Gopher signals stream map-side over the scan
+    (higher-order array functions, no explode)."""
+    for name in ("c4_filters", "gopher_signals"):
+        plan = _plan(entrymod.queries()[name](spark, SF))
+        assert "Exchange" not in plan, name
+
+
 def test_window_topk_no_global_window_on_full_data(spark):
     """cosine_topk must use TakeOrdered (distributed top-k), not a
     single-partition window over the full table."""
