@@ -729,6 +729,14 @@ def q_source_mix(spark, sf):
     return source_mix(_t(spark, sf, "documents"))
 
 
+def q_pack_sequences(spark, sf):
+    """GPT-style training-sequence packing: fixed 2048-token sequences
+    per source in deterministic doc order (running-sum window + groupBy)."""
+    from reading_the_unreadable_spark.operators.quality import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), token_budget=2048)
+
+
 def q_pdf_extract(spark, sf):
     """North-rule PDF family: documents rendered to REAL single-page PDFs
     (8-word lines via absolute Tm placement; content streams
@@ -1002,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": q_para_dedup,
         "unigram_logprob": q_unigram_logprob,
         "source_mix": q_source_mix,
+        "pack_sequences": q_pack_sequences,
         "page_coverage": q_page_coverage,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -1529,6 +1538,25 @@ def oracle_sql() -> dict[str, str]:
               ('text',  2, 3, 500.0, 154.0, 950.001, 610.0),
               ('title', 2, 4, 500.0, 610.0, 950.001, 640.0)
             ) AS t(kind, column_number, reading_order, x1, y1, x2, y2)
+        """,
+        "pack_sequences": """
+            WITH d AS (
+              SELECT source AS part, doc_id,
+                     len(string_split(text, ' ')) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d),
+            s AS (
+              SELECT part, doc_id, n_tokens,
+                     cast(floor((cum - n_tokens) / 2048.0) AS INT) AS seq_id
+              FROM c)
+            SELECT part, seq_id, count(*)::INT AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   round(sum(n_tokens) / 2048.0, 6) AS fill_ratio,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM s GROUP BY part, seq_id
         """,
         "unigram_logprob": """
             WITH words AS (

@@ -92,6 +92,7 @@ HEADLINE = [
     "para_dedup",
     "unigram_logprob",
     "source_mix",
+    "pack_sequences",
     "combine_segments",
     "layout_postprocess",
     "extract_spans",

@@ -169,6 +169,47 @@ def source_mix(
     )
 
 
+def pack_sequences(
+    documents: DataFrame,
+    token_budget: int = 2048,
+    partition_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic training-sequence packing: documents are packed into
+    fixed-token-budget sequences in (partition, doc_id) order — a doc
+    starts in the sequence its cumulative starting offset falls into
+    (GPT-style contiguous packing, so a doc may finish past the budget
+    rather than be split).
+
+    Distributed shape: ONE window per ``partition_col`` value (running
+    token sum), then a groupBy on (partition, seq_id) — global greedy
+    packing would be inherently sequential, per-partition packing is the
+    standard parallel variant and keeps every partition independent.
+    Output: one row per packed sequence with its doc list and fill
+    metrics."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    d = documents.select(
+        F.col(partition_col).alias("part"), "doc_id", toks.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_cum", F.sum("n_tokens").over(w))
+    seq = F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(token_budget))
+    d = d.withColumn("seq_id", seq.cast("int"))
+    return d.groupBy("part", "seq_id").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.lit(float(token_budget)), 6
+        ).alias("fill_ratio"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def dedup_paragraphs(
     documents: DataFrame, text_col: str = "text"
 ) -> DataFrame:

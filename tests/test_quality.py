@@ -125,6 +125,27 @@ def test_source_mix_weights(spark):
     ) < 1e-5
 
 
+def test_pack_sequences(spark):
+    from reading_the_unreadable_spark.operators.quality import pack_sequences
+
+    rows = [
+        (1, "a " * 59 + "a", "s1"),   # 60 tokens
+        (2, "b " * 49 + "b", "s1"),   # 50 tokens -> starts at 60, seq 0
+        (3, "c " * 19 + "c", "s1"),   # 20 tokens -> starts at 110, seq 1
+        (4, "d " * 9 + "d", "s2"),    # 10 tokens, own partition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["part"], r["seq_id"]): r
+        for r in pack_sequences(df, token_budget=100).collect()
+    }
+    assert got[("s1", 0)]["n_docs"] == 2  # 60 + 50 (doc 2 STARTS inside budget)
+    assert got[("s1", 0)]["n_tokens"] == 110
+    assert got[("s1", 1)]["first_doc"] == 3
+    assert got[("s2", 0)]["n_tokens"] == 10
+    assert abs(got[("s1", 0)]["fill_ratio"] - 1.1) < 1e-9
+
+
 def test_c4_is_pure_map_stage(spark):
     df = spark.createDataFrame([("d", "x.")], "doc_id string, text string")
     for op in (c4_line_filters, gopher_repetition_signals):
