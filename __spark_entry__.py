@@ -812,6 +812,38 @@ def q_combine_segments(spark, sf):
     return combine_segments(segments)
 
 
+def q_knit_reclassify(spark, sf):
+    """Knit → post-OCR title reclassification: boxes whose knitted
+    completion used more than 50 tokens flip title→text (reference
+    pipeline_stages.py:394-398).  Segments are declared 'title'; the
+    per-doc completion sums straddle the threshold, so both branches
+    execute and the oracle states the CASE."""
+    from reading_the_unreadable_spark.operators.knit import (
+        combine_segments,
+        reclassify_long_titles,
+    )
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("DOC-"), did, F.lit("_page_0_title_B1C1R1_segment_"))
+
+    def seg(k: int):
+        return d.select(
+            F.concat(base, F.lit(str(k))).alias("custom_id"),
+            F.lit("part").alias("content"),
+            (F.col("n_chars") % 50 + F.lit(k)).cast("long").alias("prompt_tokens"),
+            (F.col("n_chars") % 40 + F.lit(2 * k)).cast("long").alias(
+                "completion_tokens"
+            ),
+            (F.col("n_chars") % 90 + F.lit(3 * k)).cast("long").alias("total_tokens"),
+        )
+
+    knitted = combine_segments(seg(0).unionByName(seg(1)))
+    return reclassify_long_titles(knitted).select(
+        "page_id", "box_page_id", "class", "completion_tokens", "segment_count"
+    )
+
+
 def q_layout_postprocess(spark, sf):
     """L4a/L8a/L8b driver coverage: the REAL layout chain over a
     deterministic five-box page per document — a full-width title, a
@@ -1001,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_gaps": q_fill_gaps,
         "layout_postprocess": q_layout_postprocess,
         "combine_segments": q_combine_segments,
+        "knit_reclassify": q_knit_reclassify,
         "html_strip": q_html_strip,
         "html_main_text": q_html_main_text,
         "html_blocks": q_html_blocks,
@@ -1755,6 +1788,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT doc_id, 5, 'terms & conditions', 18, 18,
                    1.0::DOUBLE, 0 FROM parts
             UNION ALL SELECT doc_id, 6, '', 0, 0, 0.0::DOUBLE, 0 FROM parts
+        """,
+        "knit_reclassify": """
+            SELECT 'DOC-' || doc_id || '_page_0' AS page_id,
+                   'B1C1R1' AS box_page_id,
+                   CASE WHEN (n_chars % 40) + (n_chars % 40 + 2) > 50
+                        THEN 'text' ELSE 'title' END AS "class",
+                   (n_chars % 40) + (n_chars % 40 + 2) AS completion_tokens,
+                   2::BIGINT AS segment_count
+            FROM documents
         """,
         "combine_segments": """
             WITH halves AS (
