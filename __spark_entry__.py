@@ -729,6 +729,25 @@ def q_source_mix(spark, sf):
     return source_mix(_t(spark, sf, "documents"))
 
 
+def q_redact_pii(spark, sf):
+    """PII scrubbing over documents with one injected instance of each
+    type (email, phone, IPv4, URL — the corpus itself is letters-only):
+    redacted text and per-type counts in closed form."""
+    from reading_the_unreadable_spark.operators.quality import redact_pii
+
+    d = _t(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact bob@example.com or 555-123-4567 at 10.0.0.1 via "),
+            F.lit("https://example.com/page?id="),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(injected)
+
+
 def q_pack_sequences(spark, sf):
     """GPT-style training-sequence packing: fixed 2048-token sequences
     per source in deterministic doc order (running-sum window + groupBy)."""
@@ -1044,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "source_mix": q_source_mix,
         "pack_sequences": q_pack_sequences,
+        "redact_pii": q_redact_pii,
         "page_coverage": q_page_coverage,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -1571,6 +1591,13 @@ def oracle_sql() -> dict[str, str]:
               ('text',  2, 3, 500.0, 154.0, 950.001, 610.0),
               ('title', 2, 4, 500.0, 610.0, 950.001, 640.0)
             ) AS t(kind, column_number, reading_order, x1, y1, x2, y2)
+        """,
+        "redact_pii": """
+            SELECT doc_id,
+                   text || ' contact <EMAIL> or <PHONE> at <IP> via <URL>'
+                     AS text,
+                   1 AS n_url, 1 AS n_email, 1 AS n_phone, 1 AS n_ip
+            FROM documents
         """,
         "pack_sequences": """
             WITH d AS (

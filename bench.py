@@ -93,6 +93,7 @@ HEADLINE = [
     "unigram_logprob",
     "source_mix",
     "pack_sequences",
+    "redact_pii",
     "combine_segments",
     "layout_postprocess",
     "extract_spans",

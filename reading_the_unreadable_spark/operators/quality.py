@@ -169,6 +169,38 @@ def source_mix(
     )
 
 
+# RE2-safe PII patterns (no backrefs/lookaround), shared with the oracle;
+# order matters: URLs first so their hosts aren't half-redacted later.
+PII_PATTERNS = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrubbing: emails, phone numbers, IPv4 addresses,
+    and URLs replaced with type tokens, with per-type match counts.
+
+    Pure map stage (regexp chains, zero shuffle, streams over 100 TB);
+    each type's count is taken on the text as it stands before that
+    pattern's replacement, so an already-redacted URL's tail can't also
+    count as an email.  The pattern set is the usual first-line scrub, not an NER
+    system — names/addresses need a model pass (the mapInPandas slot in
+    :mod:`multimodal` is the shape for that)."""
+    out = F.col(text_col)
+    counts = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[name] = F.size(F.regexp_extract_all(out, F.lit(pat), 0))
+        out = F.regexp_replace(out, pat, token)
+    return documents.select(
+        "doc_id",
+        out.alias("text"),
+        *[counts[n].alias(f"n_{n}") for n, _, _ in PII_PATTERNS],
+    )
+
+
 def pack_sequences(
     documents: DataFrame,
     token_budget: int = 2048,

@@ -146,6 +146,29 @@ def test_pack_sequences(spark):
     assert abs(got[("s1", 0)]["fill_ratio"] - 1.1) < 1e-9
 
 
+def test_redact_pii(spark):
+    from reading_the_unreadable_spark.operators.quality import redact_pii
+
+    rows = [
+        (
+            "d",
+            "reach bob@example.com or +1 555-123-4567, server 10.0.0.1, "
+            "docs at https://example.com/a?b=c end",
+        ),
+        ("clean", "nothing sensitive in here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    d = got["d"]
+    assert d["text"] == (
+        "reach <EMAIL> or +1 <PHONE>, server <IP>, docs at <URL> end"
+    )
+    assert (d["n_email"], d["n_phone"], d["n_ip"], d["n_url"]) == (1, 1, 1, 1)
+    c = got["clean"]
+    assert c["text"] == rows[1][1]
+    assert (c["n_email"], c["n_phone"], c["n_ip"], c["n_url"]) == (0, 0, 0, 0)
+
+
 def test_c4_is_pure_map_stage(spark):
     df = spark.createDataFrame([("d", "x.")], "doc_id string, text string")
     for op in (c4_line_filters, gopher_repetition_signals):
