@@ -129,9 +129,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def best_of(fn, k: int = 2) -> float:
+    def best_of(fn, k: int = 3) -> float:
         """Best of k timed runs — this VM shows bursty CPU-steal noise
-        (single-shot timings occasionally read 10-100x high); noise only
+        (single-shot timings occasionally read 10-100x high; a measured
+        burst once put ngram_jaccard at 11s vs its usual 2s); noise only
         ever slows a run, so min measures capability."""
         best = float("inf")
         for _ in range(k):
