@@ -692,6 +692,31 @@ def q_gopher_signals(spark, sf):
     return gopher_repetition_signals(lined)
 
 
+def q_gopher_filter(spark, sf):
+    """Gopher keep/drop decision with BOTH outcomes exercised: docs with
+    even n_chars get their first line repeated three times (duplicate-
+    line fraction over threshold → dropped), odd docs stay clean."""
+    from reading_the_unreadable_spark.operators.quality import gopher_filter
+
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    nc = F.ceil(F.size(words) / F.lit(5)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
+    )
+    first = F.element_at(chunks, 1)
+    extra = F.when(
+        F.col("n_chars") % 2 == 0, F.array(first, first, first)
+    ).otherwise(F.array().cast("array<string>"))
+    text = F.array_join(F.concat(chunks, extra), "\n")
+    lined = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        text.alias("text"),
+    )
+    return gopher_filter(lined)
+
+
 def q_para_dedup(spark, sf):
     """Corpus-wide exact paragraph dedup: every document carries a shared
     boilerplate paragraph between its two halves; after dedup it survives
@@ -1059,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "c4_filters": q_c4_filters,
         "gopher_signals": q_gopher_signals,
+        "gopher_filter": q_gopher_filter,
         "para_dedup": q_para_dedup,
         "unigram_logprob": q_unigram_logprob,
         "source_mix": q_source_mix,
@@ -1703,6 +1729,53 @@ def oracle_sql() -> dict[str, str]:
               round(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
                     * 1.0 / len(lines), 6) AS ellipsis_line_frac
             FROM g
+        """,
+        "gopher_filter": """
+            WITH c AS (
+              SELECT 'doc-' || doc_id AS doc_id, n_chars,
+                     string_split(text, ' ') AS w,
+                     cast(ceil(len(string_split(text, ' ')) / 5.0) AS INT) AS nc
+              FROM documents),
+            built AS (
+              SELECT doc_id,
+                list_concat(
+                  list_transform(generate_series(1, nc), i ->
+                    array_to_string(w[(i-1)*5+1:(i-1)*5+5], ' ')),
+                  CASE WHEN n_chars % 2 = 0
+                       THEN [array_to_string(w[1:5], ' '),
+                             array_to_string(w[1:5], ' '),
+                             array_to_string(w[1:5], ' ')]
+                       ELSE [] END) AS al
+              FROM c),
+            g AS (
+              SELECT doc_id,
+                     al AS lines,
+                     string_split(array_to_string(al, chr(10)),
+                                  chr(10)||chr(10)) AS paras,
+                     string_split(array_to_string(al, chr(10)), ' ') AS words
+              FROM built),
+            m AS (
+              SELECT doc_id,
+                round(1 - len(list_distinct(lines)) * 1.0 / len(lines), 6)
+                  AS dup_line_frac,
+                round(1 - len(list_distinct(paras)) * 1.0 / len(paras), 6)
+                  AS dup_para_frac,
+                round(1 - len(list_distinct(words)) * 1.0 / len(words), 6)
+                  AS dup_word_frac,
+                round(list_sum(list_transform(words, x -> length(x))) * 1.0
+                      / len(words), 6) AS mean_word_len,
+                round(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '• %'))
+                      * 1.0 / len(lines), 6) AS bullet_line_frac,
+                round(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+                      * 1.0 / len(lines), 6) AS ellipsis_line_frac
+              FROM g)
+            SELECT *,
+                   CASE WHEN dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+                             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                             AND bullet_line_frac <= 0.90
+                             AND ellipsis_line_frac <= 0.30
+                        THEN 1 ELSE 0 END AS kept
+            FROM m
         """,
         "para_dedup": """
             WITH halves AS (

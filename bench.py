@@ -89,6 +89,7 @@ HEADLINE = [
     "pdf_extract",
     "c4_filters",
     "gopher_signals",
+    "gopher_filter",
     "para_dedup",
     "unigram_logprob",
     "source_mix",

@@ -169,6 +169,36 @@ def source_mix(
     )
 
 
+# Gopher/MassiveText document-filter thresholds (Rae et al. 2021, table A1
+# family — the repetition/shape subset computable without a tokenizer)
+GOPHER_THRESHOLDS = {
+    "max_dup_line_frac": 0.30,
+    "max_dup_para_frac": 0.30,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_bullet_line_frac": 0.90,
+    "max_ellipsis_line_frac": 0.30,
+}
+
+
+def gopher_filter(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher document-level keep/drop decision over
+    :func:`gopher_repetition_signals`: a doc survives iff every signal is
+    inside its threshold.  Same zero-shuffle map stage, one extra
+    conjunction column."""
+    t = GOPHER_THRESHOLDS
+    s = gopher_repetition_signals(documents, text_col)
+    kept = (
+        (F.col("dup_line_frac") <= t["max_dup_line_frac"])
+        & (F.col("dup_para_frac") <= t["max_dup_para_frac"])
+        & (F.col("mean_word_len") >= t["min_mean_word_len"])
+        & (F.col("mean_word_len") <= t["max_mean_word_len"])
+        & (F.col("bullet_line_frac") <= t["max_bullet_line_frac"])
+        & (F.col("ellipsis_line_frac") <= t["max_ellipsis_line_frac"])
+    )
+    return s.withColumn("kept", kept.cast("int"))
+
+
 # RE2-safe PII patterns (no backrefs/lookaround), shared with the oracle;
 # order matters: URLs first so their hosts aren't half-redacted later.
 PII_PATTERNS = (

@@ -146,6 +146,19 @@ def test_pack_sequences(spark):
     assert abs(got[("s1", 0)]["fill_ratio"] - 1.1) < 1e-9
 
 
+def test_gopher_filter_decision(spark):
+    from reading_the_unreadable_spark.operators.quality import gopher_filter
+
+    rows = [
+        ("clean", "a normal line of proper text\nanother fine line of words"),
+        ("repetitive", "same line again\nsame line again\nsame line again"),
+        ("tiny_words", "a b c d e f g h i j"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r["kept"] for r in gopher_filter(df).collect()}
+    assert got == {"clean": 1, "repetitive": 0, "tiny_words": 0}
+
+
 def test_redact_pii(spark):
     from reading_the_unreadable_spark.operators.quality import redact_pii
 
