@@ -694,8 +694,10 @@ def q_gopher_signals(spark, sf):
 
 def q_gopher_filter(spark, sf):
     """Gopher keep/drop decision with BOTH outcomes exercised: docs with
-    even n_chars get their first line repeated three times (duplicate-
-    line fraction over threshold → dropped), odd docs stay clean."""
+    even n_chars get their first line repeated three times, pushing the
+    duplicate-line fraction (3/(nc+3)) over the 0.30 threshold for the
+    shorter documents (~12% of the corpus drops, the rest keep — both
+    branches live at every SF)."""
     from reading_the_unreadable_spark.operators.quality import gopher_filter
 
     d = _t(spark, sf, "documents")
