@@ -748,6 +748,14 @@ def q_unigram_logprob(spark, sf):
     return unigram_logprob(_t(spark, sf, "documents"))
 
 
+def q_bigram_logprob(spark, sf):
+    """Bigram LM quality score (add-one smoothing) — the n-gram step
+    beyond the unigram scorer, trained on the corpus itself."""
+    from reading_the_unreadable_spark.operators.quality import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf, "documents"))
+
+
 def q_source_mix(spark, sf):
     """Training-mixture statistics: per-source doc/token counts, token
     share, and the temperature-scaled (alpha=0.7) sampling weight."""
@@ -1089,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "para_dedup": q_para_dedup,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "source_mix": q_source_mix,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -1656,6 +1665,23 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(c * 1.0 / total)), 4) AS avg_logprob,
                    count(*)::BIGINT AS n_tokens
             FROM words JOIN vocab USING (word), tot
+            GROUP BY doc_id
+        """,
+        "bigram_logprob": """
+            WITH flat AS (
+              SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+                   LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i)),
+            big AS (SELECT prev, cur, count(*) AS c_ab FROM flat GROUP BY 1, 2),
+            ctx AS (SELECT prev, count(*) AS c_a FROM flat GROUP BY 1),
+            v AS (SELECT count(DISTINCT w1) AS v FROM
+                   (SELECT unnest(string_split(text, ' ')) AS w1 FROM documents))
+            SELECT doc_id,
+                   round(avg(ln((c_ab + 1) * 1.0 / (c_a + v))), 4)
+                     AS avg_bigram_logprob,
+                   count(*)::BIGINT AS n_bigrams
+            FROM flat JOIN big USING (prev, cur) JOIN ctx USING (prev), v
             GROUP BY doc_id
         """,
         "source_mix": """

@@ -92,6 +92,7 @@ HEADLINE = [
     "gopher_filter",
     "para_dedup",
     "unigram_logprob",
+    "bigram_logprob",
     "source_mix",
     "pack_sequences",
     "redact_pii",

@@ -139,6 +139,49 @@ def unigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram LM quality score with add-one smoothing — one step closer
+    to CCNet's 5-gram KenLM than :func:`unigram_logprob`: documents are
+    scored by the mean log of P(w_i | w_{i-1}) = (C(prev,cur)+1) /
+    (C(prev)+V), with counts trained on the corpus itself.
+
+    Plan shape: the bigram stream is built with slice+arrays_zip (no
+    Python), aggregated twice (bigram and context counts — both
+    high-cardinality keys), joined back to the stream, and averaged per
+    doc; the vocabulary size is a 1-row broadcast.  Docs with fewer than
+    two tokens have no bigrams and no output row (contract: score what
+    can be scored)."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    pairs = F.arrays_zip(
+        F.slice(words, 1, n - 1).alias("prev"),
+        F.slice(words, 2, n - 1).alias("cur"),
+    )
+    flat = documents.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    big = flat.groupBy("prev", "cur").agg(F.count("*").alias("c_ab"))
+    ctx = flat.groupBy("prev").agg(F.count("*").alias("c_a"))
+    vocab = documents.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    scored = (
+        flat.join(big, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c_ab") + 1).cast("double") / (F.col("c_a") + F.col("v"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 4).alias("avg_bigram_logprob"),
+        F.count("*").cast("long").alias("n_bigrams"),
+    )
+
+
 def source_mix(
     documents: DataFrame, source_col: str = "source", alpha: float = 0.7
 ) -> DataFrame:

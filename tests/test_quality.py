@@ -106,6 +106,22 @@ def test_unigram_logprob_orders_gibberish_last(spark):
     assert the_lp > math.log(1 / 17)
 
 
+def test_bigram_logprob_exact_math(spark):
+    import math
+
+    from reading_the_unreadable_spark.operators.quality import bigram_logprob
+
+    rows = [("a", "x y x y"), ("b", "x z"), ("single", "lone")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    # corpus: bigrams (x,y):2 (y,x):1 (x,z):1; ctx x:3 y:1; V=4 {x,y,z,lone}
+    assert got["a"]["n_bigrams"] == 3
+    exp_a = (2 * math.log(3 / 7) + math.log(2 / 5)) / 3
+    assert got["a"]["avg_bigram_logprob"] == round(exp_a, 4)
+    assert got["b"]["avg_bigram_logprob"] == round(math.log(2 / 7), 4)
+    assert "single" not in got  # no bigrams, no row
+
+
 def test_source_mix_weights(spark):
     from reading_the_unreadable_spark.operators.quality import source_mix
 
