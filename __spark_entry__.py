@@ -1741,7 +1741,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      string_split(text, chr(10)) AS lines,
                      string_split(text, chr(10)||chr(10)) AS paras,
-                     string_split(text, ' ') AS words
+                     string_split_regex(text, '\s+') AS words
               FROM txt)
             SELECT doc_id,
               round(1 - len(list_distinct(lines)) * 1.0 / len(lines), 6)
@@ -1780,7 +1780,7 @@ def oracle_sql() -> dict[str, str]:
                      al AS lines,
                      string_split(array_to_string(al, chr(10)),
                                   chr(10)||chr(10)) AS paras,
-                     string_split(array_to_string(al, chr(10)), ' ') AS words
+                     string_split_regex(array_to_string(al, chr(10)), '\s+') AS words
               FROM built),
             m AS (
               SELECT doc_id,
@@ -1822,7 +1822,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, 2, array_to_string(w[half+1:len(w)], ' ')
               FROM halves),
             r AS (
-              SELECT *, md5(regexp_replace(lower(para), '[^a-z]', '', 'g')) AS fp
+              -- letters-only fingerprint with raw-lowercase fallback
+              -- (mirrors dedup_paragraphs: letter-free paragraphs must
+              -- not all collide on md5(''))
+              SELECT *, md5(CASE
+                WHEN length(regexp_replace(lower(para), '[^a-z]', '', 'g')) > 0
+                THEN regexp_replace(lower(para), '[^a-z]', '', 'g')
+                ELSE lower(para) END) AS fp
               FROM paras),
             k AS (
               SELECT *, row_number() OVER (PARTITION BY fp

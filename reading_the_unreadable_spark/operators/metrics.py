@@ -134,21 +134,25 @@ def cer_spans(
     :func:`cer` operator) is quadratic in doc length and dominates any
     corpus-scale job it appears in.
 
-    The join is LEFT from ground truth: a gt span with no prediction row
-    counts as a full deletion (distance = its length) — an inner join
-    would silently EXCLUDE dropped spans and score a pipeline that loses
-    text better than one that extracts it imperfectly."""
+    The join is FULL OUTER: a gt span with no prediction row counts as a
+    full deletion (distance = its length), and a prediction span with no
+    gt row counts as a full insertion (distance = its length, length
+    contribution 0) — an inner join would silently EXCLUDE dropped spans
+    and score a pipeline that loses text (or hallucinates extra spans)
+    better than one that extracts imperfectly."""
     norm = lambda c: F.lower(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
     joined = ground_truth.alias("g").join(
-        predictions.alias("p"), list(keys), "left"
+        predictions.alias("p"), list(keys), "full_outer"
     )
     gt, pred = norm(F.col("g.text")), norm(F.col("p.text"))
+    # a USING-style full-outer join already coalesces the key columns
     per_span = joined.select(
         F.col(keys[0]).alias("doc_id"),
-        F.when(F.col("p.text").isNull(), F.length(gt))
+        F.when(F.col("p.text").isNull(), F.length(gt))  # deletion
+        .when(F.col("g.text").isNull(), F.length(pred))  # insertion
         .otherwise(F.levenshtein(gt, pred))
         .alias("_lev"),
-        F.length(gt).alias("_len"),
+        F.coalesce(F.length(gt), F.lit(0)).alias("_len"),
     )
     return per_span.groupBy("doc_id").agg(
         F.round(F.sum("_lev").cast("double") / F.sum("_len"), 6).alias("cer"),

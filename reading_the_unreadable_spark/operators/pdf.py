@@ -215,7 +215,6 @@ def parse_content_text(stream: bytes) -> list[tuple[float, float, str]]:
 
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
-_INT_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\s*(\d+)\s*endobj")
 #  (?!\d) stops backtracking from shortening the number so the negative
 #  indirect-ref lookahead can't be dodged ('/Length 99 0 R' must never
 #  half-match as literal length 9)
@@ -223,14 +222,14 @@ _LEN_LIT_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _LEN_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
 
 
-def _scan_objects(payload: bytes) -> dict[int, bytes]:
-    """Binary-safe object scan: stream bodies are SKIPPED using the
-    declared /Length before searching for ``endobj``, so compressed
-    bytes that happen to contain ``endobj`` / ``N M obj`` marker runs
-    can neither truncate an object nor register phantom ones.
-    Indirect ``/Length N 0 R`` values are resolved via a pre-pass over
-    the (tiny, text-only) integer objects."""
-    int_objs = {int(m.group(1)): int(m.group(2)) for m in _INT_OBJ_RE.finditer(payload)}
+def _scan_pass(
+    payload: bytes, int_objs: dict[int, int] | None
+) -> dict[int, bytes]:
+    """One cursor pass of the binary-safe object scan.  Stream bodies
+    are skipped using the declared /Length before searching ``endobj``;
+    when a /Length is indirect and ``int_objs`` can't resolve it yet
+    (first pass), the scan falls back to the first ``endstream`` marker
+    for THAT stream only."""
     objs: dict[int, bytes] = {}
     pos = 0
     while True:
@@ -243,15 +242,25 @@ def _scan_objects(payload: bytes) -> dict[int, bytes]:
         if sm is not None and (end_probe == -1 or sm.start() < end_probe):
             head = payload[start : sm.start()]
             lit = _LEN_LIT_RE.search(head)
+            ref = None if lit else _LEN_REF_RE.search(head)
             if lit:
                 length = int(lit.group(1))
-            else:
-                ref = _LEN_REF_RE.search(head)
-                if ref is None or int(ref.group(1)) not in int_objs:
-                    raise NotImplementedError(
-                        "stream object without resolvable /Length"
-                    )
+            elif (
+                int_objs is not None
+                and ref is not None
+                and int(ref.group(1)) in int_objs
+            ):
                 length = int_objs[int(ref.group(1))]
+            elif int_objs is None and ref is not None:
+                # first pass: length unknown — advance past the nearest
+                # endstream marker (imperfect, but this pass only
+                # collects the tiny non-stream integer objects)
+                es = payload.find(b"endstream", sm.end())
+                length = (es - sm.end()) if es != -1 else 0
+            else:
+                raise NotImplementedError(
+                    "stream object without resolvable /Length"
+                )
             data_start = sm.end()
             end_probe = payload.find(b"endobj", data_start + length)
             if end_probe == -1:
@@ -262,24 +271,76 @@ def _scan_objects(payload: bytes) -> dict[int, bytes]:
         pos = end_probe + len(b"endobj")
 
 
+def _scan_objects(payload: bytes) -> dict[int, bytes]:
+    """Binary-safe object scan: stream bodies are SKIPPED using the
+    declared /Length before searching for ``endobj``, so compressed
+    bytes that happen to contain ``endobj`` / ``N M obj`` marker runs
+    can neither truncate an object nor register phantom ones.
+
+    Indirect ``/Length N 0 R`` values are resolved with a first cursor
+    pass that collects integer objects FROM SCANNED NON-STREAM BODIES
+    only — never by regexing the raw payload, where marker-like byte
+    runs inside compressed data could register phantom integers and
+    override the real length."""
+    first = _scan_pass(payload, int_objs=None)
+    int_objs: dict[int, int] = {}
+    for num, body in first.items():
+        if b"stream" not in body:
+            im = re.match(rb"\s*(\d+)\s*$", body)
+            if im:
+                int_objs[num] = int(im.group(1))
+    return _scan_pass(payload, int_objs)
+
+
+def _is_page(body: bytes) -> bool:
+    return b"/Type" in body and b"/Page" in body and b"/Pages" not in body
+
+
+def _is_pages_node(body: bytes) -> bool:
+    return b"/Type" in body and b"/Pages" in body and b"/Kids" in body
+
+
+def _kids(body: bytes) -> list[int]:
+    km = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
+    if not km:
+        return []
+    return [int(r) for r in re.findall(rb"(\d+)\s+\d+\s+R", km.group(1))]
+
+
 def _page_order(objs: dict[int, bytes]) -> list[int]:
-    """Document page order from the /Pages node's /Kids array (object ids
-    are NOT ordering — real writers emit pages out of id order); falls
-    back to ascending id when no /Kids is present."""
-    page_ids = [
+    """Document page order by RECURSIVELY walking the /Pages tree from
+    the root (object ids are NOT ordering, and real writers balance
+    larger documents into multi-level /Pages trees whose root /Kids
+    reference intermediate /Pages nodes, not leaves).  Falls back to
+    ascending-id order over /Type /Page leaves when no tree resolves,
+    and always appends any leaf pages the tree missed (orphans) so text
+    is never silently dropped."""
+    page_ids = [num for num, body in objs.items() if _is_page(body)]
+    roots = [
         num
         for num, body in objs.items()
-        if b"/Type" in body and b"/Page" in body and b"/Pages" not in body
+        if _is_pages_node(body)
+        and not any(num in _kids(b) for b in objs.values() if _is_pages_node(b))
     ]
-    for body in objs.values():
-        if b"/Type" in body and b"/Pages" in body and b"/Kids" in body:
-            km = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
-            if km:
-                refs = [int(r) for r in re.findall(rb"(\d+)\s+\d+\s+R", km.group(1))]
-                known = [r for r in refs if r in objs]
-                if known:
-                    return known
-    return sorted(page_ids)
+    ordered: list[int] = []
+    seen: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in seen or num not in objs:
+            return
+        seen.add(num)
+        body = objs[num]
+        if _is_page(body):
+            ordered.append(num)
+        elif _is_pages_node(body):
+            for kid in _kids(body):
+                walk(kid)
+
+    for root in roots:
+        walk(root)
+    # orphans: leaf pages the tree never reached (broken /Kids, etc.)
+    ordered.extend(n for n in sorted(page_ids) if n not in seen)
+    return ordered
 
 
 def decode_pdf(payload: bytes) -> list[list[tuple[float, float, str]]]:

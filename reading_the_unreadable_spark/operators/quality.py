@@ -84,7 +84,11 @@ def gopher_repetition_signals(
     text = F.col(text_col)
     lines = F.split(text, "\n")
     paras = F.split(text, "\n\n")
-    words = F.split(text, " ")
+    # whitespace-class tokenization (the Gopher paper's grain): a plain
+    # single-space split would fuse words across newlines ('sat\\nthe' as
+    # one 7-char token), inflating mean_word_len and hiding duplicate
+    # words at line boundaries
+    words = F.split(text, r"\s+")
     n_lines = F.size(lines).cast("double")
     n_paras = F.size(paras).cast("double")
     n_words = F.size(words).cast("double")
@@ -183,7 +187,10 @@ def bigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def source_mix(
-    documents: DataFrame, source_col: str = "source", alpha: float = 0.7
+    documents: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.7,
+    text_col: str = "text",
 ) -> DataFrame:
     """Training-mixture statistics per source/domain: document and token
     counts, token share, and the standard temperature-scaled sampling
@@ -192,7 +199,7 @@ def source_mix(
     the normalization constant is a broadcast single row."""
     per = documents.groupBy(source_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
     )
     tot = per.agg(
         F.sum("n_tokens").alias("_tot"),
@@ -332,7 +339,12 @@ def dedup_paragraphs(
     flat = documents.select(
         "doc_id", F.posexplode(paras).alias("para_idx", "para")
     )
-    fp = F.md5(F.regexp_replace(F.lower(F.col("para")), "[^a-z]", ""))
+    # letters-only normalization, falling back to the raw lowercase
+    # paragraph when no ASCII letters survive — otherwise every numeric /
+    # punctuation-only / non-Latin paragraph would collide on md5('')
+    # and all but one be deleted corpus-wide as "duplicates"
+    norm = F.regexp_replace(F.lower(F.col("para")), "[^a-z]", "")
+    fp = F.md5(F.when(F.length(norm) > 0, norm).otherwise(F.lower(F.col("para"))))
     flat = flat.withColumn("_fp", fp)
     w = Window.partitionBy("_fp").orderBy("doc_id", "para_idx")
     flat = flat.withColumn("_rank", F.row_number().over(w))

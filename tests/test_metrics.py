@@ -63,6 +63,15 @@ def test_cer_spans_missing_prediction_counts_as_deletion(spark):
     # lev: 1 (substitution) + 9 (full deletion of 'gone span'); len 11+9
     assert got["gt_len"] == 20
     assert abs(got["cer"] - 10 / 20) < 1e-9
+    # hallucinated prediction-only spans are charged as insertions
+    pred2 = pred.union(
+        spark.createDataFrame(
+            [("a", 7, "extra!")], "doc_id string, span_idx int, text string"
+        )
+    )
+    got2 = cer_spans(pred2, gt).first()
+    assert got2["gt_len"] == 20  # gt length unchanged
+    assert abs(got2["cer"] - 16 / 20) < 1e-9  # +6 chars of insertion
 
 
 def test_chunk_spans_grid(spark):

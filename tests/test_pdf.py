@@ -110,6 +110,46 @@ def test_binary_safe_marker_bytes_in_stream():
     ]
 
 
+def test_multilevel_pages_tree():
+    """Acrobat-style balanced trees put intermediate /Pages nodes in the
+    root's /Kids — the walk must recurse to the leaves."""
+    import re
+
+    pdf = encode_pdf([["page one text"], ["page two text"]])
+    # find the root /Pages object and its two kid refs
+    m = re.search(rb"(\d+) 0 obj\n<< /Type /Pages /Kids \[(\d+) 0 R (\d+) 0 R\]", pdf)
+    root, k1, k2 = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    # splice two intermediate /Pages nodes (98, 99) between root and leaves
+    inter = (
+        b"98 0 obj\n<< /Type /Pages /Kids [%d 0 R] /Count 1 >>\nendobj\n"
+        b"99 0 obj\n<< /Type /Pages /Kids [%d 0 R] /Count 1 >>\nendobj\n"
+        % (k1, k2)
+    )
+    patched = pdf.replace(
+        b"/Kids [%d 0 R %d 0 R]" % (k1, k2), b"/Kids [98 0 R 99 0 R]"
+    ).replace(b"xref\n", inter + b"xref\n", 1)
+    got = [[t for _, _, t in p] for p in decode_pdf(patched)]
+    assert got == [["page one text"], ["page two text"]]
+
+
+def test_phantom_int_object_in_stream_ignored():
+    """'N M obj K endobj' byte runs INSIDE stream data must not override
+    a real indirect-/Length integer object."""
+    import re
+
+    pdf = encode_pdf([["first run kept", "second run kept"]], compress=False)
+    m = re.search(rb"/Length (\d+)", pdf)
+    real_len = int(m.group(1))
+    # poison the content stream with a phantom shorter declaration of 99
+    poison = b"\n% 99 0 obj 3 endobj"
+    pdf2 = pdf.replace(b"ET\nendstream", b"ET" + poison + b"\nendstream", 1)
+    pdf2 = pdf2.replace(
+        b"/Length %d" % real_len, b"/Length 99 0 R", 1
+    ) + b"\n99 0 obj %d endobj\n" % (real_len + len(poison))
+    got = [[t for _, _, t in p] for p in decode_pdf(pdf2)]
+    assert got == [["first run kept", "second run kept"]]
+
+
 def test_parse_pdf_spans_spark(spark):
     rows = [
         ("a", bytearray(encode_pdf([["line one", "line two"], ["p2"]], compress=True))),
