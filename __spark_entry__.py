@@ -624,6 +624,22 @@ def q_html_blocks(spark, sf):
     return html_blocks(_html_corpus(spark, sf))
 
 
+def _word_chunks(n_words: int, decorate=None):
+    """Shared adapter helper: the text column's words in ``n_words``
+    groups as an array<string> of lines; ``decorate(line, i)`` optionally
+    post-processes each line expression."""
+    words = F.split(F.col("text"), " ")
+    nc = F.ceil(F.size(words) / F.lit(n_words)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda i: (
+            decorate(F.array_join(F.slice(words, i * n_words + 1, n_words), " "), i)
+            if decorate
+            else F.array_join(F.slice(words, i * n_words + 1, n_words), " ")
+        ),
+    )
+
+
 def q_c4_filters(spark, sf):
     """C4 line-rule cleaning over a deterministic multi-line rendition of
     each document: 6-word lines, every third line left unpunctuated
@@ -633,13 +649,10 @@ def q_c4_filters(spark, sf):
     from reading_the_unreadable_spark.operators.quality import c4_line_filters
 
     d = _t(spark, sf, "documents")
-    words = F.split(F.col("text"), " ")
-    nc = F.ceil(F.size(words) / F.lit(6)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), nc - 1),
-        lambda i: F.concat(
-            F.array_join(F.slice(words, i * 6 + 1, 6), " "),
-            F.when(i % 3 != 2, F.lit(".")).otherwise(F.lit("")),
+    chunks = _word_chunks(
+        6,
+        lambda line, i: F.concat(
+            line, F.when(i % 3 != 2, F.lit(".")).otherwise(F.lit(""))
         ),
     )
     text = F.concat(
@@ -667,12 +680,7 @@ def q_gopher_signals(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
-    words = F.split(F.col("text"), " ")
-    nc = F.ceil(F.size(words) / F.lit(5)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), nc - 1),
-        lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
-    )
+    chunks = _word_chunks(5)
     para = F.array_join(
         F.concat(
             chunks,
@@ -701,12 +709,7 @@ def q_gopher_filter(spark, sf):
     from reading_the_unreadable_spark.operators.quality import gopher_filter
 
     d = _t(spark, sf, "documents")
-    words = F.split(F.col("text"), " ")
-    nc = F.ceil(F.size(words) / F.lit(5)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), nc - 1),
-        lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
-    )
+    chunks = _word_chunks(5)
     first = F.element_at(chunks, 1)
     extra = F.when(
         F.col("n_chars") % 2 == 0, F.array(first, first, first)
