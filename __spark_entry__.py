@@ -1042,7 +1042,66 @@ def q_extract_spans_filled(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering matters: the driver's correctness harness samples the FIRST 50
+    # entries of this dict at sf0.1.  The flagship extraction chain and every
+    # operator family that had not yet received a driver row (r03 verdict §Next
+    # #1) lead; the long-green TPC-style queries (driver-green since r01) are
+    # rotated to the back, where the pytest DuckDB replica
+    # (tests/test_queries_vs_duckdb.py) still replays every one of them.
     return {
+        # -- flagship extraction chain + never-driver-checked families first --
+        "extract_spans": q_extract_spans,
+        "extract_articles": q_extract_articles,
+        "extract_spans_filled": q_extract_spans_filled,
+        "pdf_extract": q_pdf_extract,
+        "html_blocks": q_html_blocks,
+        "c4_filters": q_c4_filters,
+        "gopher_signals": q_gopher_signals,
+        "gopher_filter": q_gopher_filter,
+        "para_dedup": q_para_dedup,
+        "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
+        "source_mix": q_source_mix,
+        "pack_sequences": q_pack_sequences,
+        "redact_pii": q_redact_pii,
+        "embedding_near_dup": q_embedding_near_dup,
+        "centroid_dendrogram": q_centroid_dendrogram,
+        # -- remaining operator-family queries (driver-green r02/r03) --
+        "html_strip": q_html_strip,
+        "html_main_text": q_html_main_text,
+        "page_coverage": q_page_coverage,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_multiprobe": q_ann_multiprobe,
+        "ann_ivf": q_ann_ivf,
+        "label_centroids": q_label_centroids,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "near_dup_verified": q_near_dup_verified,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "bpe_tokens": q_bpe_tokens,
+        "readability": q_readability,
+        "one_hot_labels": q_one_hot_labels,
+        "json_permissive": q_json_permissive,
+        "cer_eval": q_cer_eval,
+        "merge_overlap": q_merge_overlap,
+        "fill_gaps": q_fill_gaps,
+        "layout_postprocess": q_layout_postprocess,
+        "combine_segments": q_combine_segments,
+        "knit_reclassify": q_knit_reclassify,
+        "dow_revenue": q_dow_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "deterministic_sample": q_deterministic_sample,
+        "union_segments": q_union_segments,
+        "except_customers": q_except_customers,
+        "name_distance": q_name_distance,
+        # -- long-green TPC-style rows (driver-green r01-r03), rotated back --
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
@@ -1065,56 +1124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_buckets": q_price_buckets,
         "pivot_avg": q_pivot_avg,
         "global_stats": q_global_stats,
-        "dow_revenue": q_dow_revenue,
-        "rollup_revenue": q_rollup_revenue,
-        "deterministic_sample": q_deterministic_sample,
-        "union_segments": q_union_segments,
-        "except_customers": q_except_customers,
-        "name_distance": q_name_distance,
-        "exact_dedup": q_exact_dedup,
-        "minhash_lsh": q_minhash_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "near_dup_verified": q_near_dup_verified,
-        "token_stats": q_token_stats,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_fingerprint,
-        "bpe_tokens": q_bpe_tokens,
-        "readability": q_readability,
-        "one_hot_labels": q_one_hot_labels,
-        "json_permissive": q_json_permissive,
-        "cer_eval": q_cer_eval,
-        "merge_overlap": q_merge_overlap,
-        "fill_gaps": q_fill_gaps,
-        "layout_postprocess": q_layout_postprocess,
-        "combine_segments": q_combine_segments,
-        "knit_reclassify": q_knit_reclassify,
-        "html_strip": q_html_strip,
-        "html_main_text": q_html_main_text,
-        "html_blocks": q_html_blocks,
-        "pdf_extract": q_pdf_extract,
-        "c4_filters": q_c4_filters,
-        "gopher_signals": q_gopher_signals,
-        "gopher_filter": q_gopher_filter,
-        "para_dedup": q_para_dedup,
-        "unigram_logprob": q_unigram_logprob,
-        "bigram_logprob": q_bigram_logprob,
-        "source_mix": q_source_mix,
-        "pack_sequences": q_pack_sequences,
-        "redact_pii": q_redact_pii,
-        "page_coverage": q_page_coverage,
-        "cosine_topk": q_cosine_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_multiprobe": q_ann_multiprobe,
-        "ann_ivf": q_ann_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
-        "label_centroids": q_label_centroids,
-        "centroid_dendrogram": q_centroid_dendrogram,
-        "extract_articles": q_extract_articles,
-        "extract_spans": q_extract_spans,
-        "extract_spans_filled": q_extract_spans_filled,
     }
 
 
