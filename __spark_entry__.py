@@ -1731,7 +1731,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(kl) + 1 >= 3 THEN 1 ELSE 0 END AS kept
             FROM kept
         """,
-        "gopher_signals": """
+        "gopher_signals": r"""
             WITH c AS (
               SELECT 'doc-' || doc_id AS doc_id, string_split(text, ' ') AS w,
                      cast(ceil(len(string_split(text, ' ')) / 5.0) AS INT) AS nc
@@ -1770,7 +1770,7 @@ def oracle_sql() -> dict[str, str]:
                     * 1.0 / len(lines), 6) AS ellipsis_line_frac
             FROM g
         """,
-        "gopher_filter": """
+        "gopher_filter": r"""
             WITH c AS (
               SELECT 'doc-' || doc_id AS doc_id, n_chars,
                      string_split(text, ' ') AS w,
@@ -2025,7 +2025,10 @@ def oracle_sql() -> dict[str, str]:
                      lower(regexp_replace(replace(gt, 'e', ''), '\s+', ' ', 'g')) AS p
               FROM spans)
             SELECT doc_id,
-                   round(sum(levenshtein(g, p)) * 1.0 / sum(length(g)), 6) AS cer,
+                   CASE WHEN sum(length(g)) = 0
+                        THEN sum(levenshtein(g, p)) * 1.0
+                        ELSE round(sum(levenshtein(g, p)) * 1.0
+                                   / sum(length(g)), 6) END AS cer,
                    sum(length(g))::BIGINT AS gt_len
             FROM n GROUP BY doc_id
         """,

@@ -18,7 +18,6 @@ results bit-for-bit.
 from __future__ import annotations
 
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,30 +44,69 @@ def _spread(documents: DataFrame, n_tasks: int | None = None) -> DataFrame:
     return documents.repartition(n)
 
 
-def _stage_boundary(df: DataFrame, tag: str) -> DataFrame:
-    """Materialize ``df`` to scratch parquet and read it back — an eager
-    stage boundary for plans that consume an expensive intermediate more
-    than once.
+def _scratch_root(spark) -> str:
+    """Scratch root ON THE SPARK DEFAULT FILESYSTEM.  A driver-local
+    ``tempfile.gettempdir()`` path is only correct when the default FS
+    is ``file:`` (local mode): on a cluster whose default FS is HDFS/S3
+    a schemeless write resolves against THAT FS while driver-local
+    cleanup would target a different disk — write and rmtree must agree."""
+    fs_default = spark._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+    if fs_default.startswith("file:"):
+        return tempfile.gettempdir()
+    return "/tmp"  # a path on the shared default FS
+
+
+def _rm_on_default_fs(spark, path: str) -> None:
+    """Recursive delete via the Hadoop FileSystem API — targets the same
+    filesystem the parquet write used (shutil.rmtree would not)."""
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(hconf).delete(p, True)
+    except Exception:
+        pass  # JVM may already be down at interpreter exit
+
+
+def _stage_boundary(df: DataFrame, tag: str, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` to scratch parquet and read it back — a stage
+    boundary for plans that consume an expensive intermediate more than
+    once.
 
     Versus ``.cache()`` (what an earlier revision used): a corpus-scale
     cached intermediate pins executor storage memory and thrashes at
     100 TB, while a parquet boundary is bounded by scratch disk, is
     readable with column pruning by each consumer, and survives executor
-    loss.  On a cluster the path would be a job-scoped scratch dir; here
-    paths live under an application-scoped directory that is removed at
-    interpreter exit, so repeated invocations in a long-lived session
-    cannot fill /tmp.  (Deliberately EAGER: calling a dedup operator
-    runs the upstream jobs at plan-build time — the stage boundary IS
-    the point.)"""
-    import atexit
-    import shutil
+    loss.
 
+    Scratch placement/cleanup: paths live under an application-scoped
+    directory on the SPARK DEFAULT FILESYSTEM (see :func:`_scratch_root`)
+    and are deleted through the Hadoop FS API at interpreter exit.  The
+    per-tag path is deterministic and overwritten on reuse, so a
+    long-lived session's scratch is bounded by the number of distinct
+    tags, not the number of invocations.  Caveat: re-invoking an
+    operator with the same tag invalidates the frame returned by the
+    PREVIOUS invocation (it reads the overwritten path) — consume a
+    boundary's result before rebuilding it.
+
+    ``eager=True`` (default) runs the upstream jobs at plan-build time —
+    for the dedup operators the boundary IS the point.  ``eager=False``
+    keeps the API lazy for composing callers where the reuse may never
+    materialize: it returns ``localCheckpoint(eager=False)``, which cuts
+    lineage into executor-local block storage only when the first
+    consuming action runs (no scratch parquet, no plan-build-time job)."""
+    import atexit
+
+    if not eager:
+        return df.localCheckpoint(eager=False)
     spark = df.sparkSession
-    app_dir = f"{tempfile.gettempdir()}/rtu_stage/{spark.sparkContext.applicationId}"
+    app_dir = (
+        f"{_scratch_root(spark)}/rtu_stage/{spark.sparkContext.applicationId}"
+    )
     if app_dir not in _STAGE_DIRS:
         _STAGE_DIRS.add(app_dir)
-        atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
-    path = f"{app_dir}/{tag}_{uuid.uuid4().hex}"
+        atexit.register(_rm_on_default_fs, spark, app_dir)
+    path = f"{app_dir}/{tag}"
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 

@@ -154,8 +154,15 @@ def cer_spans(
         .alias("_lev"),
         F.coalesce(F.length(gt), F.lit(0)).alias("_len"),
     )
+    # A doc present ONLY in predictions (pure hallucination) has
+    # sum(_len)=0; x/0 would yield NULL and the doc would silently
+    # vanish from cer_summary's percentiles — the very case the full
+    # outer join exists to penalize.  Emit the inserted-char count as
+    # the (finite, hashable) penalty instead.
     return per_span.groupBy("doc_id").agg(
-        F.round(F.sum("_lev").cast("double") / F.sum("_len"), 6).alias("cer"),
+        F.when(F.sum("_len") == 0, F.sum("_lev").cast("double"))
+        .otherwise(F.round(F.sum("_lev").cast("double") / F.sum("_len"), 6))
+        .alias("cer"),
         F.sum("_len").cast("long").alias("gt_len"),
     )
 

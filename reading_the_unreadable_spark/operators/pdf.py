@@ -149,6 +149,7 @@ def _decode_string(tok: bytes) -> str:
 
 _TOKEN_RE = re.compile(
     rb"\((?:\\.|[^()\\])*\)"  # literal string (with escapes)
+    rb"|<[0-9A-Fa-f\s]*>"  # hex string (whitespace allowed, odd len padded)
     rb"|\[|\]"
     rb"|/[A-Za-z0-9]+"
     rb"|[-+.0-9]+"
@@ -175,8 +176,14 @@ def parse_content_text(stream: bytes) -> list[tuple[float, float, str]]:
         if tok == b"]":
             stack.append(b"\x00ARRAY")  # placeholder; strings held in in_array
             continue
-        if tok.startswith(b"("):
-            s = _decode_string(tok[1:-1])
+        if tok.startswith(b"(") or tok.startswith(b"<"):
+            if tok.startswith(b"("):
+                s = _decode_string(tok[1:-1])
+            else:  # hex string: strip whitespace, pad odd digit count with 0
+                hx = re.sub(rb"\s", b"", tok[1:-1])
+                if len(hx) % 2:
+                    hx += b"0"
+                s = bytes.fromhex(hx.decode("ascii")).decode("latin-1")
             if in_array is not None:
                 in_array.append(s)
             else:
@@ -209,7 +216,11 @@ def parse_content_text(stream: bytes) -> list[tuple[float, float, str]]:
                 runs.append((x, y, stack[-1][4:].decode("utf-8", "surrogatepass")))
         elif op == b"TJ" and in_array is not None:
             runs.append((x, y, "".join(in_array)))
-            in_array = None
+        # ANY operator consumes an open array (dash patterns '[ ] 0 d',
+        # color arrays, …), not just TJ — leaving in_array set would
+        # silently route every later literal string into the stale array
+        # and drop all following page text
+        in_array = None
         stack.clear()
     return runs
 
@@ -243,6 +254,7 @@ def _scan_pass(
             head = payload[start : sm.start()]
             lit = _LEN_LIT_RE.search(head)
             ref = None if lit else _LEN_REF_RE.search(head)
+            data_start = sm.end()
             if lit:
                 length = int(lit.group(1))
             elif (
@@ -251,17 +263,35 @@ def _scan_pass(
                 and int(ref.group(1)) in int_objs
             ):
                 length = int_objs[int(ref.group(1))]
+                # the resolved integer came from pass-1 scanned bodies;
+                # validate it lands on the real stream terminator so a
+                # phantom integer can never silently mis-slice the data
+                if not re.match(
+                    rb"\s*endstream", payload[data_start + length :][:20]
+                ):
+                    raise NotImplementedError(
+                        "indirect /Length does not land on endstream"
+                    )
             elif int_objs is None and ref is not None:
-                # first pass: length unknown — advance past the nearest
-                # endstream marker (imperfect, but this pass only
-                # collects the tiny non-stream integer objects)
-                es = payload.find(b"endstream", sm.end())
-                length = (es - sm.end()) if es != -1 else 0
+                # first pass: length unknown — advance to the first
+                # 'endstream' that is actually followed by 'endobj'
+                # (compressed bytes can contain a bare 'endstream' run;
+                # stopping there would resume the scan mid-stream and
+                # register phantom integer objects from garbage)
+                es = data_start
+                while True:
+                    es = payload.find(b"endstream", es)
+                    if es == -1:
+                        length = 0
+                        break
+                    if re.match(rb"\s*endobj", payload[es + 9 :][:20]):
+                        length = es - data_start
+                        break
+                    es += len(b"endstream")
             else:
                 raise NotImplementedError(
                     "stream object without resolvable /Length"
                 )
-            data_start = sm.end()
             end_probe = payload.find(b"endobj", data_start + length)
             if end_probe == -1:
                 raise ValueError("unterminated stream object")

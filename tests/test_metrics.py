@@ -99,3 +99,24 @@ def test_coverage_on_pipeline_boxes(spark):
     assert len(rows) == 12
     assert all(0 < r["covered_frac"] <= 1.0 for r in rows)
     assert all(0 <= r["overlap_frac"] <= r["covered_frac"] for r in rows)
+
+
+def test_cer_spans_pure_hallucination_doc_not_null(spark):
+    """A doc present ONLY in predictions has gt_len 0; its cer must be a
+    finite penalty (the inserted-char count), never NULL/dropped — a
+    NULL would silently vanish from cer_summary's percentiles."""
+    from reading_the_unreadable_spark.operators.metrics import cer_spans
+
+    gt = spark.createDataFrame(
+        [("a", 0, "hello")], "doc_id string, span_idx int, text string"
+    )
+    pred = spark.createDataFrame(
+        [("a", 0, "hello"), ("ghost", 0, "made up text")],
+        "doc_id string, span_idx int, text string",
+    )
+    got = {r["doc_id"]: r for r in cer_spans(pred, gt).collect()}
+    assert got["a"]["cer"] == 0.0
+    assert got["ghost"]["gt_len"] == 0
+    assert got["ghost"]["cer"] == float(len("made up text"))
+    s = cer_summary(cer_spans(pred, gt)).first()
+    assert s["n_docs"] == 2  # hallucinated doc participates in summary

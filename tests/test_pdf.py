@@ -186,3 +186,56 @@ def test_pdf_layout_bridge(spark):
     spans = extract_from_boxes(boxes, num_partitions=2).collect()
     texts = [s["text"] for s in sorted(spans, key=lambda s: s["order"])]
     assert texts == ["first paragraph line", "second paragraph line"]
+
+
+def test_non_tj_operator_consumes_open_array():
+    """An array consumed by a non-TJ operator (dash pattern '[ ] 0 d',
+    color arrays, …) must not leave in_array set — a stale array would
+    swallow every later literal string and drop the rest of the page."""
+    runs = parse_content_text(
+        b"BT [ ] 0 d [ 1 2 ] 0 d 1 0 0 1 72 700 Tm (kept text) Tj ET"
+    )
+    assert runs == [(72.0, 700.0, "kept text")]
+
+
+def test_hex_strings():
+    """Hex strings <48656C6C6F> decode like literal strings (whitespace
+    allowed inside, odd digit count padded with 0) in both Tj and TJ."""
+    runs = parse_content_text(b"BT 1 0 0 1 10 20 Tm <48656C 6C6F> Tj ET")
+    assert runs == [(10.0, 20.0, "Hello")]
+    runs = parse_content_text(b"BT 1 0 0 1 0 0 Tm [ <41> (B) <431> ] TJ ET")
+    assert runs == [(0.0, 0.0, "ABC\x10")]  # <431> pads to 0x43 0x10
+
+
+def test_early_endstream_in_indirect_length_stream():
+    """Pass-1 fallback for an indirect-/Length stream must skip a bare
+    'endstream' byte run inside the body (it only stops at one followed
+    by 'endobj'), so the scan never resumes mid-stream."""
+    import re
+
+    pdf = encode_pdf([["first line", "second line"]], compress=False)
+    m = re.search(rb"/Length (\d+)", pdf)
+    real_len = int(m.group(1))
+    inject = b"(x endstream y) Tj\n"
+    pdf2 = pdf.replace(b"(first line) Tj", inject + b"(first line) Tj", 1)
+    pdf2 = pdf2.replace(
+        b"/Length %d" % real_len, b"/Length 99 0 R", 1
+    ) + b"\n99 0 obj %d endobj\n" % (real_len + len(inject))
+    got = [[t for _, _, t in p] for p in decode_pdf(pdf2)]
+    assert got == [["x endstream y", "first line", "second line"]]
+
+
+def test_wrong_indirect_length_raises():
+    """A resolved indirect /Length that does not land on 'endstream'
+    (e.g. poisoned by a phantom integer object) raises loudly instead of
+    silently mis-slicing the stream."""
+    import re
+
+    pdf = encode_pdf([["line one"]], compress=True)
+    m = re.search(rb"/Length (\d+)", pdf)
+    pdf2 = (
+        pdf.replace(b"/Length " + m.group(1), b"/Length 99 0 R", 1)
+        + b"\n99 0 obj 5 endobj\n"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_pdf(pdf2)
