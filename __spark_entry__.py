@@ -788,7 +788,10 @@ def q_redact_pii(spark, sf):
 
 def q_pack_sequences(spark, sf):
     """GPT-style training-sequence packing: fixed 2048-token sequences
-    per source in deterministic doc order (running-sum window + groupBy)."""
+    per (source, md5-shard) in deterministic doc order (running-sum
+    window + groupBy).  Sub-sharding keeps the inherently-sequential
+    greedy window parallel: sources × 16 tasks, not one task per
+    source."""
     from reading_the_unreadable_spark.operators.quality import pack_sequences
 
     return pack_sequences(_t(spark, sf, "documents"), token_budget=2048)
@@ -1650,22 +1653,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences": """
             WITH d AS (
-              SELECT source AS part, doc_id,
-                     len(string_split(text, ' ')) AS n_tokens
+              SELECT source AS part, substr(md5(doc_id::VARCHAR), 1, 1) AS shard,
+                     doc_id, len(string_split(text, ' ')) AS n_tokens
               FROM documents),
             c AS (
-              SELECT *, sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) AS cum
+              SELECT *, sum(n_tokens) OVER (PARTITION BY part, shard
+                        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
               FROM d),
             s AS (
-              SELECT part, doc_id, n_tokens,
+              SELECT part, shard, doc_id, n_tokens,
                      cast(floor((cum - n_tokens) / 2048.0) AS INT) AS seq_id
               FROM c)
-            SELECT part, seq_id, count(*)::INT AS n_docs,
+            SELECT part, shard, seq_id, count(*)::INT AS n_docs,
                    sum(n_tokens)::BIGINT AS n_tokens,
                    round(sum(n_tokens) / 2048.0, 6) AS fill_ratio,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
-            FROM s GROUP BY part, seq_id
+            FROM s GROUP BY part, shard, seq_id
         """,
         "unigram_logprob": """
             WITH words AS (

@@ -286,32 +286,44 @@ def pack_sequences(
     token_budget: int = 2048,
     partition_col: str = "source",
     text_col: str = "text",
+    shard_hex_chars: int = 1,
 ) -> DataFrame:
     """Deterministic training-sequence packing: documents are packed into
-    fixed-token-budget sequences in (partition, doc_id) order — a doc
-    starts in the sequence its cumulative starting offset falls into
+    fixed-token-budget sequences in (partition, shard, doc_id) order — a
+    doc starts in the sequence its cumulative starting offset falls into
     (GPT-style contiguous packing, so a doc may finish past the budget
     rather than be split).
 
-    Distributed shape: ONE window per ``partition_col`` value (running
-    token sum), then a groupBy on (partition, seq_id) — global greedy
-    packing would be inherently sequential, per-partition packing is the
-    standard parallel variant and keeps every partition independent.
-    Output: one row per packed sequence with its doc list and fill
-    metrics."""
+    Distributed shape: the greedy running-token-sum window is inherently
+    sequential WITHIN its window partition, so partitioning by
+    ``partition_col`` alone would funnel a 100 TB corpus through one
+    sort + prefix-sum task per source (the realistic case is a handful
+    of sources).  Packing is therefore SUB-SHARDED: ``shard`` is the
+    first ``shard_hex_chars`` hex digits of md5(doc_id) (deterministic
+    and engine-portable — same sharding in the DuckDB oracle), the
+    window runs per (part, shard), and sequences never cross shards.
+    Within a shard the semantics are exactly the unsharded greedy pack;
+    parallelism is sources × 16^``shard_hex_chars`` (raise to 2-3 hex
+    chars at corpus scale).  Output: one row per packed sequence with
+    its doc range and fill metrics."""
     toks = F.size(F.split(F.col(text_col), " "))
     d = documents.select(
-        F.col(partition_col).alias("part"), "doc_id", toks.alias("n_tokens")
+        F.col(partition_col).alias("part"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, shard_hex_chars).alias(
+            "shard"
+        ),
+        "doc_id",
+        toks.alias("n_tokens"),
     )
     w = (
-        Window.partitionBy("part")
+        Window.partitionBy("part", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = d.withColumn("_cum", F.sum("n_tokens").over(w))
     seq = F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(token_budget))
     d = d.withColumn("seq_id", seq.cast("int"))
-    return d.groupBy("part", "seq_id").agg(
+    return d.groupBy("part", "shard", "seq_id").agg(
         F.count("*").cast("int").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.round(

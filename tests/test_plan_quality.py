@@ -238,3 +238,13 @@ def test_skew_partition_balance(spark):
     mean = sum(sizes) / len(sizes)
     # every partition within 2x of the mean despite the heavy tail
     assert max(sizes) < 2 * mean, sizes
+
+
+def test_pack_sequences_subsharded(spark):
+    """The packing window must partition on (part, shard) — source alone
+    would serialize each source into one running-sum task at corpus
+    scale (the realistic corpus has a handful of sources)."""
+    plan = _plan(entrymod.q_pack_sequences(spark, SF))
+    m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert m is not None, plan[:1500]
+    assert "part" in m.group(1) and "shard" in m.group(1), m.group(1)

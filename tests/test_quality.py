@@ -144,22 +144,27 @@ def test_source_mix_weights(spark):
 def test_pack_sequences(spark):
     from reading_the_unreadable_spark.operators.quality import pack_sequences
 
+    # md5 first hex digit: 1→'c', 2→'c', 8→'c' (same shard); 3→'e'; 4→'a'
     rows = [
-        (1, "a " * 59 + "a", "s1"),   # 60 tokens
-        (2, "b " * 49 + "b", "s1"),   # 50 tokens -> starts at 60, seq 0
-        (3, "c " * 19 + "c", "s1"),   # 20 tokens -> starts at 110, seq 1
-        (4, "d " * 9 + "d", "s2"),    # 10 tokens, own partition
+        (1, "a " * 59 + "a", "s1"),   # 60 tokens, shard c
+        (2, "b " * 49 + "b", "s1"),   # 50 tokens, shard c -> starts at 60, seq 0
+        (8, "c " * 19 + "c", "s1"),   # 20 tokens, shard c -> starts at 110, seq 1
+        (3, "e " * 149 + "e", "s1"),  # 150 tokens, shard e: independent shard
+        (4, "d " * 9 + "d", "s2"),    # 10 tokens, own source partition
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     got = {
-        (r["part"], r["seq_id"]): r
+        (r["part"], r["shard"], r["seq_id"]): r
         for r in pack_sequences(df, token_budget=100).collect()
     }
-    assert got[("s1", 0)]["n_docs"] == 2  # 60 + 50 (doc 2 STARTS inside budget)
-    assert got[("s1", 0)]["n_tokens"] == 110
-    assert got[("s1", 1)]["first_doc"] == 3
-    assert got[("s2", 0)]["n_tokens"] == 10
-    assert abs(got[("s1", 0)]["fill_ratio"] - 1.1) < 1e-9
+    assert got[("s1", "c", 0)]["n_docs"] == 2  # 60 + 50 (doc 2 STARTS inside budget)
+    assert got[("s1", "c", 0)]["n_tokens"] == 110
+    assert got[("s1", "c", 1)]["first_doc"] == 8
+    # doc 3 packs in its own shard, unaffected by shard c's running sum
+    assert got[("s1", "e", 0)]["first_doc"] == 3
+    assert got[("s1", "e", 0)]["n_tokens"] == 150
+    assert got[("s2", "a", 0)]["n_tokens"] == 10
+    assert abs(got[("s1", "c", 0)]["fill_ratio"] - 1.1) < 1e-9
 
 
 def test_gopher_filter_decision(spark):
