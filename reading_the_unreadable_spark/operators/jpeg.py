@@ -1,0 +1,615 @@
+"""Baseline-sequential JFIF (JPEG) codec — pure numpy + stdlib.
+
+Scanned-newspaper and web corpora are overwhelmingly JPEG (the reference
+reads page images freely through cv2, ``send_to_lm_functions.py:715-737``);
+this container has no PIL/cv2, so — same policy as the PNG/PDF codecs in
+this repo — the profile real corpora actually use is implemented from
+the public JPEG spec (ITU-T T.81): baseline sequential DCT, 8-bit,
+Huffman-coded, grayscale or YCbCr with 1x1/2x1/1x2/2x2 sampling factors
+(4:4:4 / 4:2:2 / 4:2:0), restart markers.  Progressive (SOF2),
+arithmetic coding, and 12-bit precision raise ``NotImplementedError``
+loudly.  All constant tables below are the spec's public Annex K
+examples (quantization) and K.3.3 typical Huffman tables.
+
+The per-symbol Huffman loop is plain Python: correct and fine for the
+fixture-scale images tests feed through ``mapInPandas`` Arrow batches;
+a production deployment would swap a codec lib into
+``multimodal.decode_image`` without touching the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------- spec constants
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)  # fmt: skip
+
+Q_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+)  # fmt: skip
+
+Q_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ]
+)  # fmt: skip
+
+# (bits-per-length[1..16], symbol list) — spec K.3.3 typical tables
+DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)  # fmt: skip
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)  # fmt: skip
+
+# Orthonormal 8x8 DCT-II basis — identical to the JPEG FDCT/IDCT
+# definition (T.81 A.3.3): forward F = A @ f @ A.T, inverse f = A.T @ F @ A.
+_A = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(1 / 8) if _u == 0 else 0.5
+    for _x in range(8):
+        _A[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _huff_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, for bit-serial decoding."""
+    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, values).items()}
+
+
+def _scale_q(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling (public libjpeg formula)."""
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - quality * 2
+    return np.clip((base * s + 50) // 100, 1, 255).astype(np.int32)
+
+
+# ----------------------------------------------------------------- encoder
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """DC/AC value → (size, amplitude bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _block_grid(plane: np.ndarray) -> np.ndarray:
+    """Pad a plane to 8-multiples by edge replication, return
+    (by, bx, 8, 8) blocks."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = p.shape[0] // 8, p.shape[1] // 8
+    return p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+
+
+def _encode_plane_block(
+    block: np.ndarray,
+    q: np.ndarray,
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+    bw: _BitWriter,
+) -> int:
+    coeffs = _A @ (block - 128.0) @ _A.T
+    quant = np.round(coeffs.flatten() / q).astype(np.int32)[ZIGZAG]
+    # DC: differential
+    diff = int(quant[0]) - pred
+    size, bits = _magnitude(diff)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bits, size)
+    # AC: run-length of zeros + size
+    run = 0
+    for k in range(1, 64):
+        v = int(quant[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return int(quant[0])
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 uint8 RGB (or HxW grayscale) → baseline JFIF bytes.
+    ``subsample=True`` writes 4:2:0 (2x2 Y sampling), the common camera
+    layout; default is 4:4:4.  ``restart_interval`` emits a DRI segment
+    and RSTn markers every N MCUs (the error-resilience layout real
+    scanners produce)."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    ql = _scale_q(Q_LUMA, quality)
+    qc = _scale_q(Q_CHROMA, quality)
+    ql_z, qc_z = ql[ZIGZAG], qc[ZIGZAG]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(ql_z.tolist())
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qc_z.tolist())
+    # SOF0
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    y_samp = 0x22 if (subsample and not gray) else 0x11
+    sof += bytes([1, y_samp, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    # DHT
+    for tclass, tid, (bits, values) in (
+        (0, 0, DC_LUMA),
+        (1, 0, AC_LUMA),
+        (0, 1, DC_CHROMA),
+        (1, 1, AC_CHROMA),
+    ):
+        if gray and tid == 1:
+            continue
+        body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(values)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([ncomp])
+    sos += bytes([1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11]) + bytes([3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_l = _huff_codes(*DC_LUMA)
+    ac_l = _huff_codes(*AC_LUMA)
+    dc_c = _huff_codes(*DC_CHROMA)
+    ac_c = _huff_codes(*AC_CHROMA)
+    bw = _BitWriter()
+    mcu_n = 0
+    rst_n = 0
+
+    def maybe_restart(preds: list[int]) -> None:
+        nonlocal rst_n
+        if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+            bw.flush()
+            bw.buf += bytes([0xFF, 0xD0 + (rst_n % 8)])
+            rst_n += 1
+            preds[:] = [0] * len(preds)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+
+    if gray or not subsample:
+        grids = [_block_grid(p) for p in planes]
+        by, bx = grids[0].shape[:2]
+        preds = [0] * len(planes)
+        for yy in range(by):
+            for xx in range(bx):
+                maybe_restart(preds)
+                for ci, grid in enumerate(grids):
+                    q = ql if ci == 0 else qc
+                    dc = dc_l if ci == 0 else dc_c
+                    ac = ac_l if ci == 0 else ac_c
+                    preds[ci] = _encode_plane_block(
+                        grid[yy, xx], q, preds[ci], dc, ac, bw
+                    )
+                mcu_n += 1
+    else:
+        # 4:2:0 MCU = 4 Y blocks + 1 Cb + 1 Cr (chroma = 2x2 box mean)
+        ypl, cb, cr = planes
+        ph, pw = -h % 2, -w % 2
+        cbp = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
+        crp = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
+        cb2 = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+        cr2 = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+        ygrid = _block_grid(ypl)
+        # pad Y grid to even block counts so MCUs tile fully
+        by, bx = ygrid.shape[:2]
+        if by % 2 or bx % 2:
+            ygrid = np.pad(
+                ygrid, ((0, by % 2), (0, bx % 2), (0, 0), (0, 0)), mode="edge"
+            )
+            by, bx = ygrid.shape[:2]
+        cbg, crg = _block_grid(cb2), _block_grid(cr2)
+        preds = [0, 0, 0]
+        for my in range(by // 2):
+            for mx in range(bx // 2):
+                maybe_restart(preds)
+                for dy in range(2):
+                    for dx in range(2):
+                        preds[0] = _encode_plane_block(
+                            ygrid[my * 2 + dy, mx * 2 + dx], ql, preds[0],
+                            dc_l, ac_l, bw,
+                        )
+                preds[1] = _encode_plane_block(
+                    cbg[my, mx], qc, preds[1], dc_c, ac_c, bw
+                )
+                preds[2] = _encode_plane_block(
+                    crg[my, mx], qc, preds[2], dc_c, ac_c, bw
+                )
+                mcu_n += 1
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ----------------------------------------------------------------- decoder
+class _BitReader:
+    """Bit-serial reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at (and exposes) RST/other markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise EOFError("marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume a restart marker and byte-align."""
+        self.acc = 0
+        self.nbits = 0
+        # pos currently points at the 0xFF of the RST marker
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _decode_block(
+    br: _BitReader, dc_tab: dict, ac_tab: dict, q: np.ndarray, pred: int
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.float64)
+    size = _decode_symbol(br, dc_tab)
+    diff = _extend(br.read_bits(size), size)
+    dc = pred + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(br, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(br.read_bits(size), size)
+        k += 1
+    coeffs = np.zeros(64, dtype=np.float64)
+    coeffs[ZIGZAG] = zz * q
+    block = _A.T @ coeffs.reshape(8, 8) @ _A
+    return block + 128.0, dc
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → HxWx3 uint8 RGB (grayscale replicated).
+    Raises NotImplementedError on progressive/arithmetic/12-bit
+    profiles, ValueError on malformed data."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG: {payload[:4]!r}")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                # kept in ZIGZAG order — dequantization multiplies the
+                # zigzag-ordered coefficient vector directly
+                qtables[tq] = np.frombuffer(
+                    seg[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int32)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tclass, tid = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                nval = sum(bits)
+                values = list(seg[i + 17 : i + 17 + nval])
+                htables[(tclass, tid)] = _huff_decoder(bits, values)
+                i += 17 + nval
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit precision")
+            fh, fw = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = seg[6 + c * 3 : 9 + c * 3]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}): progressive/"
+                "arithmetic/hierarchical not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_tabs = {}
+            for c in range(ns):
+                cs, tt = seg[1 + c * 2 : 3 + c * 2]
+                scan_tabs[cs] = (tt >> 4, tt & 0x0F)
+            return _decode_scan(
+                payload, pos + 2 + seglen, frame, scan_tabs,
+                qtables, htables, restart_interval,
+            )
+        # APPn/COM/others: skip
+        pos += 2 + seglen
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(
+    payload: bytes,
+    pos: int,
+    frame: tuple,
+    scan_tabs: dict,
+    qtables: dict,
+    htables: dict,
+    restart_interval: int,
+) -> np.ndarray:
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _, ch, cv, _ in comps:
+        if ch not in (1, 2) or cv not in (1, 2):
+            raise NotImplementedError(f"sampling factor {ch}x{cv}")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-fw // mcu_w)
+    mcus_y = -(-fh // mcu_h)
+    planes = {
+        cid: np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
+        for cid, ch, cv, _ in comps
+    }
+    preds = {cid: 0 for cid, *_ in comps}
+    br = _BitReader(payload, pos)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                try:
+                    # drain padding bits until the marker surfaces
+                    while True:
+                        br.read_bit()
+                except _RestartMarker:
+                    br.align_restart()
+                    preds = {cid: 0 for cid, *_ in comps}
+            try:
+                for cid, ch, cv, tq in comps:
+                    dc_tab = htables[(0, scan_tabs[cid][0])]
+                    ac_tab = htables[(1, scan_tabs[cid][1])]
+                    q = qtables[tq]
+                    for dy in range(cv):
+                        for dx in range(ch):
+                            block, preds[cid] = _decode_block(
+                                br, dc_tab, ac_tab, q, preds[cid]
+                            )
+                            y0 = (my * cv + dy) * 8
+                            x0 = (mx * ch + dx) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+            except _RestartMarker:
+                raise ValueError("unexpected restart marker mid-MCU")
+            mcu_count += 1
+    # upsample to full resolution, crop, color-convert
+    full = []
+    for cid, ch, cv, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:fh, :fw])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)

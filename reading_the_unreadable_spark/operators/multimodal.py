@@ -4,12 +4,13 @@ typed metadata, with REAL decode for the container-friendly formats.
 Codec situation in this image: no PIL/cv2/soundfile.  Rather than stub
 everything, the formats that need no codec library are decoded for real:
 uncompressed 24-bit BMP and binary PGM/PPM (P5/P6) with a pure-numpy
-parser, and 8-bit non-interlaced PNG (gray/GA/RGB/RGBA) via stdlib zlib
-+ a numpy unfilter — so the full pipeline (binary column → decode →
+parser, 8-bit non-interlaced PNG (gray/GA/RGB/RGBA) via stdlib zlib +
+a numpy unfilter, and baseline-sequential JPEG via the from-scratch
+codec in :mod:`jpeg` — so the full pipeline (binary column → decode →
 resize → feature-extract) runs end-to-end over Arrow batches on the
-formats real corpora actually use.  JPEG (and exotic PNG variants)
-raise NotImplementedError with a clear message; swapping in PIL later
-changes only ``decode_image``.
+formats real corpora actually use.  Exotic variants (progressive JPEG,
+interlaced PNG, …) raise NotImplementedError with a clear message;
+swapping in PIL later changes only ``decode_image``.
 
 Scale design: decode/feature runs in ``mapInPandas`` (one Python entry
 per Arrow batch, per-worker init scope for model/codec state); media
@@ -242,7 +243,8 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """binary → HxWx3 uint8 RGB.  BMP/PGM/PPM/PNG decode for real (pure
-    numpy + stdlib zlib); JPEG needs a codec lib absent from this image."""
+    numpy + stdlib zlib); baseline-sequential JPEG via the from-scratch
+    codec in :mod:`jpeg` (progressive/arithmetic profiles raise there)."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
@@ -250,10 +252,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decode needs PIL/cv2 (not in this container); "
-            "re-encode as BMP/PPM/PNG or install a codec"
-        )
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(f"unknown image magic {payload[:4]!r}")
 
 

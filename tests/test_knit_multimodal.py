@@ -106,8 +106,10 @@ def test_codec_roundtrip_and_resize():
     # formats without a pure-python decode fail loudly, not silently
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG
+    with _pytest.raises(NotImplementedError):  # progressive (SOF2) JPEG
+        decode_image(
+            b"\xff\xd8\xff\xc2\x00\x0b" + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        )
     with _pytest.raises(NotImplementedError):
         decode_image(b"P5\n2 2\n65535\n" + bytes(8))  # 16-bit PNM
 
@@ -265,3 +267,86 @@ def test_media_join(spark):
     got = {r["kind"]: r["sha1"] for r in joined.collect()}
     assert got["figure"] is not None
     assert got["text"] is None
+
+
+def test_jpeg_roundtrip_profiles():
+    """From-scratch baseline JFIF codec: 4:4:4, 4:2:0, restart markers,
+    grayscale, odd dimensions — decode(encode(x)) ~ x within lossy
+    tolerance."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    img = (
+        np.linspace(0, 255, 50)[None, :, None]
+        + np.linspace(0, 60, 37)[:, None, None]
+        + rng.integers(0, 20, (37, 50, 3))
+    ).clip(0, 255).astype(np.uint8)
+    for kwargs in (
+        {},
+        {"subsample": True},
+        {"restart_interval": 3},
+        {"subsample": True, "restart_interval": 2},
+    ):
+        dec = decode_jpeg(encode_jpeg(img, quality=90, **kwargs))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int)).mean()
+        assert err < 8.0, (kwargs, err)
+    gray = img[:, :, 0]
+    dec = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert dec.shape == (37, 50, 3)
+    assert np.abs(dec[:, :, 0].astype(int) - gray.astype(int)).mean() < 4.0
+
+
+def test_jpeg_known_answer_entropy_bits():
+    """Spec known-answer check (guards against a symmetric encoder+
+    decoder bug): a uniform gray 8x8 single-component image encodes to
+    exactly DC size-0 ('00') + EOB ('1010') + 1-padding = 0x2B, per the
+    T.81 K.3.3 typical tables."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    enc = encode_jpeg(np.full((8, 8), 128, dtype=np.uint8), quality=90)
+    sos_at = enc.find(b"\xff\xda")
+    seglen = int.from_bytes(enc[sos_at + 2 : sos_at + 4], "big")
+    entropy = enc[sos_at + 2 + seglen : enc.rfind(b"\xff\xd9")]
+    assert entropy == b"\x2b", entropy.hex()
+    assert np.all(decode_jpeg(enc) == 128)
+
+
+def test_jpeg_via_decode_image_and_features(spark):
+    """JPEG payloads flow through the SAME mapInPandas feature pipeline
+    as the other codecs (media kind inferred, payload never collected)."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        extract_media_features,
+    )
+    from reading_the_unreadable_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    rows = []
+    for i in range(4):
+        img = (
+            np.linspace(0, 255, 32)[None, :, None]
+            + rng.integers(0, 30, (24, 32, 3))
+        ).clip(0, 255).astype(np.uint8)
+        payload = encode_jpeg(img, subsample=(i % 2 == 0))
+        assert decode_image(payload).shape == (24, 32, 3)
+        rows.append((f"m{i}.jpg", "image", bytearray(payload), 32, 24, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = extract_media_features(df).collect()
+    assert len(got) == 4
+    for r in got:
+        assert r["width"] == 32 and r["height"] == 24
+        assert len(r["feat"]) > 0
