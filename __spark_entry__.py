@@ -1029,6 +1029,9 @@ def q_extract_articles(spark, sf):
 
 
 def q_extract_spans(spark, sf):
+    """Flagship span extraction with the REFERENCE-default chain
+    (fill_columns=True is now the extract_from_boxes default); span
+    output is invariant to the gap fill, so the oracle is unchanged."""
     boxes = boxes_from_documents_table(_t(spark, sf, "documents"))
     return extract_from_boxes(boxes)
 

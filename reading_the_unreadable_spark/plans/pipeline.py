@@ -19,7 +19,7 @@ from ..operators.layout import layout_extract_spans
 def extract(
     docs: DataFrame,
     num_partitions: int | None = None,
-    fill_columns: bool = False,
+    fill_columns: bool = True,
 ) -> DataFrame:
     """docs(doc_id, spans) → flat extracted spans (doc_id, kind, text,
     media_ref, order).
@@ -33,7 +33,14 @@ def extract(
     post-correct, paragraph split, title merge, final ordering) runs
     fused inside the box-merge UDF's per-doc pandas pass
     (:func:`..operators.layout.layout_extract_spans`), byte-equal to the
-    declarative operators in :mod:`..operators.articles`."""
+    declarative operators in :mod:`..operators.articles`.
+
+    ``fill_columns`` defaults to True — the REFERENCE pipeline default
+    (``function_modules/pipeline.py:92``).  Span output is identical
+    either way (gap boxes carry empty text, which the paragraph split
+    drops — asserted by the extract_spans_filled oracle); only box
+    GEOMETRY consumers see the synthesized gap boxes.  Pass False to
+    replay the per-periodical usage in ``result_section.py:89-92``."""
     boxes = docs_to_geo_boxes(docs, num_partitions=num_partitions)
     return layout_extract_spans(
         boxes,
@@ -46,7 +53,7 @@ def extract(
 def extract_from_boxes(
     boxes: DataFrame,
     num_partitions: int | None = None,
-    fill_columns: bool = False,
+    fill_columns: bool = True,
 ) -> DataFrame:
     """Extraction over a boxes frame that already carries geometry
     (production shape: layout-model output lands next to the spans;
@@ -61,7 +68,7 @@ def extract_from_boxes(
 def extract_nested(
     docs: DataFrame,
     num_partitions: int | None = None,
-    fill_columns: bool = False,
+    fill_columns: bool = True,
 ) -> DataFrame:
     """docs → extracted(doc_id, spans<kind,text,media_ref,order>)."""
     return nest_spans(

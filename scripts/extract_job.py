@@ -44,11 +44,13 @@ def main() -> None:
         help="fault injection: stop after N buckets (kill/resume testing)",
     )
     ap.add_argument(
-        "--fill-columns",
-        action="store_true",
-        help="run the reference-default in-chain column gap fill "
-        "(postprocess_bbox fill_columns=True); span output is identical, "
-        "box geometry consumers see the synthesized gap boxes",
+        "--no-fill-columns",
+        dest="fill_columns",
+        action="store_false",
+        help="disable the in-chain column gap fill (the REFERENCE default "
+        "is ON, postprocess_bbox fill_columns=True); span output is "
+        "identical either way, box geometry consumers see the "
+        "synthesized gap boxes when on",
     )
     ap.add_argument(
         "--sink",
