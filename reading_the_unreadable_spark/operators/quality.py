@@ -123,23 +123,31 @@ def unigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
     score every document by its mean token log-probability — low scores
     flag gibberish/boilerplate, the classic perplexity filter.
 
-    Two shuffles total (vocab agg, score agg), both on high-cardinality
-    keys; the corpus-total denominator is a 1-row broadcast.  4dp
-    rounding absorbs float summation-order and libm-ulp differences
-    across engines."""
+    Skew story: the token→vocab join key is Zipf-distributed ("the"
+    lands every corpus occurrence in one hash partition), so the probe
+    side is PRE-AGGREGATED to (doc_id, word, n) first — partial
+    (map-side) aggregation collapses the hot tokens before any network,
+    the join probe shrinks from token count to per-doc distinct-word
+    count, and the per-doc score becomes the n-weighted mean (same
+    value; 4dp rounding absorbs float summation-order and libm-ulp
+    differences across engines).  The corpus-total denominator is a
+    1-row broadcast."""
     words = documents.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
     )
     vocab = words.groupBy("word").agg(F.count("*").alias("c"))
     total = vocab.agg(F.sum("c").alias("total"))
+    doc_word = words.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
     scored = (
-        words.join(vocab, "word")
+        doc_word.join(vocab, "word")
         .join(F.broadcast(total))
-        .select("doc_id", F.log(F.col("c") / F.col("total")).alias("lp"))
+        .select("doc_id", "n", F.log(F.col("c") / F.col("total")).alias("lp"))
     )
     return scored.groupBy("doc_id").agg(
-        F.round(F.avg("lp"), 4).alias("avg_logprob"),
-        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.sum(F.col("n") * F.col("lp")) / F.sum("n"), 4).alias(
+            "avg_logprob"
+        ),
+        F.sum("n").cast("long").alias("n_tokens"),
     )
 
 
@@ -151,10 +159,12 @@ def bigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
     Plan shape: the bigram stream is built with slice+arrays_zip (no
     Python), aggregated twice (bigram and context counts — both
-    high-cardinality keys), joined back to the stream, and averaged per
-    doc; the vocabulary size is a 1-row broadcast.  Docs with fewer than
-    two tokens have no bigrams and no output row (contract: score what
-    can be scored)."""
+    high-cardinality keys), joined back to the PRE-AGGREGATED per-doc
+    bigram counts (same skew treatment as :func:`unigram_logprob` — the
+    Zipf-hot (prev, cur) keys are collapsed map-side before the join),
+    and n-weighted-averaged per doc; the vocabulary size is a 1-row
+    broadcast.  Docs with fewer than two tokens have no bigrams and no
+    output row (contract: score what can be scored)."""
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     pairs = F.arrays_zip(
@@ -169,20 +179,24 @@ def bigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
     vocab = documents.select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).agg(F.countDistinct("w").alias("v"))
+    doc_big = flat.groupBy("doc_id", "prev", "cur").agg(F.count("*").alias("n"))
     scored = (
-        flat.join(big, ["prev", "cur"])
+        doc_big.join(big, ["prev", "cur"])
         .join(ctx, "prev")
         .join(F.broadcast(vocab))
         .select(
             "doc_id",
+            "n",
             F.log((F.col("c_ab") + 1).cast("double") / (F.col("c_a") + F.col("v"))).alias(
                 "lp"
             ),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.round(F.avg("lp"), 4).alias("avg_bigram_logprob"),
-        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.sum(F.col("n") * F.col("lp")) / F.sum("n"), 4).alias(
+            "avg_bigram_logprob"
+        ),
+        F.sum("n").cast("long").alias("n_bigrams"),
     )
 
 

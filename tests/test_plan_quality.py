@@ -248,3 +248,18 @@ def test_pack_sequences_subsharded(spark):
     m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert m is not None, plan[:1500]
     assert "part" in m.group(1) and "shard" in m.group(1), m.group(1)
+
+
+def test_lm_scoring_probe_preaggregated(spark):
+    """The LM-score joins must probe with PRE-AGGREGATED per-doc counts,
+    not the raw Zipf-skewed token stream: the executed plan must contain
+    a HashAggregate keyed on (doc_id, word) / (doc_id, prev, cur)
+    upstream of the join."""
+    plan = _plan(entrymod.q_unigram_logprob(spark, SF))
+    assert re.search(r"HashAggregate\(keys=\[doc_id#\d+L?, word#\d+", plan), (
+        plan[:2000]
+    )
+    plan = _plan(entrymod.q_bigram_logprob(spark, SF))
+    assert re.search(
+        r"HashAggregate\(keys=\[doc_id#\d+L?, prev#\d+, cur#\d+", plan
+    ), plan[:2000]
