@@ -2,12 +2,12 @@
 
 Codec situation in this image: no pdfminer/PyMuPDF.  Same approach as
 the PNG codec in :mod:`multimodal`: implement the container profile that
-needs only the stdlib — classic (non-xref-stream) PDF structure, raw or
-FlateDecode content streams, and the standard text-showing operators
-(``BT/ET``, ``Tm``, ``Td``/``TD``, ``T*``, ``Tj``, ``'``, ``TJ``) with
-full string-escape handling (``\\(`` ``\\)`` ``\\\\`` ``\\n`` … and
-octal) — and raise loudly on anything beyond it (encryption, other
-filters, xref streams' compressed object streams).
+needs only the stdlib — classic AND post-2005 (xref-stream + /ObjStm
+object-stream) PDF structure, raw or FlateDecode content streams, and
+the standard text-showing operators (``BT/ET``, ``Tm``, ``Td``/``TD``,
+``T*``, ``Tj``, ``'``, ``TJ``) with literal/hex string handling
+(``\\(`` ``\\)`` ``\\\\`` ``\\n`` … octal, ``<hex>``) — and raise
+loudly on anything beyond it (encryption, other filters).
 
 Output grain is the LAYOUT grain: one row per text-showing operation
 with its text-space position, so parsed runs can feed the box pipeline
@@ -54,11 +54,19 @@ def encode_pdf(
     compress: bool = False,
     start_y: float = 720.0,
     leading: float = 14.0,
+    xref_stream: bool = False,
+    use_objstm: bool = False,
 ) -> bytes:
-    """Minimal classic-structure PDF writer: one content stream per page,
-    each line placed with an absolute ``Tm`` then shown with ``Tj``.
-    ``compress=True`` Flate-encodes the content streams (the common real
-    case) so the parser's inflate path is exercised."""
+    """Minimal PDF writer: one content stream per page, each line placed
+    with an absolute ``Tm`` then shown with ``Tj``.  ``compress=True``
+    Flate-encodes the content streams (the common real case) so the
+    parser's inflate path is exercised.  ``xref_stream=True`` writes the
+    post-2005 layout: a ``/Type /XRef`` cross-reference STREAM instead
+    of the classic ``xref`` table + ``trailer``; ``use_objstm=True``
+    additionally packs the non-stream objects (font, page dicts, pages
+    node, catalog) into a Flate-compressed ``/Type /ObjStm`` object
+    stream with type-2 xref entries — the layout Acrobat-era writers
+    produce."""
     objects: list[bytes] = []  # 1-indexed
 
     def add(body: bytes) -> int:
@@ -104,20 +112,72 @@ def encode_pdf(
         raise AssertionError(f"pages object id drifted: {pages_obj} != {pages_id}")
     catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for i, body in enumerate(objects, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    if not xref_stream:
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = [0]
+        for i, body in enumerate(objects, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        xref_at = len(out)
+        out += b"xref\n0 %d\n" % (len(objects) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % (len(objects) + 1, catalog, xref_at)
+        )
+        return bytes(out)
+
+    # post-2005 layout: cross-reference STREAM, optional /ObjStm packing
+    out = bytearray(b"%PDF-1.5\n")
+    n = len(objects)
+    entries: dict[int, tuple[int, int, int]] = {}  # num -> (type, f2, f3)
+    if use_objstm:
+        objstm_num, xref_num = n + 1, n + 2
+        packed = [
+            (i, b) for i, b in enumerate(objects, start=1) if b"stream" not in b
+        ]
+        for i, body in enumerate(objects, start=1):
+            if b"stream" in body:
+                entries[i] = (1, len(out), 0)
+                out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        header = b" ".join(b"%d %d" % (i, off) for (i, _), off in zip(
+            packed,
+            [sum(len(b) + 1 for _, b in packed[:k]) for k in range(len(packed))],
+        )) + b"\n"
+        bodies = b"".join(b + b"\n" for _, b in packed)
+        for idx, (i, _) in enumerate(packed):
+            entries[i] = (2, objstm_num, idx)
+        stm_data = zlib.compress(header + bodies)
+        entries[objstm_num] = (1, len(out), 0)
+        out += (
+            b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+            b"/Filter /FlateDecode >>\nstream\n"
+            % (objstm_num, len(packed), len(header), len(stm_data))
+            + stm_data
+            + b"\nendstream\nendobj\n"
+        )
+    else:
+        xref_num = n + 1
+        for i, body in enumerate(objects, start=1):
+            entries[i] = (1, len(out), 0)
+            out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
     xref_at = len(out)
-    out += b"xref\n0 %d\n" % (len(objects) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += b"%010d 00000 n \n" % off
+    entries[xref_num] = (1, xref_at, 0)
+    size = xref_num + 1
+    rows = bytearray()
+    for i in range(size):
+        t, f2, f3 = entries.get(i, (0, 0, 65535))
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
     out += (
-        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF"
-        % (len(objects) + 1, catalog, xref_at)
+        b"%d 0 obj\n<< /Type /XRef /Size %d /Root %d 0 R /W [1 4 2] "
+        b"/Index [0 %d] /Length %d >>\nstream\n"
+        % (xref_num, size, catalog, size, len(rows))
+        + bytes(rows)
+        + b"\nendstream\nendobj\n"
     )
+    out += b"startxref\n%d\n%%%%EOF" % xref_at
     return bytes(out)
 
 
@@ -322,6 +382,46 @@ def _scan_objects(payload: bytes) -> dict[int, bytes]:
     return _scan_pass(payload, int_objs)
 
 
+def _expand_object_streams(objs: dict[int, bytes]) -> dict[int, bytes]:
+    """Merge objects embedded in ``/Type /ObjStm`` compressed object
+    streams (the post-2005 layout: page dicts, font dicts, the catalog
+    commonly live there) into the object map.  Embedded bodies are plain
+    dicts — the spec forbids streams inside an ObjStm — so the page-tree
+    walk and ``/Contents`` resolution work on them unchanged.  Direct
+    definitions win on collision (a well-formed file has none; xref
+    precedence is metadata the scan-based discovery deliberately never
+    consults)."""
+    out = dict(objs)
+    for body in objs.values():
+        if b"/ObjStm" not in body:
+            continue
+        sm = re.search(rb"stream\r?\n", body)
+        if sm is None:
+            continue
+        head = body[: sm.start()]
+        n_m = re.search(rb"/N\s+(\d+)", head)
+        f_m = re.search(rb"/First\s+(\d+)", head)
+        if not (n_m and f_m):
+            raise ValueError("ObjStm missing /N or /First")
+        lit = _LEN_LIT_RE.search(head)
+        if lit:
+            data = body[sm.end() : sm.end() + int(lit.group(1))]
+        else:
+            es = body.rfind(b"endstream")
+            data = body[sm.end() : es].rstrip(b"\r\n")
+        if b"/Filter" in head:
+            if b"/FlateDecode" not in head:
+                raise NotImplementedError("ObjStm filter beyond FlateDecode")
+            data = zlib.decompress(data)
+        first = int(f_m.group(1))
+        nums = [int(x) for x in data[:first].split()]
+        pairs = list(zip(nums[0::2], nums[1::2]))[: int(n_m.group(1))]
+        for k, (onum, ooff) in enumerate(pairs):
+            end = first + pairs[k + 1][1] if k + 1 < len(pairs) else len(data)
+            out.setdefault(onum, data[first + ooff : end].strip())
+    return out
+
+
 def _is_page(body: bytes) -> bool:
     return b"/Type" in body and b"/Page" in body and b"/Pages" not in body
 
@@ -376,17 +476,19 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
 def decode_pdf(payload: bytes) -> list[list[tuple[float, float, str]]]:
     """PDF bytes → per-page text runs [(x, y, text), …] in /Kids order.
 
-    Classic-structure profile; raises NotImplementedError on encryption,
-    non-Flate filters, unresolvable stream lengths, or xref/object
-    streams (the honest-subset contract, like PNG in
-    :mod:`multimodal`)."""
+    Both classic (xref table) and post-2005 (xref stream + /ObjStm
+    object streams) layouts parse: object discovery is scan-based, so
+    cross-reference tables AND cross-reference streams are metadata this
+    parser never needs to consult, and objects packed into compressed
+    /ObjStm streams are expanded by :func:`_expand_object_streams`.
+    Raises NotImplementedError on encryption, non-Flate filters, or
+    unresolvable stream lengths (the honest-subset contract, like PNG
+    in :mod:`multimodal`)."""
     if not payload.startswith(b"%PDF-"):
         raise ValueError(f"not a PDF: {payload[:8]!r}")
     if b"/Encrypt" in payload:
         raise NotImplementedError("encrypted PDF not supported")
-    objs = _scan_objects(payload)
-    if not objs and b"/ObjStm" in payload:
-        raise NotImplementedError("xref/object streams not supported")
+    objs = _expand_object_streams(_scan_objects(payload))
     pages: list[list[tuple[float, float, str]]] = []
     for num in _page_order(objs):
         body = objs[num]

@@ -239,3 +239,29 @@ def test_wrong_indirect_length_raises():
     )
     with pytest.raises(NotImplementedError):
         decode_pdf(pdf2)
+
+
+def test_xref_stream_layout():
+    """Post-2005 layout: xref STREAM instead of classic table — parses
+    identically (object discovery is scan-based; xref data is metadata
+    the parser never needs)."""
+    pages = [["xref stream page one"], ["and page two"]]
+    got = decode_pdf(encode_pdf(pages, xref_stream=True))
+    assert [[t for _, _, t in p] for p in got] == pages
+
+
+def test_object_stream_expansion():
+    """/ObjStm packing (page dicts + catalog inside a Flate-compressed
+    object stream, type-2 xref entries): embedded objects are expanded
+    and the page tree resolves."""
+    pages = [["objstm page A", "line two"], ["objstm page B"]]
+    for compress in (False, True):
+        enc = encode_pdf(
+            pages, compress=compress, xref_stream=True, use_objstm=True
+        )
+        # the page dicts must actually be inside the ObjStm (compressed),
+        # not visible as direct plaintext objects
+        assert b"/Type /ObjStm" in enc
+        assert b"/Type /Page /Parent" not in enc
+        got = decode_pdf(enc)
+        assert [[t for _, _, t in p] for p in got] == pages
