@@ -152,3 +152,34 @@ def docs_payload(docs: DataFrame) -> DataFrame:
             )
         ).alias("_payload"),
     )
+
+
+def derive_box_geometry(
+    boxes: DataFrame, strict_parity: bool = False
+) -> DataFrame:
+    """P4: the derived geometry columns the reference's ``basic_box_data``
+    adds before any layout math (``bbox_functions.py:663-668``):
+    width, height, ratio, center_x, center_y.
+
+    ``strict_parity=False`` (default) computes the TRUE centers
+    ((x1+x2)/2, (y1+y2)/2).  ``strict_parity=True`` replicates the
+    reference's formula BUG byte-for-byte — ``center_x = width + x1``
+    and ``center_y = height + y1``, i.e. the BOTTOM-RIGHT corner
+    (``bbox_functions.py:667-668``) — for consumers ingesting real
+    reference bbox parquet who need ordering decisions (reading-order
+    sorts on center_y, ``bbox_functions.py:387-389``) to match the
+    reference exactly even where box heights vary."""
+    w = F.col("x2") - F.col("x1")
+    h = F.col("y2") - F.col("y1")
+    if strict_parity:
+        cx, cy = w + F.col("x1"), h + F.col("y1")  # sic: equals (x2, y2)
+    else:
+        cx = (F.col("x1") + F.col("x2")) / F.lit(2.0)
+        cy = (F.col("y1") + F.col("y2")) / F.lit(2.0)
+    return (
+        boxes.withColumn("width", w)
+        .withColumn("height", h)
+        .withColumn("ratio", h / w)
+        .withColumn("center_x", cx)
+        .withColumn("center_y", cy)
+    )
