@@ -350,3 +350,66 @@ def test_jpeg_via_decode_image_and_features(spark):
     for r in got:
         assert r["width"] == 32 and r["height"] == 24
         assert len(r["feat"]) > 0
+
+
+def test_wav_roundtrip_and_loud_failures():
+    """RIFF/PCM WAV codec: bit depths, stereo, word-aligned odd chunks;
+    non-PCM formats raise loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(800) / 8000.0
+    mono = (np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    rate, got = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and got.shape == (800, 1)
+    assert np.allclose(got[:, 0], mono / 32768.0, atol=1e-9)
+    stereo = np.stack([mono, -mono], axis=1)
+    rate, got = decode_wav(encode_wav(stereo, 16000))
+    assert rate == 16000 and got.shape == (800, 2)
+    assert np.allclose(got[:, 1], -mono / 32768.0, atol=1e-4)
+    # float-format WAV (format code 3) raises, not silently garbles
+    pcm = encode_wav(mono, 8000)
+    float_wav = pcm.replace(b"fmt \x10\x00\x00\x00\x01\x00", b"fmt \x10\x00\x00\x00\x03\x00", 1)
+    with _pytest.raises(NotImplementedError):
+        decode_wav(float_wav)
+    with _pytest.raises(ValueError):
+        decode_wav(b"ID3\x04" + b"\x00" * 64)  # MP3
+
+
+def test_audio_features_spark(spark):
+    """WAV payloads flow through the mapInPandas audio feature path:
+    deterministic synth clips decode with correct rate/duration and a
+    tone-dominant spectral profile."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.audio import (
+        audio_features,
+        decode_wav,
+        extract_audio_features,
+        synth_wav_bytes,
+    )
+    from reading_the_unreadable_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (f"clip{i}.wav", "audio", bytearray(synth_wav_bytes(f"clip{i}.wav")), None, None, None)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_ref"]: r for r in extract_audio_features(df).collect()}
+    assert len(got) == 5
+    for ref, r in got.items():
+        assert r["sample_rate"] == 8000
+        assert r["n_channels"] == 1
+        assert r["duration_ms"] == 250
+        feat = r["feat"]
+        assert 0.2 < feat[0] < 0.6  # RMS of a 0.5-amplitude tone
+        assert sum(feat[4:]) > 0.9  # band energies normalized
+        # determinism vs local decode
+        rate, samples = decode_wav(bytes(synth_wav_bytes(ref)))
+        want = audio_features(samples, rate)
+        assert np.allclose(feat, want, atol=1e-6)
