@@ -209,14 +209,21 @@ def _fill_gaps_inline(df: DataFrame) -> DataFrame:
     cols = df.columns
     w_doc = Window.partitionBy("doc_id")
     w_col = Window.partitionBy("doc_id", "column_number")
+    # single-block eligibility as min==max (one distinct value) — a
+    # collect_set window materializes a per-row set for the same answer;
+    # first/last-in-column as reading_order == min/max over the column
+    # (reading_order is unique within a doc) — two ordered row_number
+    # windows would add two differently-ordered sort passes
     eligible = (F.max("column_number").over(w_doc) > 1) & (
-        F.size(F.collect_set("page_block").over(w_doc)) == 1
+        F.min("page_block").over(w_doc) == F.max("page_block").over(w_doc)
     )
     df = (
         df.withColumn("_elig", eligible & (F.col("column_number") > 0))
-        .withColumn("_first", F.row_number().over(w_col.orderBy("reading_order")) == 1)
         .withColumn(
-            "_last", F.row_number().over(w_col.orderBy(F.desc("reading_order"))) == 1
+            "_first", F.col("reading_order") == F.min("reading_order").over(w_col)
+        )
+        .withColumn(
+            "_last", F.col("reading_order") == F.max("reading_order").over(w_col)
         )
         .withColumn("_dy1", F.min("y1").over(w_doc))
         .withColumn("_dy2", F.max("y2").over(w_doc))
