@@ -799,11 +799,13 @@ def q_pack_sequences(spark, sf):
 
 def q_pdf_extract(spark, sf):
     """North-rule PDF family: documents rendered to REAL single-page PDFs
-    (8-word lines via absolute Tm placement; content streams
-    Flate-compressed for even n_chars, raw for odd) then parsed back by
-    the from-scratch PDF text/layout parser — both directions run inside
-    Arrow mapInPandas; the oracle states the run grid (x=72,
-    y=720-14·run) and chunked text in closed form."""
+    (8-word lines via absolute Tm placement), cycling all three container
+    layouts by n_chars % 3 — classic raw, classic Flate-compressed, and
+    post-2005 xref-stream + /ObjStm — then parsed back by the
+    from-scratch PDF text/layout parser; both directions run inside
+    Arrow mapInPandas.  Parse output is container-invariant, so the
+    oracle states the run grid (x=72, y=720-14·run) and chunked text in
+    closed form regardless of layout."""
     import pandas as pd_local
 
     from reading_the_unreadable_spark.operators.pdf import (
@@ -824,8 +826,14 @@ def q_pdf_extract(spark, sf):
                     " ".join(words[i : i + 8]) for i in range(0, len(words), 8)
                 ]
                 out["doc_id"].append(f"doc-{doc_id}")
+                layout = int(n_chars) % 3
                 out["payload"].append(
-                    encode_pdf([lines], compress=(n_chars % 2 == 0))
+                    encode_pdf(
+                        [lines],
+                        compress=(layout != 0),
+                        xref_stream=(layout == 2),
+                        use_objstm=(layout == 2),
+                    )
                 )
             yield pd_local.DataFrame(out)
 

@@ -205,8 +205,14 @@ def _fill_gaps_inline(df: DataFrame) -> DataFrame:
     Plan shape: windows on the existing doc_id clustering + ONE
     ``inline`` explode of a per-row [self, head?, tail?] struct array —
     no self-union, so the upstream window chain is computed once, not
-    three times."""
-    cols = df.columns
+    three times.  ``doc_id`` is deliberately kept OUT of the exploded
+    struct and passed through the Generate as the original column: a
+    struct-extracted doc_id would be a NEW attribute, Catalyst would
+    lose the hashpartitioning(doc_id) property, and the whole box frame
+    would re-shuffle before the payload join (measured: the extra
+    exchange cost ~24% wall at local[8] and dragged N→4N scaling
+    efficiency from ~0.90 to ~0.76)."""
+    cols = [c for c in df.columns if c != "doc_id"]
     w_doc = Window.partitionBy("doc_id")
     w_col = Window.partitionBy("doc_id", "column_number")
     # single-block eligibility as min==max (one distinct value) — a
@@ -253,7 +259,7 @@ def _fill_gaps_inline(df: DataFrame) -> DataFrame:
         gap_struct(F.col("y2"), F.col("_dy2")),
     )
     arr = F.filter(F.array(self_struct, head, tail), lambda x: x.isNotNull())
-    return df.select(F.inline(arr))
+    return df.select("doc_id", F.inline(arr))
 
 
 def _min_height_filter(df: DataFrame) -> DataFrame:
@@ -642,10 +648,13 @@ def layout(
     window design; ``post_correct=True`` folds the T1 OCR normalization
     into the merge UDF\'s pandas pass (one Arrow text round-trip).
     ``fill_columns=True`` runs the reference's default in-chain column
-    gap fill (``postprocess_bbox(fill_columns=True)``); our default False
-    mirrors the per-periodical opt-in of ``result_section.py:89-92`` —
-    gap boxes carry empty text, so extracted SPANS are identical either
-    way (T2 drops empty parts), only box geometry consumers differ."""
+    gap fill (``postprocess_bbox(fill_columns=True)``) — the pipeline
+    entry points in :mod:`..plans.pipeline` default it ON to match the
+    reference; this operator-level default stays False so callers
+    composing stages opt in explicitly (the per-periodical shape of
+    ``result_section.py:89-92``).  Gap boxes carry empty text, so
+    extracted SPANS are identical either way (T2 drops empty parts),
+    only box geometry consumers differ."""
     import functools
 
     merged = _sorted_frame(boxes, num_partitions, payload, fill_columns).mapInPandas(
