@@ -263,3 +263,18 @@ def test_lm_scoring_probe_preaggregated(spark):
     assert re.search(
         r"HashAggregate\(keys=\[doc_id#\d+L?, prev#\d+, cur#\d+", plan
     ), plan[:2000]
+
+
+def test_fill_chain_adds_no_exchange(spark):
+    """The in-chain gap fill must not cost a shuffle: F.inline over a
+    struct carrying doc_id would emit a NEW doc_id attribute, drop the
+    hashpartitioning(doc_id) property, and re-exchange the whole box
+    frame (measured: ~24% wall at local[8], scaling efficiency
+    0.89 -> 0.70).  Fill and no-fill chains must have identical
+    exchange counts."""
+    docs = docs_from_rows(spark, synth.make_corpus(20))
+    n_ex = {
+        fill: len(re.findall(r"Exchange ", _plan(extract(docs, num_partitions=8, fill_columns=fill))))
+        for fill in (False, True)
+    }
+    assert n_ex[True] == n_ex[False], n_ex
