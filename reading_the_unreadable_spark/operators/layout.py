@@ -223,16 +223,19 @@ def _fill_gaps_inline(df: DataFrame) -> DataFrame:
     eligible = (F.max("column_number").over(w_doc) > 1) & (
         F.min("page_block").over(w_doc) == F.max("page_block").over(w_doc)
     )
+    # w_doc columns first, w_col columns after: CollapseWindow merges
+    # adjacent same-spec Window operators, so this ordering yields two
+    # WindowExec passes (doc-grain, column-grain), not three
     df = (
         df.withColumn("_elig", eligible & (F.col("column_number") > 0))
+        .withColumn("_dy1", F.min("y1").over(w_doc))
+        .withColumn("_dy2", F.max("y2").over(w_doc))
         .withColumn(
             "_first", F.col("reading_order") == F.min("reading_order").over(w_col)
         )
         .withColumn(
             "_last", F.col("reading_order") == F.max("reading_order").over(w_col)
         )
-        .withColumn("_dy1", F.min("y1").over(w_doc))
-        .withColumn("_dy2", F.max("y2").over(w_doc))
     )
 
     def gap_struct(y1c, y2c):
