@@ -1,0 +1,169 @@
+"""Video columns: AVI/Motion-JPEG decode + frame sampling, pure
+numpy/stdlib.
+
+Same codec policy as images (:mod:`multimodal`), audio (:mod:`audio`)
+and PDF: the container that needs no codec library decodes for REAL.
+With the from-scratch baseline JFIF codec (:mod:`jpeg`) in hand, the
+classic RIFF-AVI Motion-JPEG layout (one ``00dc`` chunk per frame, each
+a standalone JPEG) is fully parseable: the result is an actual
+video → frames → features pipeline, not a stub.  Inter-frame codecs
+(H.264/VP9/…) raise ``NotImplementedError`` loudly; swapping in ffmpeg
+later changes only :func:`decode_avi_frames`.
+
+Frame SAMPLING is the Spark-side contract a training-data pipeline
+needs (decode every Nth frame, never materialize the rest): the
+``00dc`` chunk walk is cheap byte slicing, so skipped frames cost no
+JPEG work.
+
+Scale shape: ``mapInPandas`` over binary payloads, one output row per
+SAMPLED frame — payloads never collected, never in a row-wise UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .jpeg import decode_jpeg, encode_jpeg
+from .multimodal import image_features, N_HIST_BINS
+
+FRAME_FEATURE_SCHEMA = (
+    "media_ref string, frame_idx int, n_frames int, fps double, "
+    "width int, height int, feat array<float>"
+)
+
+
+# ----------------------------------------------------------------- codec
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
+    """List of HxWx3 uint8 RGB frames → minimal RIFF-AVI with one MJPG
+    ``00dc`` chunk per frame (the classic camera/scanner layout)."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg(f, quality=90, subsample=True) for f in frames]
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        body = kind + data
+        return b"LIST" + struct.pack("<I", len(body)) + body
+
+    usec_per_frame = int(round(1_000_000 / fps))
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame, 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1,
+                                        int(round(fps)), 0, len(frames), 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, w * h * 3, 0, 0, 0, 0)
+    # fourcc for BI_JPEG-style MJPG lives in biCompression (offset 16)
+    strf = strf[:16] + b"MJPG" + strf[20:]
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(
+    payload: bytes, every_n: int = 1
+) -> tuple[float, int, list[tuple[int, np.ndarray]]]:
+    """RIFF-AVI/MJPG bytes → (fps, total_frames, [(frame_idx, HxWx3)])
+    decoding only every ``every_n``-th frame — skipped frames are byte
+    slices, no JPEG work.  Non-MJPG streams raise."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError(f"not a RIFF/AVI file: {payload[:4]!r}")
+    fps = 0.0
+    frames: list[bytes] = []
+
+    def walk(data: bytes) -> None:
+        nonlocal fps
+        pos = 0
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            body = data[pos + 8 : pos + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])
+            elif cid == b"avih":
+                usec = struct.unpack_from("<I", body, 0)[0]
+                fps = 1_000_000 / usec if usec else 0.0
+            elif cid == b"strh":
+                if body[:4] == b"vids" and body[4:8] not in (b"MJPG", b"mjpg"):
+                    raise NotImplementedError(
+                        f"video codec {body[4:8]!r} needs ffmpeg; only MJPG "
+                        "decodes here"
+                    )
+            elif cid == b"00dc":
+                frames.append(body)
+            pos += 8 + size + (size & 1)
+
+    walk(payload[12:])
+    sampled = [
+        (i, decode_jpeg(frames[i])) for i in range(0, len(frames), max(every_n, 1))
+    ]
+    return fps, len(frames), sampled
+
+
+# -------------------------------------------------------------- sampling
+def sample_frame_features(
+    media: DataFrame, every_n: int = 1, payload_col: str = "payload"
+) -> DataFrame:
+    """(media_ref, payload binary, …) → one row per SAMPLED frame with
+    the same feature vector the image path computes — Arrow-batched
+    mapInPandas; only sampled frames are JPEG-decoded."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "media_ref", "frame_idx", "n_frames", "fps",
+                    "width", "height", "feat",
+                )
+            }
+            for ref, p in zip(pdf["media_ref"], pdf[payload_col]):
+                if p is None:
+                    continue
+                fps, n, sampled = decode_avi_frames(bytes(p), every_n=every_n)
+                for idx, arr in sampled:
+                    rows["media_ref"].append(ref)
+                    rows["frame_idx"].append(idx)
+                    rows["n_frames"].append(n)
+                    rows["fps"].append(float(fps))
+                    rows["width"].append(int(arr.shape[1]))
+                    rows["height"].append(int(arr.shape[0]))
+                    rows["feat"].append(image_features(arr).tolist())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, schema=FRAME_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------------ synth
+def synth_avi_bytes(
+    ref: str, n_frames: int = 6, w: int = 32, h: int = 24, fps: float = 10.0
+) -> bytes:
+    """Deterministic REAL AVI/MJPG clip for a media_ref: a ref-seeded
+    gradient that brightens per frame, so frame order is observable in
+    the decoded features."""
+    seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    base = rng.integers(0, 40, (h, w, 3)).astype(np.float32)
+    frames = []
+    for i in range(n_frames):
+        grad = np.linspace(0, 150, w, dtype=np.float32)[None, :, None]
+        frames.append(
+            np.clip(base + grad + i * (100.0 / max(n_frames - 1, 1)), 0, 255
+                    ).astype(np.uint8)
+        )
+    return encode_avi_mjpeg(frames, fps=fps)

@@ -413,3 +413,51 @@ def test_audio_features_spark(spark):
         rate, samples = decode_wav(bytes(synth_wav_bytes(ref)))
         want = audio_features(samples, rate)
         assert np.allclose(feat, want, atol=1e-6)
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    """RIFF-AVI/MJPG: full decode preserves frame order (observable via
+    the per-frame brightness ramp), every_n sampling decodes only the
+    sampled indices, non-MJPG streams raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark.operators.video import (
+        decode_avi_frames,
+        synth_avi_bytes,
+    )
+
+    avi = synth_avi_bytes("clip.avi", n_frames=6)
+    fps, n, sampled = decode_avi_frames(avi)
+    assert (fps, n, len(sampled)) == (10.0, 6, 6)
+    means = [s[1].mean() for s in sampled]
+    assert all(means[i] < means[i + 1] for i in range(5))  # frame order
+    _, _, every3 = decode_avi_frames(avi, every_n=3)
+    assert [i for i, _ in every3] == [0, 3]
+    with _pytest.raises(NotImplementedError):
+        decode_avi_frames(avi.replace(b"vidsMJPG", b"vidsH264", 1))
+    with _pytest.raises(ValueError):
+        decode_avi_frames(b"\x00\x00\x00\x00GARBAGE!")
+
+
+def test_video_frame_features_spark(spark):
+    """AVI payloads flow through the mapInPandas frame-sampling path:
+    one output row per sampled frame, image-path feature vectors."""
+    from reading_the_unreadable_spark.operators.multimodal import MEDIA_SCHEMA
+    from reading_the_unreadable_spark.operators.video import (
+        sample_frame_features,
+        synth_avi_bytes,
+    )
+
+    rows = [
+        (f"v{i}.avi", "video", bytearray(synth_avi_bytes(f"v{i}.avi")), 32, 24, 600)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sample_frame_features(df, every_n=2).collect()
+    assert len(got) == 3 * 3  # 6 frames, every 2nd
+    for r in got:
+        assert r["n_frames"] == 6 and r["fps"] == 10.0
+        assert (r["width"], r["height"]) == (32, 24)
+        assert r["frame_idx"] in (0, 2, 4)
+        assert abs(sum(r["feat"][4:]) - 1.0) < 1e-5  # normalized histogram
