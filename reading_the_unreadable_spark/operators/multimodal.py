@@ -353,6 +353,7 @@ MEDIA_EXTENSIONS = {
     "jpg": "image",
     "jpeg": "image",
     "wav": "audio",
+    "avi": "video",
     "mp4": "video",
 }
 
