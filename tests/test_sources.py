@@ -174,3 +174,44 @@ def test_apply_predictions_overwrites_kind(spark):
     assert (
         out.filter(F.col("kind") == "reclassified").count() == 1
     )
+
+
+def test_snapshot_append_timetravel_incremental(spark, tmp_path):
+    """Snapshot layer (Iceberg-semantics fallback): appends create
+    monotonic snapshots, time travel reads AS OF any snapshot,
+    incremental_read returns exactly the diff between two snapshots,
+    and extraction over a diff equals extraction over those docs."""
+    from reading_the_unreadable_spark import synth
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows
+    from reading_the_unreadable_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        incremental_read,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "docs_tbl")
+    corpus = synth.make_corpus(30)
+    batches = [corpus[:10], corpus[10:18], corpus[18:]]
+    sids = [append_snapshot(docs_from_rows(spark, b), root) for b in batches]
+    assert sids == [1, 2, 3]
+    assert current_snapshot_id(root) == 3
+
+    assert read_snapshot(spark, root).count() == 30  # latest
+    assert read_snapshot(spark, root, snapshot_id=1).count() == 10  # time travel
+    assert read_snapshot(spark, root, snapshot_id=2).count() == 18
+
+    diff = incremental_read(spark, root, after=1, until=3)
+    got_ids = {r["doc_id"] for r in diff.select("doc_id").collect()}
+    want_ids = {d["doc_id"] for d in corpus[10:]}
+    assert got_ids == want_ids
+
+    # empty cases
+    assert incremental_read(spark, root, after=3).count() == 0
+    assert read_snapshot(spark, str(tmp_path / "missing")).count() == 0
+
+    # the diff feeds the normal extraction chain unchanged
+    from reading_the_unreadable_spark.plans.pipeline import extract_nested
+
+    out = extract_nested(incremental_read(spark, root, after=2), num_partitions=4)
+    assert out.count() == len(corpus[18:])
