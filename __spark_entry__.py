@@ -1025,6 +1025,75 @@ def q_centroid_dendrogram(spark, sf):
     return S.centroid_dendrogram(_t(spark, sf, "embeddings"))
 
 
+def q_media_pipeline(spark, sf):
+    """Multimodal families end-to-end under the driver (rows-only: binary
+    payloads are not DuckDB-expressible): deterministic JPEG / WAV / AVI
+    payloads derived per doc feed the image, audio, and video
+    mapInPandas decode+feature paths built from scratch in
+    operators/{jpeg,audio,video}.py; output is the per-kind summary
+    (deterministic: codecs and features are pure functions of doc_id)."""
+    import numpy as np
+    import pandas as pd_local
+
+    from reading_the_unreadable_spark.operators.audio import (
+        extract_audio_features,
+        synth_wav_bytes,
+    )
+    from reading_the_unreadable_spark.operators.jpeg import encode_jpeg
+    from reading_the_unreadable_spark.operators.multimodal import (
+        extract_media_features,
+    )
+    from reading_the_unreadable_spark.operators.video import (
+        sample_frame_features,
+        synth_avi_bytes,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") % 50 == 0
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"media_ref": [], "kind": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                ref = f"doc-{doc_id}"
+                seed = int(doc_id) % 251
+                img = (
+                    np.linspace(0, 255, 32)[None, :, None]
+                    + np.full((24, 32, 3), seed, dtype=np.float64)
+                ).clip(0, 255).astype(np.uint8)
+                rows["media_ref"].append(f"{ref}.jpg")
+                rows["kind"].append("image")
+                rows["payload"].append(encode_jpeg(img, subsample=True))
+                rows["media_ref"].append(f"{ref}.wav")
+                rows["kind"].append("audio")
+                rows["payload"].append(synth_wav_bytes(f"{ref}.wav"))
+                rows["media_ref"].append(f"{ref}.avi")
+                rows["kind"].append("video")
+                rows["payload"].append(synth_avi_bytes(f"{ref}.avi", n_frames=4))
+            yield pd_local.DataFrame(rows)
+
+    media = d.mapInPandas(gen, "media_ref string, kind string, payload binary")
+    img = extract_media_features(media.filter(F.col("kind") == "image")).select(
+        "kind", F.element_at("feat", 3).alias("f0")  # mean brightness
+    )
+    aud = extract_audio_features(media.filter(F.col("kind") == "audio")).select(
+        "kind", F.element_at("feat", 1).alias("f0")  # RMS
+    )
+    vid = sample_frame_features(
+        media.filter(F.col("kind") == "video"), every_n=2
+    ).select(F.lit("video").alias("kind"), F.element_at("feat", 3).alias("f0"))
+    return (
+        img.unionByName(aud)
+        .unionByName(vid)
+        .groupBy("kind")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.avg("f0"), 3).alias("avg_f0"),
+        )
+    )
+
+
 # -------------------------------------------------------- extraction (flagship)
 # Both queries drive the REAL layout + extraction operators (column
 # inference, block segmentation, reading order, merge, OCR post-correct,
@@ -1080,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
+        "media_pipeline": q_media_pipeline,
         # -- remaining operator-family queries (driver-green r02/r03) --
         "html_strip": q_html_strip,
         "html_main_text": q_html_main_text,

@@ -461,3 +461,17 @@ def test_video_frame_features_spark(spark):
         assert (r["width"], r["height"]) == (32, 24)
         assert r["frame_idx"] in (0, 2, 4)
         assert abs(sum(r["feat"][4:]) - 1.0) < 1e-5  # normalized histogram
+
+
+def test_media_pipeline_driver_query(spark):
+    """The rows-only driver query runs all three from-scratch codec
+    families end-to-end and is deterministic run-to-run (codecs and
+    features are pure functions of doc_id)."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["media_pipeline"]
+    a = q(spark, "/root/testdata/sf0.01").toPandas().sort_values("kind").reset_index(drop=True)
+    b = q(spark, "/root/testdata/sf0.01").toPandas().sort_values("kind").reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a["kind"]) == {"image", "audio", "video"}
+    assert (a["n_rows"] > 0).all()
