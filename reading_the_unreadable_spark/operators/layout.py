@@ -214,7 +214,18 @@ def _fill_gaps_inline(df: DataFrame) -> DataFrame:
     efficiency from ~0.90 to ~0.76)."""
     cols = [c for c in df.columns if c != "doc_id"]
     w_doc = Window.partitionBy("doc_id")
-    w_col = Window.partitionBy("doc_id", "column_number")
+    # Column-grain min/max deliberately reuse the EXACT window spec of
+    # the upstream lead-y2 window ((doc, page_block, column) ordered by
+    # (y1, offset)) with an unbounded frame: CollapseWindow then fuses
+    # them into that WindowExec — zero extra pass.  (doc, page_block,
+    # column) ≡ (doc, column) exactly on the single-block pages the
+    # eligibility gate admits; on multi-block pages the values are
+    # unused (gated by _elig).
+    w_col = (
+        Window.partitionBy("doc_id", "page_block", "column_number")
+        .orderBy("y1", "offset")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     # single-block eligibility as min==max (one distinct value) — a
     # collect_set window materializes a per-row set for the same answer;
     # first/last-in-column as reading_order == min/max over the column
@@ -223,9 +234,8 @@ def _fill_gaps_inline(df: DataFrame) -> DataFrame:
     eligible = (F.max("column_number").over(w_doc) > 1) & (
         F.min("page_block").over(w_doc) == F.max("page_block").over(w_doc)
     )
-    # w_doc columns first, w_col columns after: CollapseWindow merges
-    # adjacent same-spec Window operators, so this ordering yields two
-    # WindowExec passes (doc-grain, column-grain), not three
+    # w_doc columns grouped together so CollapseWindow merges them into
+    # ONE doc-grain WindowExec pass
     df = (
         df.withColumn("_elig", eligible & (F.col("column_number") > 0))
         .withColumn("_dy1", F.min("y1").over(w_doc))
