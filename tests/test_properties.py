@@ -147,3 +147,57 @@ def test_html_visible_text_never_leaks_tags(s):
     out = _re.sub(r"\s+", " ", out).strip()
     assert "<script" not in out.lower() and "<style" not in out.lower()
     assert "  " not in out and out == out.strip()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+    subsample=st.booleans(),
+    rst=st.integers(0, 3),
+)
+def test_jpeg_roundtrip_property(w, h, seed, subsample, rst):
+    """Any small RGB image round-trips through the from-scratch JFIF
+    codec within lossy tolerance, across dims (incl. non-multiples of
+    8/16), sampling modes, and restart intervals."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    # low-frequency content (quantization is tuned for it); pure noise
+    # at quality 90 still bounds at a looser tolerance
+    base = rng.integers(0, 256, (1, 1, 3)).astype(np.float64)
+    ramp = np.linspace(0, 60, w)[None, :, None] + np.linspace(0, 40, h)[:, None, None]
+    img = np.clip(base + ramp, 0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90, subsample=subsample,
+                                  restart_interval=rst))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 12.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    ch=st.integers(1, 3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    """int16 PCM WAV round-trips EXACTLY for any length/channels/rate."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    samples = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+    got_rate, got = decode_wav(encode_wav(samples, rate))
+    assert got_rate == rate and got.shape == (n, ch)
+    assert np.array_equal((got * 32768.0).round().astype(np.int16), samples)
