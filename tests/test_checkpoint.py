@@ -136,3 +136,49 @@ def test_lineage_metrics(spark, docs):
     assert row["stage"] == "extract"
     total_docs = ck.agg(F.sum("doc_count")).first()[0]
     assert total_docs == N_DOCS
+
+
+def test_snapshot_incremental_checkpointed_flow(spark, tmp_path):
+    """North-rule composition: Iceberg-style snapshots × bucket-grain
+    resume.  Each snapshot diff is processed as its own resumable job
+    (out dir keyed by the snapshot high-water mark); a kill mid-diff
+    resumes to exactly-once; the union of per-diff outputs equals the
+    full corpus."""
+    from reading_the_unreadable_spark import synth
+    from reading_the_unreadable_spark.plans.checkpoint import (
+        run_extract_with_checkpoints,
+    )
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows
+    from reading_the_unreadable_spark.sources.snapshots import (
+        append_snapshot,
+        incremental_read,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    corpus = synth.make_corpus(35)
+    assert append_snapshot(docs_from_rows(spark, corpus[:20]), root) == 1
+    out1 = str(tmp_path / "out_snap1")
+    s1 = run_extract_with_checkpoints(
+        spark, read_snapshot(spark, root, 1), out1, n_buckets=8, num_partitions=4
+    )
+    assert 1 <= s1["buckets_processed"] <= 8  # empty buckets are skipped
+
+    assert append_snapshot(docs_from_rows(spark, corpus[20:]), root) == 2
+    diff = incremental_read(spark, root, after=1)
+    out2 = str(tmp_path / "out_snap2")
+    # fault injection: die after 3 buckets, then plain re-invocation
+    k = run_extract_with_checkpoints(
+        spark, diff, out2, n_buckets=8, num_partitions=4, max_buckets=3
+    )
+    assert k["buckets_processed"] == 3
+    r = run_extract_with_checkpoints(
+        spark, diff, out2, n_buckets=8, num_partitions=4
+    )
+    assert r["buckets_processed"] >= 1  # resumed exactly the remainder
+
+    got = spark.read.parquet(f"{out1}/extracted_nested").unionByName(
+        spark.read.parquet(f"{out2}/extracted_nested")
+    )
+    ids = [r["doc_id"] for r in got.select("doc_id").collect()]
+    assert len(ids) == 35 and len(set(ids)) == 35  # exactly-once overall
