@@ -278,3 +278,27 @@ def test_fill_chain_adds_no_exchange(spark):
         for fill in (False, True)
     }
     assert n_ex[True] == n_ex[False], n_ex
+
+
+def test_stage_boundary_lazy_mode(spark):
+    """eager=False keeps the API lazy: no scratch parquet is written at
+    plan-build time (no job runs), and the frame still evaluates
+    correctly via localCheckpoint at first action."""
+    from pathlib import Path
+
+    from reading_the_unreadable_spark.operators.dedup import (
+        _scratch_root,
+        _stage_boundary,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    before = set(Path(_scratch_root(spark), "rtu_stage").rglob("lazy_tag*")) if Path(
+        _scratch_root(spark), "rtu_stage"
+    ).exists() else set()
+    lazy = _stage_boundary(df, "lazy_tag", eager=False)
+    after = set(Path(_scratch_root(spark), "rtu_stage").rglob("lazy_tag*")) if Path(
+        _scratch_root(spark), "rtu_stage"
+    ).exists() else set()
+    assert before == after  # nothing written at plan-build time
+    assert lazy.count() == 100
+    assert lazy.agg(F.sum("v")).first()[0] == 4950
