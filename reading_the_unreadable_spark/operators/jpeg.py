@@ -487,9 +487,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        while payload[pos + 1] == 0xFF:  # legal fill bytes before a marker
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone markers
+            pos += 2
+            continue
         seglen = struct.unpack_from(">H", payload, pos + 2)[0]
         seg = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT

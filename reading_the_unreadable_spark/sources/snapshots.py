@@ -96,7 +96,14 @@ def read_snapshot(
     spark: SparkSession, root: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """Table contents AS OF ``snapshot_id`` (default: latest).  Iceberg
-    equivalent: ``VERSION AS OF``."""
+    equivalent: ``VERSION AS OF``.  An unknown snapshot id raises (the
+    Iceberg behavior) rather than silently reading the latest state."""
+    if snapshot_id is not None:
+        known = {s["snapshot_id"] for s in _snapshots(root)}
+        if snapshot_id not in known:
+            raise ValueError(
+                f"unknown snapshot id {snapshot_id} (known: {sorted(known)})"
+            )
     paths = _paths_between(root, after=None, until=snapshot_id)
     if not paths:
         return spark.createDataFrame([], schema=DOCS_SCHEMA)

@@ -215,3 +215,19 @@ def test_snapshot_append_timetravel_incremental(spark, tmp_path):
 
     out = extract_nested(incremental_read(spark, root, after=2), num_partitions=4)
     assert out.count() == len(corpus[18:])
+
+
+def test_read_snapshot_unknown_id_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark import synth
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows
+    from reading_the_unreadable_spark.sources.snapshots import (
+        append_snapshot,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    append_snapshot(docs_from_rows(spark, synth.make_corpus(5)), root)
+    with _pytest.raises(ValueError, match="unknown snapshot id"):
+        read_snapshot(spark, root, snapshot_id=7)
