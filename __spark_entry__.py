@@ -1106,11 +1106,14 @@ def q_extract_articles(spark, sf):
 
 
 def q_extract_spans(spark, sf):
-    """Flagship span extraction with the REFERENCE-default chain
-    (fill_columns=True is now the extract_from_boxes default); span
-    output is invariant to the gap fill, so the oracle is unchanged."""
+    """Flagship span extraction over the UNFILLED chain
+    (fill_columns=False — the per-periodical opt-out of
+    result_section.py:89-92).  Deliberately the opposite flag of
+    q_extract_spans_filled so the driver exercises BOTH chain variants
+    and their shared oracle asserts the span-invariance for real; the
+    library default is the reference's True (plans/pipeline.py)."""
     boxes = boxes_from_documents_table(_t(spark, sf, "documents"))
-    return extract_from_boxes(boxes)
+    return extract_from_boxes(boxes, fill_columns=False)
 
 
 def q_extract_spans_filled(spark, sf):

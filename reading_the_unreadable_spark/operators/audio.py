@@ -66,6 +66,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         chunk = payload[pos + 8 : pos + 8 + size]
+        if len(chunk) < size:
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"{len(chunk)} present"
+            )
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", chunk, 0)
         elif cid == b"data":
@@ -74,6 +79,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, ch, rate, _, _, bits = fmt
+    if ch < 1 or rate < 1:
+        raise ValueError(f"malformed WAV fmt chunk: channels={ch} rate={rate}")
     if audio_format != 1:
         raise NotImplementedError(
             f"only integer PCM WAV supported (got format {audio_format}; "

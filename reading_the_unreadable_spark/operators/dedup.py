@@ -49,7 +49,13 @@ def _scratch_root(spark) -> str:
     ``tempfile.gettempdir()`` path is only correct when the default FS
     is ``file:`` (local mode): on a cluster whose default FS is HDFS/S3
     a schemeless write resolves against THAT FS while driver-local
-    cleanup would target a different disk — write and rmtree must agree."""
+    cleanup would target a different disk — write and rmtree must agree.
+    Deployments whose default-FS ``/tmp`` is absent or unwritable (e.g.
+    prefix-scoped object-store permissions) point scratch elsewhere via
+    ``spark.rtu.scratchDir``."""
+    configured = spark.conf.get("spark.rtu.scratchDir", None)
+    if configured:
+        return configured.rstrip("/")
     fs_default = spark._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
     if fs_default.startswith("file:"):
         return tempfile.gettempdir()
@@ -81,13 +87,13 @@ def _stage_boundary(df: DataFrame, tag: str, eager: bool = True) -> DataFrame:
 
     Scratch placement/cleanup: paths live under an application-scoped
     directory on the SPARK DEFAULT FILESYSTEM (see :func:`_scratch_root`)
-    and are deleted through the Hadoop FS API at interpreter exit.  The
-    per-tag path is deterministic and overwritten on reuse, so a
-    long-lived session's scratch is bounded by the number of distinct
-    tags, not the number of invocations.  Caveat: re-invoking an
-    operator with the same tag invalidates the frame returned by the
-    PREVIOUS invocation (it reads the overwritten path) — consume a
-    boundary's result before rebuilding it.
+    and are deleted through the Hadoop FS API at interpreter exit.  Each
+    invocation gets a UNIQUE path — a deterministic per-tag path with
+    overwrite (an earlier revision) silently corrupts the frame a
+    PREVIOUS invocation of the same operator returned, and races
+    concurrent driver threads.  Long-lived sessions invoking dedup
+    operators many times can reclaim scratch between batches with
+    :func:`clear_stage_scratch` (after consuming all returned frames).
 
     ``eager=True`` (default) runs the upstream jobs at plan-build time —
     for the dedup operators the boundary IS the point.  ``eager=False``
@@ -96,6 +102,7 @@ def _stage_boundary(df: DataFrame, tag: str, eager: bool = True) -> DataFrame:
     lineage into executor-local block storage only when the first
     consuming action runs (no scratch parquet, no plan-build-time job)."""
     import atexit
+    import uuid
 
     if not eager:
         return df.localCheckpoint(eager=False)
@@ -106,12 +113,23 @@ def _stage_boundary(df: DataFrame, tag: str, eager: bool = True) -> DataFrame:
     if app_dir not in _STAGE_DIRS:
         _STAGE_DIRS.add(app_dir)
         atexit.register(_rm_on_default_fs, spark, app_dir)
-    path = f"{app_dir}/{tag}"
-    df.write.mode("overwrite").parquet(path)
+    path = f"{app_dir}/{tag}_{uuid.uuid4().hex[:8]}"
+    df.write.mode("errorifexists").parquet(path)
     return spark.read.parquet(path)
 
 
 _STAGE_DIRS: set[str] = set()
+
+
+def clear_stage_scratch(spark) -> None:
+    """Reclaim this application's stage-boundary scratch NOW instead of
+    at interpreter exit.  Only safe once every DataFrame returned by a
+    dedup operator in this session has been fully consumed — their plans
+    read the scratch paths."""
+    app_dir = (
+        f"{_scratch_root(spark)}/rtu_stage/{spark.sparkContext.applicationId}"
+    )
+    _rm_on_default_fs(spark, app_dir)
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:

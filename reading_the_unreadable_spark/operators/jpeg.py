@@ -476,7 +476,15 @@ def _decode_block(
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes → HxWx3 uint8 RGB (grayscale replicated).
     Raises NotImplementedError on progressive/arithmetic/12-bit
-    profiles, ValueError on malformed data."""
+    profiles, ValueError on malformed/truncated data (a quarantining
+    caller catches exactly those two — nothing else may escape)."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (IndexError, EOFError, struct.error) as e:  # scan overran/aborted
+        raise ValueError(f"truncated or malformed JPEG: {e}") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError(f"not a JPEG: {payload[:4]!r}")
     pos = 2

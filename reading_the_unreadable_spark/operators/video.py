@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from .jpeg import decode_jpeg, encode_jpeg
-from .multimodal import image_features, N_HIST_BINS
+from .multimodal import image_features
 
 FRAME_FEATURE_SCHEMA = (
     "media_ref string, frame_idx int, n_frames int, fps double, "

@@ -475,3 +475,38 @@ def test_media_pipeline_driver_query(spark):
     assert a.equals(b)
     assert set(a["kind"]) == {"image", "audio", "video"}
     assert (a["n_rows"] > 0).all()
+
+
+def test_codec_malformed_inputs_raise_contract_types():
+    """Quarantining callers catch ValueError/NotImplementedError only:
+    truncated JPEGs and fuzzed WAVs must not leak IndexError /
+    ZeroDivisionError / EOFError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+    )
+    from reading_the_unreadable_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = (np.linspace(0, 255, 20)[None, :, None] * np.ones((16, 20, 3))).astype(
+        np.uint8
+    )
+    enc = encode_jpeg(img)
+    for bad in (enc[: len(enc) // 2], b"\xff\xd8\xff", enc[:-20]):
+        with _pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(bad)
+
+    wav = encode_wav(np.zeros(100, dtype=np.int16), 8000)
+    zero_ch = wav.replace(
+        b"fmt \x10\x00\x00\x00\x01\x00\x01\x00",
+        b"fmt \x10\x00\x00\x00\x01\x00\x00\x00", 1,
+    )
+    with _pytest.raises(ValueError):
+        decode_wav(zero_ch)
+    with _pytest.raises(ValueError):
+        decode_wav(wav[: len(wav) // 2])  # truncated data chunk

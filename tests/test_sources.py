@@ -195,7 +195,7 @@ def test_snapshot_append_timetravel_incremental(spark, tmp_path):
     batches = [corpus[:10], corpus[10:18], corpus[18:]]
     sids = [append_snapshot(docs_from_rows(spark, b), root) for b in batches]
     assert sids == [1, 2, 3]
-    assert current_snapshot_id(root) == 3
+    assert current_snapshot_id(spark, root) == 3
 
     assert read_snapshot(spark, root).count() == 30  # latest
     assert read_snapshot(spark, root, snapshot_id=1).count() == 10  # time travel
@@ -231,3 +231,28 @@ def test_read_snapshot_unknown_id_raises(spark, tmp_path):
     append_snapshot(docs_from_rows(spark, synth.make_corpus(5)), root)
     with _pytest.raises(ValueError, match="unknown snapshot id"):
         read_snapshot(spark, root, snapshot_id=7)
+
+
+def test_snapshot_killed_append_does_not_wedge(spark, tmp_path):
+    """A killed append (orphan data dir, no manifest) must neither block
+    the next append nor become visible to readers."""
+    from reading_the_unreadable_spark import synth
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows
+    from reading_the_unreadable_spark.sources.snapshots import (
+        append_snapshot,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    append_snapshot(docs_from_rows(spark, synth.make_corpus(5)), root)
+    # simulate a crash AFTER data write, BEFORE manifest publish:
+    # an unreferenced attempt dir for what would be snapshot 2
+    docs_from_rows(spark, synth.make_corpus(3)).write.parquet(
+        f"{root}/data/snap-2-deadbeef"
+    )
+    # table still reads as snapshot 1 only
+    assert read_snapshot(spark, root).count() == 5
+    # and a new append succeeds and supersedes the orphan
+    sid = append_snapshot(docs_from_rows(spark, synth.make_corpus(7)), root)
+    assert sid == 2
+    assert read_snapshot(spark, root).count() == 12
