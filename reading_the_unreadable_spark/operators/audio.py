@@ -72,6 +72,10 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
                 f"{len(chunk)} present"
             )
         if cid == b"fmt ":
+            if len(chunk) < 16:  # an honest size < 16 is still malformed
+                raise ValueError(
+                    f"malformed WAV: fmt chunk is {len(chunk)} bytes, need 16"
+                )
             fmt = struct.unpack_from("<HHIIHH", chunk, 0)
         elif cid == b"data":
             data = chunk

@@ -39,7 +39,13 @@ def _spread(documents: DataFrame, n_tasks: int | None = None) -> DataFrame:
     doesn't need is exactly the 100 TB anti-pattern — so this is a no-op
     unless the scan has fewer partitions than the target parallelism."""
     n = n_tasks or documents.sparkSession.sparkContext.defaultParallelism
-    if documents.rdd.getNumPartitions() >= n:
+    # file-count heuristic, NOT ``.rdd.getNumPartitions()``: touching
+    # ``.rdd`` forces an RDD conversion of the logical plan at
+    # plan-build time.  ``inputFiles()`` is metadata-only; a scan with
+    # ≥ n files is already at least n splits (big files split further,
+    # never coarser), so the no-op branch stays a no-op.  Non-file
+    # plans (in-memory test frames) report zero files and get balanced.
+    if len(documents.inputFiles()) >= n:
         return documents
     return documents.repartition(n)
 

@@ -480,7 +480,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     caller catches exactly those two — nothing else may escape)."""
     try:
         return _decode_jpeg_impl(payload)
-    except (IndexError, EOFError, struct.error) as e:  # scan overran/aborted
+    except (IndexError, EOFError, struct.error, KeyError) as e:
+        # scan overran/aborted, or a scan referenced an undefined
+        # Huffman/quant table / frame component (KeyError) — all are
+        # malformed-input conditions, not decoder bugs
         raise ValueError(f"truncated or malformed JPEG: {e}") from e
 
 

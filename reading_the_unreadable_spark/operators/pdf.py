@@ -393,12 +393,14 @@ def _expand_object_streams(objs: dict[int, bytes]) -> dict[int, bytes]:
     consults)."""
     out = dict(objs)
     for body in objs.values():
-        if b"/ObjStm" not in body:
-            continue
         sm = re.search(rb"stream\r?\n", body)
         if sm is None:
             continue
         head = body[: sm.start()]
+        # test the DICT HEADER only — compressed stream payloads can
+        # coincidentally contain the b"/ObjStm" byte sequence
+        if b"/ObjStm" not in head:
+            continue
         n_m = re.search(rb"/N\s+(\d+)", head)
         f_m = re.search(rb"/First\s+(\d+)", head)
         if not (n_m and f_m):

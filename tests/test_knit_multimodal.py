@@ -501,6 +501,29 @@ def test_codec_malformed_inputs_raise_contract_types():
         with _pytest.raises((ValueError, NotImplementedError)):
             decode_jpeg(bad)
 
+    # a JPEG whose scan references undefined Huffman tables (DHT
+    # segments stripped) is malformed input, not a decoder bug: the
+    # contract demands ValueError, never a raw KeyError
+    no_dht = bytearray()
+    pos = 2
+    no_dht += enc[:2]
+    import struct as _struct
+
+    while pos < len(enc):
+        marker = enc[pos + 1]
+        if marker in (0xD9,):
+            no_dht += enc[pos:]
+            break
+        seglen = _struct.unpack_from(">H", enc, pos + 2)[0]
+        if marker != 0xC4:  # drop DHT
+            no_dht += enc[pos : pos + 2 + seglen]
+        if marker == 0xDA:  # SOS: rest is entropy data
+            no_dht += enc[pos + 2 + seglen :]
+            break
+        pos += 2 + seglen
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(no_dht))
+
     wav = encode_wav(np.zeros(100, dtype=np.int16), 8000)
     zero_ch = wav.replace(
         b"fmt \x10\x00\x00\x00\x01\x00\x01\x00",
@@ -510,3 +533,10 @@ def test_codec_malformed_inputs_raise_contract_types():
         decode_wav(zero_ch)
     with _pytest.raises(ValueError):
         decode_wav(wav[: len(wav) // 2])  # truncated data chunk
+    # fmt chunk honestly declaring < 16 bytes: ValueError, not struct.error
+    short_fmt = wav.replace(
+        b"fmt \x10\x00\x00\x00\x01\x00\x01\x00",
+        b"fmt \x08\x00\x00\x00\x01\x00\x01\x00", 1,
+    )
+    with _pytest.raises(ValueError):
+        decode_wav(short_fmt)

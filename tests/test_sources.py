@@ -256,3 +256,141 @@ def test_snapshot_killed_append_does_not_wedge(spark, tmp_path):
     sid = append_snapshot(docs_from_rows(spark, synth.make_corpus(7)), root)
     assert sid == 2
     assert read_snapshot(spark, root).count() == 12
+
+
+def test_snapshot_schema_evolution(spark, tmp_path):
+    """Iceberg add-column semantics: an append with an extra column
+    coexists with older snapshots — latest read carries the new column
+    (NULL for pre-evolution rows), time travel to an old snapshot reads
+    the old schema's data."""
+    from reading_the_unreadable_spark import synth
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows
+    from reading_the_unreadable_spark.sources.snapshots import (
+        append_snapshot,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    append_snapshot(docs_from_rows(spark, synth.make_corpus(4)), root)
+    evolved = docs_from_rows(spark, synth.make_corpus(3, seed_tag="v2")).withColumn(
+        "source_rank", F.lit(7)
+    )
+    append_snapshot(evolved, root)
+
+    latest = read_snapshot(spark, root)
+    assert "source_rank" in latest.columns
+    assert latest.count() == 7
+    assert latest.filter(F.col("source_rank").isNull()).count() == 4
+    assert latest.filter(F.col("source_rank") == 7).count() == 3
+    # time travel to the pre-evolution snapshot: old schema only
+    old = read_snapshot(spark, root, snapshot_id=1)
+    assert "source_rank" not in old.columns
+    assert old.count() == 4
+
+
+def test_snapshot_expire_keeps_data_drops_travel(spark, tmp_path):
+    """expire_snapshots(keep_n): latest read byte-identical before and
+    after, expired ids stop being time-travel targets, and only
+    UNREFERENCED data dirs (orphan attempts) are deleted."""
+    import os
+
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark import synth
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows
+    from reading_the_unreadable_spark.sources.snapshots import (
+        append_snapshot,
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    corpus = synth.make_corpus(24)
+    for lo, hi in [(0, 8), (8, 14), (14, 24)]:
+        append_snapshot(docs_from_rows(spark, corpus[lo:hi]), root)
+    # orphan attempt dir (killed append / race loser): must be reclaimed
+    docs_from_rows(spark, synth.make_corpus(5)).write.parquet(
+        f"{root}/data/snap-9-orphan99"
+    )
+    before = {r["doc_id"] for r in read_snapshot(spark, root).collect()}
+
+    res = expire_snapshots(spark, root, keep_n=2)
+    assert res["expired"] == [1]
+    assert "snap-9-orphan99" in res["removed_dirs"]
+    # snapshot 1's data dir was folded forward, NOT deleted
+    assert not any(d.startswith("snap-1-") for d in res["removed_dirs"])
+
+    after = {r["doc_id"] for r in read_snapshot(spark, root).collect()}
+    assert after == before
+    with _pytest.raises(ValueError, match="unknown snapshot id"):
+        read_snapshot(spark, root, snapshot_id=1)
+    # surviving time travel unchanged: snapshot 2 = first two batches
+    assert read_snapshot(spark, root, snapshot_id=2).count() == 14
+    # idempotent re-run removes nothing further
+    res2 = expire_snapshots(spark, root, keep_n=2)
+    assert res2["expired"] == [] and res2["removed_dirs"] == []
+    # data dirs on disk == referenced dirs exactly
+    assert len(os.listdir(f"{root}/data")) == 3
+
+
+def test_snapshot_concurrent_commit_single_winner(spark, tmp_path):
+    """The commit race guard must hold on file:// where POSIX rename
+    silently overwrites: two manifests published for the same sid →
+    exactly one wins (deterministically), the loser detects the loss,
+    withdraws, and raises."""
+    from reading_the_unreadable_spark import synth
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows
+    from reading_the_unreadable_spark.sources import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    append_snapshot = S.append_snapshot
+    append_snapshot(docs_from_rows(spark, synth.make_corpus(4)), root)
+
+    # simulate committer A landing sid 2 between B's plan and publish:
+    # pre-publish a winning manifest (attempt "00000000" < any uuid4 with
+    # probability ~1; use "0-fixed" which sorts before all plain hex)
+    df_a = docs_from_rows(spark, synth.make_corpus(3, seed_tag="A"))
+    data_a = f"{root}/data/snap-2-0-fixedaa"
+    df_a.write.parquet(data_a)
+    S._write_file(
+        spark,
+        f"{root}/manifests/snap-2-0-fixedaa.json",
+        __import__("json").dumps(
+            {
+                "snapshot_id": 2,
+                "parent_id": 1,
+                "paths": [data_a],
+                "schema": df_a.schema.jsonValue(),
+            }
+        ).encode(),
+    )
+    # B now appends: computes sid 3 (A's manifest is visible) — so to
+    # force the RACE we call the internals the way append would with a
+    # stale parent: B publishes its own sid-2 manifest and must lose
+    df_b = docs_from_rows(spark, synth.make_corpus(2, seed_tag="B"))
+    data_b = f"{root}/data/snap-2-ffffffff"
+    df_b.write.parquet(data_b)
+    S._write_file(
+        spark,
+        f"{root}/manifests/snap-2-ffffffff.json",
+        __import__("json").dumps(
+            {
+                "snapshot_id": 2,
+                "parent_id": 1,
+                "paths": [data_b],
+                "schema": df_b.schema.jsonValue(),
+            }
+        ).encode(),
+    )
+    wins = dict(S._winning_manifests(spark, root))
+    assert wins[2] == "snap-2-0-fixedaa.json"  # deterministic winner
+    # readers see the winner's rows only
+    read_rows = {r["doc_id"] for r in S.read_snapshot(spark, root).collect()}
+    assert read_rows
+    a_ids = {r["doc_id"] for r in df_a.select("doc_id").collect()}
+    b_ids = {r["doc_id"] for r in df_b.select("doc_id").collect()}
+    assert a_ids <= read_rows and not (b_ids & read_rows)
+    # loser's data dir is reclaimed by expire as an orphan
+    res = S.expire_snapshots(spark, root, keep_n=10)
+    assert "snap-2-ffffffff" in res["removed_dirs"]
+    assert not any(d.startswith("snap-2-0-fixedaa") for d in res["removed_dirs"])
