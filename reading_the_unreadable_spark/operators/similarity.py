@@ -379,7 +379,12 @@ def centroid_dendrogram(embeddings: DataFrame, linkage: str = "average") -> Data
     import numpy as np
 
     spark = embeddings.sparkSession
-    rows = _cell_vectors(embeddings).collect()
+    # sort by label: collect() order is partitioning-dependent, and the
+    # enumeration order decides which side of a merge is cluster_a —
+    # without this the output is run-to-run nondeterministic
+    rows = sorted(
+        _cell_vectors(embeddings).collect(), key=lambda r: str(r["label"])
+    )
     names = [r["label"] for r in rows]
     vecs = np.array([r["cvec"] for r in rows], dtype=np.float64)
     n = len(names)
