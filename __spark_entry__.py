@@ -1041,7 +1041,10 @@ def q_media_pipeline(spark, sf):
         extract_audio_features,
         synth_wav_bytes,
     )
-    from reading_the_unreadable_spark.operators.jpeg import encode_jpeg
+    from reading_the_unreadable_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from reading_the_unreadable_spark.operators.multimodal import (
         extract_media_features,
     )
@@ -1071,7 +1074,16 @@ def q_media_pipeline(spark, sf):
                 ).clip(0, 255).astype(np.uint8)
                 rows["media_ref"].append(f"{ref}.jpg")
                 rows["kind"].append("image")
-                rows["payload"].append(encode_jpeg(img, subsample=True))
+                # alternate baseline / progressive (SOF2) payloads —
+                # progressive is a lossless re-org of the same quantized
+                # coefficients, so decoded features (and the VALUES
+                # oracle) are identical either way
+                enc = (
+                    encode_jpeg_progressive
+                    if int(doc_id) % 20 == 0
+                    else encode_jpeg
+                )
+                rows["payload"].append(enc(img, subsample=True))
                 rows["media_ref"].append(f"{ref}.wav")
                 rows["kind"].append("audio")
                 rows["payload"].append(synth_wav_bytes(f"{ref}.wav"))

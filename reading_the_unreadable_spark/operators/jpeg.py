@@ -4,12 +4,16 @@ Scanned-newspaper and web corpora are overwhelmingly JPEG (the reference
 reads page images freely through cv2, ``send_to_lm_functions.py:715-737``);
 this container has no PIL/cv2, so — same policy as the PNG/PDF codecs in
 this repo — the profile real corpora actually use is implemented from
-the public JPEG spec (ITU-T T.81): baseline sequential DCT, 8-bit,
-Huffman-coded, grayscale or YCbCr with 1x1/2x1/1x2/2x2 sampling factors
-(4:4:4 / 4:2:2 / 4:2:0), restart markers.  Progressive (SOF2),
-arithmetic coding, and 12-bit precision raise ``NotImplementedError``
-loudly.  All constant tables below are the spec's public Annex K
-examples (quantization) and K.3.3 typical Huffman tables.
+the public JPEG spec (ITU-T T.81): baseline sequential DCT and
+progressive DCT (SOF2 — spectral selection + successive approximation,
+DC/AC first and refinement scans, EOB runs), 8-bit, Huffman-coded,
+grayscale or YCbCr with 1x1/2x1/1x2/2x2 sampling factors
+(4:4:4 / 4:2:2 / 4:2:0), restart markers.  Arithmetic coding, 12-bit
+precision, and hierarchical/lossless modes raise
+``NotImplementedError`` loudly.  All constant tables below are the
+spec's public Annex K examples (quantization) and K.3.3 typical
+Huffman tables; the progressive encoder builds per-scan optimized
+tables with the Annex K.2 frequency-merge algorithm.
 
 The per-symbol Huffman loop is plain Python: correct and fine for the
 fixture-scale images tests feed through ``mapInPandas`` Arrow batches;
@@ -474,10 +478,11 @@ def _decode_block(
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → HxWx3 uint8 RGB (grayscale replicated).
-    Raises NotImplementedError on progressive/arithmetic/12-bit
-    profiles, ValueError on malformed/truncated data (a quarantining
-    caller catches exactly those two — nothing else may escape)."""
+    """Baseline or progressive (SOF2) JFIF bytes → HxWx3 uint8 RGB
+    (grayscale replicated).  Raises NotImplementedError on
+    arithmetic/hierarchical/12-bit profiles, ValueError on
+    malformed/truncated data (a quarantining caller catches exactly
+    those two — nothing else may escape)."""
     try:
         return _decode_jpeg_impl(payload)
     except (IndexError, EOFError, struct.error, KeyError) as e:
@@ -494,6 +499,8 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    prog_state: dict | None = None
     restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -529,7 +536,7 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 values = list(seg[i + 17 : i + 17 + nval])
                 htables[(tclass, tid)] = _huff_decoder(bits, values)
                 i += 17 + nval
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit precision")
@@ -540,10 +547,11 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + c * 3 : 9 + c * 3]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}): progressive/"
-                "arithmetic/hierarchical not supported"
+                f"non-baseline JPEG (SOF{marker - 0xC0}): "
+                "arithmetic/hierarchical/lossless not supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -555,12 +563,25 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = seg[1 + c * 2 : 3 + c * 2]
                 scan_tabs[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
-                payload, pos + 2 + seglen, frame, scan_tabs,
-                qtables, htables, restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + 2 + seglen, frame, scan_tabs,
+                    qtables, htables, restart_interval,
+                )
+            ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+            ah_al = seg[3 + ns * 2]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            if prog_state is None:
+                prog_state = _prog_init(frame)
+            pos = _decode_prog_scan(
+                payload, pos + 2 + seglen, frame, scan_tabs, htables,
+                restart_interval, prog_state, ss, se, ah, al,
             )
+            continue
         # APPn/COM/others: skip
         pos += 2 + seglen
+    if progressive and prog_state is not None:
+        return _prog_reconstruct(frame, prog_state, qtables)
     raise ValueError("no SOS marker found")
 
 
@@ -629,3 +650,625 @@ def _decode_scan(
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive (SOF2) decode
+def _comp_geometry(frame: tuple):
+    """Per-component block geometry: MCU-grid dims (what interleaved DC
+    scans cover) and true dims (what non-interleaved AC scans cover)."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    geo = {}
+    for cid, ch, cv, tq in comps:
+        mcus_x = -(-fw // (8 * hmax))
+        mcus_y = -(-fh // (8 * vmax))
+        bw_mcu, bh_mcu = mcus_x * ch, mcus_y * cv
+        cw = -(-fw * ch // hmax)
+        chh = -(-fh * cv // vmax)
+        bw_true, bh_true = -(-cw // 8), -(-chh // 8)
+        geo[cid] = (bw_mcu, bh_mcu, bw_true, bh_true, ch, cv, tq)
+    return geo, hmax, vmax
+
+
+def _prog_init(frame: tuple) -> dict:
+    """Coefficient accumulators, one (bh, bw, 64) int32 array per
+    component (zigzag order), sized to the MCU grid."""
+    geo, _, _ = _comp_geometry(frame)
+    return {
+        cid: np.zeros((bh_mcu, bw_mcu, 64), dtype=np.int32)
+        for cid, (bw_mcu, bh_mcu, *_rest) in geo.items()
+    }
+
+
+def _next_marker_pos(payload: bytes, pos: int) -> int:
+    """Position of the next real marker after entropy data (skips
+    stuffed 0xFF00 and stray restart markers)."""
+    n = len(payload)
+    while pos < n - 1:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = payload[pos + 1]
+        if nxt == 0x00:
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            pos += 2
+        elif nxt == 0xFF:
+            pos += 1
+        else:
+            return pos
+    raise ValueError("truncated progressive scan: no trailing marker")
+
+
+def _refine_nonzero(br: _BitReader, coef: np.ndarray, k: int, one: int) -> None:
+    """Correction bit for an already-nonzero coefficient (T.81 G.2,
+    libjpeg's guard form: only apply when the Al bit is still clear)."""
+    if br.read_bit() and (int(coef[k]) & one) == 0:
+        coef[k] += one if coef[k] >= 0 else -one
+
+
+def _ac_first_block(
+    br: _BitReader, ac_tab: dict, coef: np.ndarray,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """One block of an AC initial scan (Ah=0); returns remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)-1+ext more all-zero bands
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                return eobrun
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run past spectral band end")
+            coef[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+    return 0
+
+
+def _ac_refine_block(
+    br: _BitReader, ac_tab: dict, coef: np.ndarray,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """One block of an AC refinement scan (Ah>0); returns remaining EOB
+    run.  Structure follows T.81 G.1.2.3 / the public libjpeg
+    decode_mcu_AC_refine shape: inside an EOB run only correction bits
+    for already-nonzero coefficients are read."""
+    one = 1 << al
+    if eobrun > 0:
+        for k in range(ss, se + 1):
+            if coef[k]:
+                _refine_nonzero(br, coef, k, one)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                r = 64  # sweep to band end refining, placing nothing
+            sv = 0
+        else:
+            if s != 1:
+                raise ValueError("AC refinement magnitude must be 1")
+            sv = one if br.read_bit() else -one
+        while k <= se:
+            if coef[k]:
+                _refine_nonzero(br, coef, k, one)
+            else:
+                if r == 0:
+                    if sv:
+                        coef[k] = sv
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    payload: bytes,
+    pos: int,
+    frame: tuple,
+    scan_tabs: dict,
+    htables: dict,
+    restart_interval: int,
+    state: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode one progressive scan into the coefficient state; returns
+    the payload position of the next marker."""
+    geo, hmax, vmax = _comp_geometry(frame)
+    fh, fw, comps = frame
+    scan_comps = [c for c in comps if c[0] in scan_tabs]
+    br = _BitReader(payload, pos)
+    unit = 0  # restart-interval unit counter (MCUs, or blocks when ns=1)
+
+    def at_restart() -> bool:
+        return bool(restart_interval) and unit and unit % restart_interval == 0
+
+    def consume_restart() -> None:
+        try:
+            while True:
+                br.read_bit()  # drain pad bits until the marker surfaces
+        except _RestartMarker:
+            br.align_restart()
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        preds = {cid: 0 for cid, *_ in scan_comps}
+        if len(scan_comps) > 1:  # interleaved MCU walk
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if at_restart():
+                        consume_restart()
+                        preds = {cid: 0 for cid, *_ in scan_comps}
+                    for cid, ch, cv, _tq in scan_comps:
+                        coefs = state[cid]
+                        dc_tab = htables.get((0, scan_tabs[cid][0]))
+                        if ah == 0 and dc_tab is None:
+                            raise ValueError("DC scan references undefined table")
+                        for dy in range(cv):
+                            for dx in range(ch):
+                                by, bx = my * cv + dy, mx * ch + dx
+                                if ah == 0:
+                                    size = _decode_symbol(br, dc_tab)
+                                    diff = _extend(br.read_bits(size), size)
+                                    preds[cid] += diff
+                                    coefs[by, bx, 0] = preds[cid] << al
+                                elif br.read_bit():
+                                    coefs[by, bx, 0] += 1 << al
+                    unit += 1
+        else:  # single-component DC scan: raster over true block dims
+            cid, ch, cv, _tq = scan_comps[0]
+            _bwm, _bhm, bw_t, bh_t, *_ = geo[cid]
+            coefs = state[cid]
+            dc_tab = htables.get((0, scan_tabs[cid][0]))
+            if ah == 0 and dc_tab is None:
+                raise ValueError("DC scan references undefined table")
+            for by in range(bh_t):
+                for bx in range(bw_t):
+                    if at_restart():
+                        consume_restart()
+                        preds[cid] = 0
+                    if ah == 0:
+                        size = _decode_symbol(br, dc_tab)
+                        diff = _extend(br.read_bits(size), size)
+                        preds[cid] += diff
+                        coefs[by, bx, 0] = preds[cid] << al
+                    elif br.read_bit():
+                        coefs[by, bx, 0] += 1 << al
+                    unit += 1
+    else:  # AC scan: spec requires exactly one component
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid = scan_comps[0][0]
+        _bwm, _bhm, bw_t, bh_t, *_ = geo[cid]
+        coefs = state[cid]
+        ac_tab = htables.get((1, scan_tabs[cid][1]))
+        if ac_tab is None:
+            raise ValueError(f"AC scan references undefined table {scan_tabs[cid][1]}")
+        fn = _ac_first_block if ah == 0 else _ac_refine_block
+        eobrun = 0
+        for by in range(bh_t):
+            for bx in range(bw_t):
+                if at_restart():
+                    consume_restart()
+                    eobrun = 0
+                eobrun = fn(br, ac_tab, coefs[by, bx], ss, se, al, eobrun)
+                unit += 1
+    return _next_marker_pos(payload, br.pos)
+
+
+def _prog_reconstruct(frame: tuple, state: dict, qtables: dict) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficients, upsample, crop,
+    color-convert — mirrors the tail of :func:`_decode_scan`."""
+    fh, fw, comps = frame
+    geo, hmax, vmax = _comp_geometry(frame)
+    full = []
+    for cid, ch, cv, tq in comps:
+        bw_mcu, bh_mcu, *_ = geo[cid]
+        q = qtables[tq].astype(np.float64)
+        coefs = state[cid].astype(np.float64) * q  # both zigzag-ordered
+        plane = np.zeros((bh_mcu * 8, bw_mcu * 8))
+        dez = np.zeros(64)
+        for by in range(bh_mcu):
+            for bx in range(bw_mcu):
+                dez[ZIGZAG] = coefs[by, bx]
+                block = _A.T @ dez.reshape(8, 8) @ _A
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(plane[:fh, :fw])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive (SOF2) encode
+def _build_huff_table(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Optimized Huffman table from symbol frequencies — the public
+    T.81 Annex K.2 algorithm (code-size derivation by frequency
+    merging, BITS adjustment to the 16-bit limit, reserved symbol 256
+    so no real symbol gets the all-ones code).  Returns the DHT wire
+    form: (bits[1..16] counts, symbols in canonical order)."""
+    freq = [0] * 257
+    for sym, f in freqs.items():
+        freq[sym] = f
+    freq[256] = 1
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v, v1 = None, -1
+        for i in range(257):
+            if freq[i] and (v is None or freq[i] <= v):
+                v, v1 = freq[i], i
+        v, v2 = None, -1
+        for i in range(257):
+            if freq[i] and i != v1 and (v is None or freq[i] <= v):
+                v, v2 = freq[i], i
+        if v2 < 0:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved-symbol code
+    values = [
+        sym
+        for size in range(1, 33)
+        for sym in range(256)
+        if codesize[sym] == size
+    ]
+    return bits[1:17], values
+
+
+def _quantized_comps(arr: np.ndarray, quality: int, subsample: bool):
+    """Forward DCT + quantization into per-component zigzag coefficient
+    arrays sized to the MCU grid (the same geometry the baseline encoder
+    walks), plus each component's true block dims for non-interleaved
+    scans."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    ql = _scale_q(Q_LUMA, quality)
+    qc = _scale_q(Q_CHROMA, quality)
+    if gray:
+        plane_specs = [(arr.astype(np.float64), 1, 1, 0, ql)]
+        hmax = vmax = 1
+    elif not subsample:
+        ycc = _rgb_to_ycbcr(arr)
+        plane_specs = [
+            (ycc[..., 0], 1, 1, 0, ql),
+            (ycc[..., 1], 1, 1, 1, qc),
+            (ycc[..., 2], 1, 1, 1, qc),
+        ]
+        hmax = vmax = 1
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        ph, pw = -h % 2, -w % 2
+        cbp = np.pad(ycc[..., 1], ((0, ph), (0, pw)), mode="edge")
+        crp = np.pad(ycc[..., 2], ((0, ph), (0, pw)), mode="edge")
+        cb2 = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+        cr2 = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+        plane_specs = [
+            (ycc[..., 0], 2, 2, 0, ql),
+            (cb2, 1, 1, 1, qc),
+            (cr2, 1, 1, 1, qc),
+        ]
+        hmax = vmax = 2
+    comps = []
+    for idx, (plane, ch, cv, tq, q) in enumerate(plane_specs):
+        grid = _block_grid(plane)
+        bh_t, bw_t = grid.shape[:2]  # true block dims = unpadded grid
+        if hmax == 2 and idx == 0 and (bh_t % 2 or bw_t % 2):
+            grid = np.pad(
+                grid, ((0, bh_t % 2), (0, bw_t % 2), (0, 0), (0, 0)),
+                mode="edge",
+            )
+        by, bx = grid.shape[:2]
+        coef = np.zeros((by, bx, 64), dtype=np.int32)
+        qf = q.astype(np.float64)
+        for yy in range(by):
+            for xx in range(bx):
+                coeffs = _A @ (grid[yy, xx] - 128.0) @ _A.T
+                coef[yy, xx] = np.round(coeffs.flatten() / qf).astype(np.int32)[
+                    ZIGZAG
+                ]
+        comps.append(
+            {"cid": idx + 1, "ch": ch, "cv": cv, "tq": tq,
+             "coef": coef, "bw_t": bw_t, "bh_t": bh_t}
+        )
+    return comps, hmax, vmax, ql, qc, gray
+
+
+class _EobState:
+    """EOB-run + buffered-correction-bit state for one AC scan (the
+    encoder mirror of T.81 G.1.2.2/G.1.2.3; shapes follow the public
+    libjpeg emit_eobrun / BE buffer discipline)."""
+
+    def __init__(self, emit_sym, emit_bits) -> None:
+        self.eobrun = 0
+        self.pending: list[int] = []
+        self.emit_sym = emit_sym
+        self.emit_bits = emit_bits
+
+    def flush(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.emit_sym(r << 4)
+            if r:
+                self.emit_bits(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.emit_bits(b, 1)
+        self.pending = []
+
+
+def _enc_ac_first_block(
+    block: np.ndarray, ss: int, se: int, al: int, st: _EobState
+) -> None:
+    tv = [0] * (se + 1)
+    any_nz = False
+    for k in range(ss, se + 1):
+        v = int(block[k])
+        a = (v if v >= 0 else -v) >> al
+        tv[k] = a if v >= 0 else -a
+        any_nz = any_nz or a != 0
+    if not any_nz:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+        return
+    st.flush()
+    run = 0
+    for k in range(ss, se + 1):
+        if tv[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            st.emit_sym(0xF0)
+            run -= 16
+        size, bits = _magnitude(tv[k])
+        st.emit_sym((run << 4) | size)
+        st.emit_bits(bits, size)
+        run = 0
+    if run:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _enc_ac_refine_block(
+    block: np.ndarray, ss: int, se: int, al: int, st: _EobState
+) -> None:
+    ab = [0] * (se + 1)
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        v = int(block[k])
+        ab[k] = (v if v >= 0 else -v) >> al
+        if ab[k] == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        if ab[k] == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.flush()
+            st.emit_sym(0xF0)
+            r -= 16
+            for b in br:
+                st.emit_bits(b, 1)
+            br = []
+        if ab[k] > 1:  # history coefficient: buffer its correction bit
+            br.append(ab[k] & 1)
+            continue
+        st.flush()
+        st.emit_sym((r << 4) | 1)
+        st.emit_bits(1 if int(block[k]) > 0 else 0, 1)
+        for b in br:
+            st.emit_bits(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF or len(st.pending) > 900:
+            st.flush()
+
+
+def _run_prog_scan(
+    comps_in_scan: list[dict],
+    hmax: int,
+    vmax: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    emit_sym,
+    emit_bits,
+) -> None:
+    """One progressive scan over the coefficient arrays.  Called twice
+    per scan: once with a tallying sink (to build the optimized Huffman
+    table), once with the real bit-writer sink."""
+    if ss == 0:  # DC scan
+        preds = {c["cid"]: 0 for c in comps_in_scan}
+        if len(comps_in_scan) > 1:
+            by0, bx0 = comps_in_scan[0]["coef"].shape[:2]
+            mcus_y = by0 // comps_in_scan[0]["cv"]
+            mcus_x = bx0 // comps_in_scan[0]["ch"]
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for c in comps_in_scan:
+                        for dy in range(c["cv"]):
+                            for dx in range(c["ch"]):
+                                v = int(
+                                    c["coef"][my * c["cv"] + dy,
+                                              mx * c["ch"] + dx, 0]
+                                ) >> al
+                                if ah == 0:
+                                    diff = v - preds[c["cid"]]
+                                    preds[c["cid"]] = v
+                                    size, bits = _magnitude(diff)
+                                    emit_sym(size)
+                                    emit_bits(bits, size)
+                                else:
+                                    emit_bits(v & 1, 1)
+        else:
+            c = comps_in_scan[0]
+            for by in range(c["bh_t"]):
+                for bx in range(c["bw_t"]):
+                    v = int(c["coef"][by, bx, 0]) >> al
+                    if ah == 0:
+                        diff = v - preds[c["cid"]]
+                        preds[c["cid"]] = v
+                        size, bits = _magnitude(diff)
+                        emit_sym(size)
+                        emit_bits(bits, size)
+                    else:
+                        emit_bits(v & 1, 1)
+    else:  # AC scan: single component, true block dims
+        c = comps_in_scan[0]
+        st = _EobState(emit_sym, emit_bits)
+        fn = _enc_ac_first_block if ah == 0 else _enc_ac_refine_block
+        for by in range(c["bh_t"]):
+            for bx in range(c["bw_t"]):
+                fn(c["coef"][by, bx], ss, se, al, st)
+        st.flush()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """HxWx3 uint8 RGB (or HxW grayscale) → progressive (SOF2) JFIF
+    bytes, libjpeg's "simple progression" scan script: DC first at Al=1,
+    banded AC first scans, AC refinement, DC refinement, final Al=0 AC
+    refinements.  The quantized coefficients are identical to the
+    baseline encoder's at the same quality, so decode(progressive) ==
+    decode(baseline) pixel-for-pixel — pinned by tests."""
+    comps, hmax, vmax, ql, qc, gray = _quantized_comps(arr, quality, subsample)
+    h, w = arr.shape[:2]
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        ql[ZIGZAG].tolist()
+    )
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(
+            qc[ZIGZAG].tolist()
+        )
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in comps:
+        sof += bytes([c["cid"], (c["ch"] << 4) | c["cv"], c["tq"]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+
+    if gray:
+        script = [
+            ([1], 0, 0, 0, 1),
+            ([1], 1, 5, 0, 2),
+            ([1], 6, 63, 0, 2),
+            ([1], 1, 63, 2, 1),
+            ([1], 0, 0, 1, 0),
+            ([1], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([1, 2, 3], 0, 0, 0, 1),
+            ([1], 1, 5, 0, 2),
+            ([2], 1, 63, 0, 1),
+            ([3], 1, 63, 0, 1),
+            ([1], 6, 63, 0, 2),
+            ([1], 1, 63, 2, 1),
+            ([1, 2, 3], 0, 0, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([3], 1, 63, 1, 0),
+        ]
+    by_id = {c["cid"]: c for c in comps}
+    for cids, ss, se, ah, al in script:
+        scomps = [by_id[cid] for cid in cids]
+        # pass 1: tally symbols for the optimized per-scan table
+        freqs: dict[int, int] = {}
+        _run_prog_scan(
+            scomps, hmax, vmax, ss, se, ah, al,
+            lambda s: freqs.__setitem__(s, freqs.get(s, 0) + 1),
+            lambda b, n: None,
+        )
+        tclass = 0 if ss == 0 else 1
+        codes: dict[int, tuple[int, int]] = {}
+        if freqs:  # DC-refinement scans emit no symbols at all
+            bits, values = _build_huff_table(freqs)
+            codes = _huff_codes(bits, values)
+            body = bytes([tclass << 4]) + bytes(bits) + bytes(values)
+            out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+        sos = bytes([len(cids)])
+        for cid in cids:
+            sos += bytes([cid, 0x00])  # Td=Ta=0 (redefined per scan)
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        bw = _BitWriter()
+
+        def emit_sym(s, _bw=bw, _codes=codes):
+            code, ln = _codes[s]
+            _bw.write(code, ln)
+
+        def emit_bits(b, n, _bw=bw):
+            if n:
+                _bw.write(b, n)
+
+        _run_prog_scan(scomps, hmax, vmax, ss, se, ah, al, emit_sym, emit_bits)
+        bw.flush()
+        out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -5,12 +5,13 @@ Codec situation in this image: no PIL/cv2/soundfile.  Rather than stub
 everything, the formats that need no codec library are decoded for real:
 uncompressed 24-bit BMP and binary PGM/PPM (P5/P6) with a pure-numpy
 parser, 8-bit non-interlaced PNG (gray/GA/RGB/RGBA) via stdlib zlib +
-a numpy unfilter, and baseline-sequential JPEG via the from-scratch
-codec in :mod:`jpeg` — so the full pipeline (binary column → decode →
-resize → feature-extract) runs end-to-end over Arrow batches on the
-formats real corpora actually use.  Exotic variants (progressive JPEG,
-interlaced PNG, …) raise NotImplementedError with a clear message;
-swapping in PIL later changes only ``decode_image``.
+a numpy unfilter, and baseline-sequential + progressive JPEG via the
+from-scratch codec in :mod:`jpeg` — so the full pipeline (binary column
+→ decode → resize → feature-extract) runs end-to-end over Arrow batches
+on the formats real corpora actually use.  Exotic variants
+(arithmetic-coded JPEG, interlaced PNG, …) raise NotImplementedError
+with a clear message; swapping in PIL later changes only
+``decode_image``.
 
 Scale design: decode/feature runs in ``mapInPandas`` (one Python entry
 per Arrow batch, per-worker init scope for model/codec state); media
@@ -243,8 +244,9 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """binary → HxWx3 uint8 RGB.  BMP/PGM/PPM/PNG decode for real (pure
-    numpy + stdlib zlib); baseline-sequential JPEG via the from-scratch
-    codec in :mod:`jpeg` (progressive/arithmetic profiles raise there)."""
+    numpy + stdlib zlib); baseline + progressive JPEG via the
+    from-scratch codec in :mod:`jpeg` (arithmetic/hierarchical profiles
+    raise there)."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):

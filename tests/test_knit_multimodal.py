@@ -106,9 +106,9 @@ def test_codec_roundtrip_and_resize():
     # formats without a pure-python decode fail loudly, not silently
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):  # progressive (SOF2) JPEG
+    with _pytest.raises(NotImplementedError):  # arithmetic-coded (SOF9) JPEG
         decode_image(
-            b"\xff\xd8\xff\xc2\x00\x0b" + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+            b"\xff\xd8\xff\xc9\x00\x0b" + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
         )
     with _pytest.raises(NotImplementedError):
         decode_image(b"P5\n2 2\n65535\n" + bytes(8))  # 16-bit PNM
@@ -540,3 +540,77 @@ def test_codec_malformed_inputs_raise_contract_types():
     )
     with _pytest.raises(ValueError):
         decode_wav(short_fmt)
+
+
+def test_progressive_jpeg_exact_vs_baseline():
+    """Progressive (SOF2) is a lossless reorganization of the same
+    quantized coefficients, so decode(progressive) must equal
+    decode(baseline) PIXEL-FOR-PIXEL at the same quality — across
+    4:4:4, 4:2:0, grayscale, odd dims, and qualities."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    cases = [
+        (
+            (np.linspace(0, 255, 32)[None, :, None] * np.ones((24, 32, 3))).astype(
+                np.uint8
+            ),
+            {},
+        ),
+        (rng.integers(0, 256, (33, 47, 3)).astype(np.uint8), {"subsample": True}),
+        (rng.integers(0, 256, (17, 25)).astype(np.uint8), {}),
+        # flat 64x64: long all-zero AC bands exercise EOBn runs > 1
+        (np.full((64, 64, 3), 130, np.uint8), {"subsample": True}),
+    ]
+    for img, kw in cases:
+        for q in (50, 90):
+            base = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=q, **kw))
+            assert np.array_equal(base, prog), (img.shape, kw, q)
+
+
+def test_progressive_jpeg_malformed_contract():
+    """Progressive decode obeys the same error contract: truncated or
+    table-less streams raise ValueError, never raw IndexError/KeyError/
+    AttributeError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np.arange(16 * 24 * 3, dtype=np.uint8).reshape(16, 24, 3)
+    enc = encode_jpeg_progressive(img)
+    for bad in (enc[: len(enc) // 3], enc[: len(enc) - 10]):
+        with _pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(bad)
+    # strip every DHT: the first Huffman-coded scan must fail loudly
+    import struct as _struct
+
+    out = bytearray(enc[:2])
+    pos = 2
+    while pos < len(enc) - 1:
+        marker = enc[pos + 1]
+        if marker == 0xD9:
+            out += enc[pos : pos + 2]
+            break
+        seglen = _struct.unpack_from(">H", enc, pos + 2)[0]
+        if marker != 0xC4:
+            out += enc[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDA:  # copy entropy bytes up to the next marker
+            while pos < len(enc) - 1 and not (
+                enc[pos] == 0xFF and enc[pos + 1] not in (0x00,) and not (0xD0 <= enc[pos + 1] <= 0xD7)
+            ):
+                out.append(enc[pos])
+                pos += 1
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(out))
