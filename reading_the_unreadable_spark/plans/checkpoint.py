@@ -63,6 +63,50 @@ def read_checkpoints(
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def _list_part_files(spark: SparkSession, path: str) -> list:
+    """Parquet part files under ``path`` via the Hadoop FS API (same
+    write/cleanup-filesystem discipline as the snapshot layer)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath()
+        for st in fs.listStatus(p)
+        if st.getPath().getName().startswith("part-")
+    ]
+
+
+def compact_checkpoints(
+    spark: SparkSession, ckpt_path: str, max_files: int = 8
+) -> int:
+    """Bound the checkpoint table's file count across thousands of
+    resumes — the compaction half of the MERGE-INTO semantics the
+    append-only parquet table stands in for (on Iceberg the append
+    below is a ``MERGE INTO`` and table maintenance is
+    ``rewrite_data_files``).
+
+    Crash-safe without a directory swap: (1) append ONE new part file
+    holding the deduped (latest-wins) table, (2) delete the old part
+    files.  A crash between the steps leaves duplicates that the
+    latest-wins reader collapses — re-running compaction finishes the
+    cleanup.  Readers are never broken: the directory always contains
+    at least one complete copy of every surviving row.
+
+    Returns the number of files removed (0 = under threshold)."""
+    old_files = _list_part_files(spark, ckpt_path)
+    if len(old_files) <= max_files:
+        return 0
+    compacted = read_checkpoints(spark, ckpt_path, dedup=True)
+    # tiny metadata table (≤ stages × n_buckets rows): one file
+    compacted.coalesce(1).write.mode("append").parquet(ckpt_path)
+    fs = old_files[0].getFileSystem(spark._jsc.hadoopConfiguration())
+    for f in old_files:
+        fs.delete(f, False)
+    return len(old_files)
+
+
 def run_extract_with_checkpoints(
     spark: SparkSession,
     docs: DataFrame,
@@ -133,6 +177,7 @@ def run_extract_with_checkpoints(
     )
     n_new = metrics.count()
     metrics.write.mode("append").parquet(ckpt_path)
+    compact_checkpoints(spark, ckpt_path)
     return {
         "job_id": job_id,
         "buckets_processed": n_new,

@@ -182,3 +182,46 @@ def test_snapshot_incremental_checkpointed_flow(spark, tmp_path):
     )
     ids = [r["doc_id"] for r in got.select("doc_id").collect()]
     assert len(ids) == 35 and len(set(ids)) == 35  # exactly-once overall
+
+
+def test_checkpoint_compaction_bounds_files(spark, docs, tmp_path):
+    """MERGE-stand-in maintenance: many resumes must not grow the
+    checkpoint table unboundedly — compaction keeps the file count
+    bounded while resume semantics stay exactly-once."""
+    import os
+
+    from reading_the_unreadable_spark.plans.checkpoint import (
+        compact_checkpoints,
+    )
+
+    out = str(tmp_path / "job")
+    # 8 buckets, one per run -> 8 sequential resumes, then 4 no-op reruns
+    for _ in range(N_BUCKETS):
+        run_extract_with_checkpoints(
+            spark, docs, out, n_buckets=N_BUCKETS, num_partitions=8,
+            max_buckets=1,
+        )
+    for _ in range(4):
+        run_extract_with_checkpoints(
+            spark, docs, out, n_buckets=N_BUCKETS, num_partitions=8
+        )
+    ckpt = f"{out}/checkpoints"
+    n_files = sum(1 for f in os.listdir(ckpt) if f.startswith("part-"))
+    assert n_files <= 8, f"checkpoint table grew to {n_files} files"
+    # resume semantics unchanged: all buckets done, nothing to do
+    done = read_checkpoints(spark, ckpt)
+    assert done.count() == N_BUCKETS
+    r = run_extract_with_checkpoints(
+        spark, docs, out, n_buckets=N_BUCKETS, num_partitions=8
+    )
+    assert r["buckets_processed"] == 0
+    # output exactly-once per document
+    got = spark.read.parquet(f"{out}/extracted_nested")
+    assert got.count() == N_DOCS
+    assert got.select("doc_id").distinct().count() == N_DOCS
+    # explicit compaction with a tight threshold squeezes to one file
+    removed = compact_checkpoints(spark, ckpt, max_files=1)
+    assert removed >= 1
+    n_files = sum(1 for f in os.listdir(ckpt) if f.startswith("part-"))
+    assert n_files == 1
+    assert read_checkpoints(spark, ckpt).count() == N_BUCKETS
