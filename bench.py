@@ -108,6 +108,37 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal ticks, total ticks) from /proc/stat — the direct signal
+    for the bursty CPU-steal noise this VM shows (SURVEY §10.7)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(v) for v in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _noise_snapshot() -> dict:
+    with open("/proc/loadavg") as f:
+        load1 = float(f.read().split()[0])
+    steal, total = _cpu_ticks()
+    return {"steal": steal, "total": total, "load1": load1}
+
+
+def _noise_block(start: dict, end: dict) -> dict:
+    """Noise context stamped into the bench JSON so cross-round files
+    carry their own comparability signal: a high steal_pct or loadavg
+    means the suite ran in a degraded session and round-over-round
+    deltas inside the ambient 20-30% band are not real."""
+    dt = max(end["total"] - start["total"], 1)
+    return {
+        "steal_pct": round(100.0 * (end["steal"] - start["steal"]) / dt, 2),
+        "load1_start": start["load1"],
+        "load1_end": end["load1"],
+        "best_of": 3,
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from reading_the_unreadable_spark.datagen import make_corpus_df
@@ -129,6 +160,7 @@ def main() -> None:
     _noop(extract_nested(read_docs(spark, DOCS_CACHE).limit(64), num_partitions=CPUS))
     _noop(queries["pricing_summary"](spark, SF_DIR))
 
+    noise_start = _noise_snapshot()
     timings: dict[str, float] = {}
 
     def best_of(fn, k: int = 3) -> float:
@@ -164,6 +196,7 @@ def main() -> None:
                 "extract_docs": BENCH_DOCS,
                 "extract_docs_per_sec": docs_per_sec,
                 "cpus": CPUS,
+                "noise": _noise_block(noise_start, _noise_snapshot()),
             }
         )
     )
