@@ -1,12 +1,13 @@
 """Audio columns: WAV/PCM decode + feature extraction, pure numpy/stdlib.
 
 Same codec policy as :mod:`multimodal` (images) and :mod:`pdf`: the
-container format that needs no codec library — RIFF/WAVE with integer
-PCM (8/16/32-bit, any channel count) — is decoded for real, so the full
-pipeline (binary column → decode → feature-extract) runs end-to-end
-over Arrow batches.  Compressed formats (MP3/AAC/float WAV/ADPCM) raise
-``NotImplementedError`` loudly; swapping in soundfile/ffmpeg later
-changes only :func:`decode_wav`.
+container formats that need no codec library — RIFF/WAVE with integer
+PCM (8/16/24/32-bit, any channel count), IEEE float (32/64-bit), and
+WAVE_FORMAT_EXTENSIBLE wrapping either — are decoded for real, so the
+full pipeline (binary column → decode → feature-extract) runs
+end-to-end over Arrow batches.  Compressed formats (MP3/AAC/ADPCM/
+mu-law) raise ``NotImplementedError`` loudly; swapping in
+soundfile/ffmpeg later changes only :func:`decode_wav`.
 
 Features are the classic cheap descriptors a corpus-curation pass
 filters on (silence/clipping/tone detection): duration, RMS level,
@@ -55,12 +56,15 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """RIFF/WAVE PCM bytes → (sample_rate, float64 samples in [-1, 1],
-    shape (n, ch)).  Integer PCM only; float/compressed formats raise."""
+    """RIFF/WAVE bytes → (sample_rate, float64 samples in [-1, 1],
+    shape (n, ch)).  Integer PCM (8/16/24/32-bit), IEEE float (32/64),
+    and WAVE_FORMAT_EXTENSIBLE wrapping either; ADPCM/mu-law/compressed
+    formats raise loudly."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError(f"not a RIFF/WAVE file: {payload[:4]!r}")
     pos = 12
     fmt = None
+    fmt_chunk = b""
     data = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -77,6 +81,7 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
                     f"malformed WAV: fmt chunk is {len(chunk)} bytes, need 16"
                 )
             fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+            fmt_chunk = chunk
         elif cid == b"data":
             data = chunk
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -85,19 +90,46 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     audio_format, ch, rate, _, _, bits = fmt
     if ch < 1 or rate < 1:
         raise ValueError(f"malformed WAV fmt chunk: channels={ch} rate={rate}")
-    if audio_format != 1:
-        raise NotImplementedError(
-            f"only integer PCM WAV supported (got format {audio_format}; "
-            "float/ADPCM/compressed need a codec lib)"
-        )
-    if bits == 16:
-        arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
-    elif bits == 8:  # 8-bit WAV is unsigned
-        arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128) / 128.0
-    elif bits == 32:
-        arr = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the first two bytes
+        # of the 16-byte SubFormat GUID in the extension block
+        # (cbSize at offset 16, extension from 18; validSamples+mask
+        # precede the GUID) — the layout every >2-channel or >16-bit
+        # writer emits
+        if len(fmt_chunk) < 40:
+            raise ValueError(
+                f"malformed extensible WAV: fmt chunk is {len(fmt_chunk)} bytes, need 40"
+            )
+        audio_format = struct.unpack_from("<H", fmt_chunk, 24)[0]
+    if audio_format == 3:  # IEEE float PCM
+        if bits == 32:
+            arr = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            arr = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"float WAV must be 32- or 64-bit, got {bits}")
+        arr = np.clip(arr, -1.0, 1.0)
+    elif audio_format == 1:
+        if bits == 16:
+            arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 8:  # 8-bit WAV is unsigned
+            arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            n3 = (len(raw) // 3) * 3
+            b = raw[:n3].reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            arr = v.astype(np.float64) / 8388608.0
+        elif bits == 32:
+            arr = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM not supported")
     else:
-        raise NotImplementedError(f"{bits}-bit PCM not supported")
+        raise NotImplementedError(
+            f"unsupported WAV format {audio_format} "
+            "(ADPCM/mu-law/compressed need a codec lib)"
+        )
     n = len(arr) // ch
     return rate, arr[: n * ch].reshape(n, ch)
 

@@ -372,11 +372,51 @@ def test_wav_roundtrip_and_loud_failures():
     rate, got = decode_wav(encode_wav(stereo, 16000))
     assert rate == 16000 and got.shape == (800, 2)
     assert np.allclose(got[:, 1], -mono / 32768.0, atol=1e-4)
-    # float-format WAV (format code 3) raises, not silently garbles
+    # float-format WAV (code 3) decodes for real: int16 PCM rebuilt as
+    # IEEE float32 must round-trip to the same samples
+    import struct as _struct
+
+    f32 = mono.astype(np.float32) / 32768.0
+    fmt3 = _struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    data = f32.astype("<f4").tobytes()
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt3)) + fmt3
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    rate, got = decode_wav(b"RIFF" + _struct.pack("<I", len(body)) + body)
+    assert rate == 8000 and np.allclose(got[:, 0], f32, atol=1e-7)
+    # WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping integer PCM
+    ext = _struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+    ext += _struct.pack("<HHI", 22, 16, 0x4)  # cbSize, validBits, mask
+    ext += _struct.pack("<H", 1) + b"\x00\x00" + bytes(12)  # SubFormat GUID
+    data = mono.astype("<i2").tobytes()
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(ext)) + ext
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    rate, got = decode_wav(b"RIFF" + _struct.pack("<I", len(body)) + body)
+    assert rate == 8000 and np.allclose(got[:, 0], mono / 32768.0, atol=1e-9)
+    # 24-bit PCM: synthesize from int32 high bytes, compare
+    v24 = (mono.astype(np.int32) << 8)  # 24-bit value in top bytes
+    raw = np.zeros((len(v24), 3), np.uint8)
+    u = np.where(v24 < 0, v24 + (1 << 24), v24)
+    raw[:, 0], raw[:, 1], raw[:, 2] = u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF
+    fmt24 = _struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    data = raw.tobytes()
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt24)) + fmt24
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    rate, got = decode_wav(b"RIFF" + _struct.pack("<I", len(body)) + body)
+    assert np.allclose(got[:, 0], mono / 32768.0, atol=1e-4)
+    # genuinely compressed formats still raise loudly
     pcm = encode_wav(mono, 8000)
-    float_wav = pcm.replace(b"fmt \x10\x00\x00\x00\x01\x00", b"fmt \x10\x00\x00\x00\x03\x00", 1)
+    adpcm = pcm.replace(b"fmt \x10\x00\x00\x00\x01\x00", b"fmt \x10\x00\x00\x00\x02\x00", 1)
     with _pytest.raises(NotImplementedError):
-        decode_wav(float_wav)
+        decode_wav(adpcm)
     with _pytest.raises(ValueError):
         decode_wav(b"ID3\x04" + b"\x00" * 64)  # MP3
 
