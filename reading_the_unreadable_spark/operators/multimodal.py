@@ -4,14 +4,14 @@ typed metadata, with REAL decode for the container-friendly formats.
 Codec situation in this image: no PIL/cv2/soundfile.  Rather than stub
 everything, the formats that need no codec library are decoded for real:
 uncompressed 24-bit BMP and binary PGM/PPM (P5/P6) with a pure-numpy
-parser, 8-bit non-interlaced PNG (gray/GA/RGB/RGBA) via stdlib zlib +
-a numpy unfilter, and baseline-sequential + progressive JPEG via the
-from-scratch codec in :mod:`jpeg` — so the full pipeline (binary column
-→ decode → resize → feature-extract) runs end-to-end over Arrow batches
-on the formats real corpora actually use.  Exotic variants
-(arithmetic-coded JPEG, interlaced PNG, …) raise NotImplementedError
-with a clear message; swapping in PIL later changes only
-``decode_image``.
+parser, 8-bit PNG (gray/GA/RGB/RGBA/palette, non-interlaced or Adam7
+interlaced) via stdlib zlib + a numpy unfilter, and baseline-sequential
++ progressive JPEG via the from-scratch codec in :mod:`jpeg` — so the
+full pipeline (binary column → decode → resize → feature-extract) runs
+end-to-end over Arrow batches on the formats real corpora actually
+use.  Exotic variants (arithmetic-coded JPEG, 16-bit PNG, …) raise
+NotImplementedError with a clear message; swapping in PIL later
+changes only ``decode_image``.
 
 Scale design: decode/feature runs in ``mapInPandas`` (one Python entry
 per Arrow batch, per-worker init scope for model/codec state); media
@@ -110,7 +110,7 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type → samples/pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type → samples/pixel
 
 
 def _png_chunks(payload: bytes):
@@ -163,46 +163,88 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
     return out.reshape(h, w, ch)
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _adam7_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """(x0, y0, xs, ys, pass_w, pass_h) for each non-empty Adam7 pass."""
+    out = []
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, xs, ys, pw, ph))
+    return out
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
     """Pure-stdlib PNG decode (zlib inflate + numpy unfilter): 8-bit
-    gray / gray+alpha / RGB / RGBA, non-interlaced — the common web/page
-    formats.  Palette, 16-bit, and Adam7 raise loudly."""
+    gray / gray+alpha / RGB / RGBA / palette, non-interlaced or Adam7
+    interlaced — the web/page formats.  16-bit and sub-byte depths
+    raise loudly."""
     import zlib
 
-    ihdr = idat = None
+    ihdr = None
     parts = []
+    plte = None
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             parts.append(data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
     if ihdr is None or not parts:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+    if depth != 8 or interlace not in (0, 1) or color_type not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color_type} interlace={interlace}: "
-            "only 8-bit non-interlaced gray/GA/RGB/RGBA supported"
+            "only 8-bit gray/GA/RGB/RGBA/palette supported"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(b"".join(parts))
-    if len(raw) != h * (w * ch + 1):
-        raise ValueError("PNG IDAT size mismatch")
-    arr = _png_unfilter(raw, h, w, ch)
+    if interlace == 0:
+        if len(raw) != h * (w * ch + 1):
+            raise ValueError("PNG IDAT size mismatch")
+        arr = _png_unfilter(raw, h, w, ch)
+    else:  # Adam7: 7 independently-filtered reduced images, scattered
+        arr = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys, pw, ph in _adam7_dims(w, h):
+            span = ph * (pw * ch + 1)
+            if off + span > len(raw):
+                raise ValueError("PNG IDAT size mismatch (interlaced)")
+            sub = _png_unfilter(raw[off : off + span], ph, pw, ch)
+            arr[y0::ys, x0::xs] = sub
+            off += span
+        if off != len(raw):
+            raise ValueError("PNG IDAT size mismatch (interlaced tail)")
     if color_type == 0:
         return np.repeat(arr, 3, axis=2)
+    if color_type == 3:
+        return plte[arr[:, :, 0]]
     if color_type == 4:
         return np.repeat(arr[:, :, :1], 3, axis=2)
     return arr[:, :, :3].copy()  # RGB / RGBA→RGB
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """Minimal PNG writer (8-bit RGB, non-interlaced) with a selectable
-    per-row filter — lets tests exercise every unfilter branch."""
-    import zlib
-
-    h, w, _ = arr.shape
-    a = arr.astype(np.int32)
+def _png_filter_rows(img: np.ndarray, filter_type: int) -> bytes:
+    """Apply one PNG row filter to an (h, w, 3) image, producing the
+    filtered scanline stream (one filter byte + stride bytes per row)."""
+    h, w, _ = img.shape
+    a = img.astype(np.int32)
     rows = []
     prev = np.zeros((w, 3), dtype=np.int32)
     for y in range(h):
@@ -228,6 +270,18 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             raise ValueError(filter_type)
         rows.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
         prev = cur
+    return b"".join(rows)
+
+
+def encode_png(
+    arr: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """Minimal PNG writer (8-bit RGB) with a selectable per-row filter
+    and optional Adam7 interlacing — lets tests exercise every unfilter
+    branch and the interlaced scatter path."""
+    import zlib
+
+    h, w, _ = arr.shape
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -237,8 +291,15 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    idat = zlib.compress(b"".join(rows))
+    if interlace:
+        raw = b"".join(
+            _png_filter_rows(arr[y0::ys, x0::xs], filter_type)
+            for x0, y0, xs, ys, _pw, _ph in _adam7_dims(w, h)
+        )
+    else:
+        raw = _png_filter_rows(arr, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    idat = zlib.compress(raw)
     return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 

@@ -654,3 +654,57 @@ def test_progressive_jpeg_malformed_contract():
                 pos += 1
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(out))
+
+
+def test_png_adam7_and_palette():
+    """Adam7-interlaced PNG round-trips bit-exactly across every filter
+    type and awkward dims (passes can be empty); palette (color type 3)
+    decodes through the PLTE lookup."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    for shape in [(9, 13), (1, 1), (7, 8), (16, 5)]:
+        img = rng.integers(0, 256, size=(*shape, 3)).astype(np.uint8)
+        for ft in range(5):
+            got = decode_image(encode_png(img, filter_type=ft, interlace=True))
+            assert np.array_equal(got, img), (shape, ft)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8)
+    idx = np.array([[0, 1, 2], [3, 2, 1]], np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    png = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_image(png), pal[idx])
+    # palette without PLTE is malformed, not a crash
+    import pytest as _pytest
+
+    bad = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        decode_image(bad)
