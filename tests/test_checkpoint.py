@@ -225,3 +225,53 @@ def test_checkpoint_compaction_bounds_files(spark, docs, tmp_path):
     n_files = sum(1 for f in os.listdir(ckpt) if f.startswith("part-"))
     assert n_files == 1
     assert read_checkpoints(spark, ckpt).count() == N_BUCKETS
+
+
+def test_snapshot_tail_exactly_once(spark, tmp_path):
+    """tail_once: consumes appended snapshots incrementally with a
+    pinned diff window — kills mid-window resume THE SAME window (no
+    rows skipped even when the table grows meanwhile), the high-water
+    mark advances only on completion, and the consumer view is
+    exactly-once per document."""
+    from reading_the_unreadable_spark import synth
+    from reading_the_unreadable_spark.plans.snapshot_tail import (
+        read_tail_output,
+        tail_once,
+    )
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows
+    from reading_the_unreadable_spark.sources.snapshots import append_snapshot
+
+    root = str(tmp_path / "tbl")
+    work = str(tmp_path / "tail")
+    corpus = synth.make_corpus(40, seed_tag="tail")
+
+    # two snapshots, then one tail call drains both
+    append_snapshot(docs_from_rows(spark, corpus[:12]), root)
+    append_snapshot(docs_from_rows(spark, corpus[12:20]), root)
+    r1 = tail_once(spark, root, work, n_buckets=8, num_partitions=4)
+    assert r1["advanced"] and (r1["after"], r1["until"]) == (0, 2)
+    assert read_tail_output(spark, work).count() == 20
+
+    # idle call: no-op
+    r2 = tail_once(spark, root, work, n_buckets=8, num_partitions=4)
+    assert r2["buckets_processed"] == 0 and not r2["advanced"]
+
+    # snapshot 3 appended; tail is killed after 1 bucket (intent stays)
+    append_snapshot(docs_from_rows(spark, corpus[20:30]), root)
+    rk = tail_once(
+        spark, root, work, n_buckets=8, num_partitions=4, max_buckets=1
+    )
+    assert not rk["advanced"] and (rk["after"], rk["until"]) == (2, 3)
+
+    # snapshot 4 lands while window (2,3] is still pending — the next
+    # call must finish THE PINNED window first, not a moving one
+    append_snapshot(docs_from_rows(spark, corpus[30:]), root)
+    rr = tail_once(spark, root, work, n_buckets=8, num_partitions=4)
+    assert rr["advanced"] and (rr["after"], rr["until"]) == (2, 3)
+    # then the next call picks up snapshot 4
+    rf = tail_once(spark, root, work, n_buckets=8, num_partitions=4)
+    assert rf["advanced"] and (rf["after"], rf["until"]) == (3, 4)
+
+    got = read_tail_output(spark, work)
+    assert got.count() == 40
+    assert got.select("doc_id").distinct().count() == 40
