@@ -1027,6 +1027,57 @@ def q_centroid_dendrogram(spark, sf):
     return S.centroid_dendrogram(_t(spark, sf, "embeddings"))
 
 
+def q_snapshot_incremental(spark, sf):
+    """Snapshot layer under the driver (sources/snapshots.py — the
+    Iceberg-semantics fallback): the documents table is appended as
+    three deterministic snapshots (doc_id mod 3), then incremental
+    windows, the full scan, and a time-travel read are summarized.
+    Aggregation runs distributed; only the 5 summary rows are
+    collected so the scratch table can be removed before returning.
+    Oracle: the same counts/sums derived directly from documents."""
+    import shutil
+    import uuid as uuid_mod
+
+    from pyspark.sql import functions as FF
+
+    from reading_the_unreadable_spark.sources.snapshots import (
+        append_snapshot,
+        incremental_read,
+        read_snapshot,
+    )
+
+    root = f"/tmp/snap_query_{uuid_mod.uuid4().hex[:12]}"
+    docs = _t(spark, sf, "documents")
+    try:
+        for m in (0, 1, 2):
+            append_snapshot(docs.filter(FF.col("doc_id") % 3 == m), root)
+        rows = []
+        for after, until in [(0, 1), (1, 2), (2, 3), (0, 3)]:
+            r = (
+                incremental_read(spark, root, after=after or None, until=until)
+                .agg(
+                    FF.count("*").alias("n"),
+                    FF.coalesce(FF.sum(FF.length("text")), FF.lit(0)).alias("s"),
+                )
+                .first()
+            )
+            rows.append((f"diff_{after}_{until}", int(r["n"]), int(r["s"])))
+        tt = (
+            read_snapshot(spark, root, snapshot_id=2)
+            .agg(
+                FF.count("*").alias("n"),
+                FF.coalesce(FF.sum(FF.length("text")), FF.lit(0)).alias("s"),
+            )
+            .first()
+        )
+        rows.append(("asof_2", int(tt["n"]), int(tt["s"])))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "window string, n_docs long, sum_chars long"
+    )
+
+
 def q_media_pipeline(spark, sf):
     """Multimodal families end-to-end under the driver: deterministic
     JPEG / WAV / AVI payloads derived per doc feed the image, audio, and
@@ -1159,8 +1210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_queries_vs_duckdb.py).
     # r05 rotation: in  = pricing_summary, top_customers, region_revenue,
     #                     rank_and_median, monthly_revenue (last driver row r03)
+    #                     + snapshot_incremental (new family, first driver row)
     #               out = html_strip, html_main_text, one_hot_labels,
-    #                     deterministic_sample, name_distance (green r02-r04)
+    #                     deterministic_sample, name_distance,
+    #                     except_customers (green r02-r04)
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -1180,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
+        "snapshot_incremental": q_snapshot_incremental,
         # -- r05 rotated-in TPC rows (fresh driver check this round) --
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1215,10 +1269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_revenue": q_dow_revenue,
         "rollup_revenue": q_rollup_revenue,
         "union_segments": q_union_segments,
-        "except_customers": q_except_customers,
         # -- rotated out r05 (green r02-r04; pytest replica still replays) --
         "html_strip": q_html_strip,
         "html_main_text": q_html_main_text,
+        "except_customers": q_except_customers,
         "one_hot_labels": q_one_hot_labels,
         "deterministic_sample": q_deterministic_sample,
         "name_distance": q_name_distance,
@@ -2196,6 +2250,25 @@ def oracle_sql() -> dict[str, str]:
         "ann_multiprobe": S.ann_multiprobe_oracle_sql(n_probes=10, k=3),
         "ann_ivf": S.ann_ivf_oracle_sql(n_probes=10, k=3, nprobe_cells=2),
         "embedding_near_dup": S.embedding_near_dup_oracle_sql(threshold=0.3),
+        # Snapshot-layer oracle: the three appends partition documents by
+        # doc_id mod 3, so every window summary is directly derivable
+        "snapshot_incremental": """
+            SELECT 'diff_0_1' AS window, count(*) AS n_docs,
+                   coalesce(sum(length(text)), 0)::BIGINT AS sum_chars
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL SELECT 'diff_1_2', count(*),
+                   coalesce(sum(length(text)), 0)::BIGINT
+            FROM documents WHERE doc_id % 3 = 1
+            UNION ALL SELECT 'diff_2_3', count(*),
+                   coalesce(sum(length(text)), 0)::BIGINT
+            FROM documents WHERE doc_id % 3 = 2
+            UNION ALL SELECT 'diff_0_3', count(*),
+                   coalesce(sum(length(text)), 0)::BIGINT
+            FROM documents
+            UNION ALL SELECT 'asof_2', count(*),
+                   coalesce(sum(length(text)), 0)::BIGINT
+            FROM documents WHERE doc_id % 3 IN (0, 1)
+        """,
         "label_centroids": """
             SELECT label, (dim - 1)::INT AS dim,
                    round(avg(embedding[dim]::DOUBLE), 6) AS centroid,

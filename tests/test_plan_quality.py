@@ -302,3 +302,35 @@ def test_stage_boundary_lazy_mode(spark):
     assert before == after  # nothing written at plan-build time
     assert lazy.count() == 100
     assert lazy.agg(F.sum("v")).first()[0] == 4950
+
+
+def test_snapshot_read_pushdown_and_union_shape(spark, tmp_path):
+    """Snapshot reads stay ordinary parquet scans: filters and column
+    pruning reach the scan through the manifest indirection, a
+    single-schema table plans exactly ONE scan (no union overhead),
+    and an evolution window plans one scan per schema under a Union."""
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows
+    from reading_the_unreadable_spark.sources.snapshots import (
+        append_snapshot,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    append_snapshot(docs_from_rows(spark, synth.make_corpus(8)), root)
+    append_snapshot(docs_from_rows(spark, synth.make_corpus(5, seed_tag="b")), root)
+
+    df = read_snapshot(spark, root).filter(F.col("doc_id") == "x").select("doc_id")
+    plan = _plan(df)
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,x)]" in plan, plan[:1500]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1) == "doc_id:string", plan[:1500]
+
+    # schema evolution: two schema groups -> two scans under a Union
+    evolved = docs_from_rows(spark, synth.make_corpus(3, seed_tag="c")).withColumn(
+        "source_rank", F.lit(1)
+    )
+    append_snapshot(evolved, root)
+    plan2 = _plan(read_snapshot(spark, root).select("doc_id"))
+    assert plan2.count("FileScan parquet") == 2, plan2[:2000]
+    assert "Union" in plan2, plan2[:2000]
