@@ -257,15 +257,25 @@ def _encode_plane_block(
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 90,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
 ) -> bytes:
     """HxWx3 uint8 RGB (or HxW grayscale) → baseline JFIF bytes.
-    ``subsample=True`` writes 4:2:0 (2x2 Y sampling), the common camera
-    layout; default is 4:4:4.  ``restart_interval`` emits a DRI segment
-    and RSTn markers every N MCUs (the error-resilience layout real
-    scanners produce)."""
+    ``subsample=True`` (or ``"420"``) writes 4:2:0 (2x2 Y sampling),
+    the common camera layout; ``"422"`` writes 4:2:2 (2x1 Y sampling,
+    the broadcast/scanner layout — exercises the decoder's asymmetric
+    upsample); default is 4:4:4.  ``restart_interval`` emits a DRI
+    segment and RSTn markers every N MCUs (the error-resilience layout
+    real scanners produce)."""
     gray = arr.ndim == 2
+    if gray or subsample in (False, None):
+        mode = "444"
+    elif subsample in (True, "420"):
+        mode = "420"
+    elif subsample == "422":
+        mode = "422"
+    else:
+        raise ValueError(f"unknown subsample mode {subsample!r}")
     h, w = arr.shape[:2]
     ql = _scale_q(Q_LUMA, quality)
     qc = _scale_q(Q_CHROMA, quality)
@@ -279,7 +289,7 @@ def encode_jpeg(
     # SOF0
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    y_samp = 0x22 if (subsample and not gray) else 0x11
+    y_samp = {"444": 0x11, "420": 0x22, "422": 0x21}[mode]
     sof += bytes([1, y_samp, 0])
     if not gray:
         sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
@@ -327,7 +337,7 @@ def encode_jpeg(
         ycc = _rgb_to_ycbcr(arr)
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
 
-    if gray or not subsample:
+    if mode == "444":
         grids = [_block_grid(p) for p in planes]
         by, bx = grids[0].shape[:2]
         preds = [0] * len(planes)
@@ -341,6 +351,38 @@ def encode_jpeg(
                     preds[ci] = _encode_plane_block(
                         grid[yy, xx], q, preds[ci], dc, ac, bw
                     )
+                mcu_n += 1
+    elif mode == "422":
+        # 4:2:2 MCU = 2 Y blocks side by side + 1 Cb + 1 Cr (chroma =
+        # horizontal pair mean; vertical resolution kept)
+        ypl, cb, cr = planes
+        pw = -w % 2
+        cbp = np.pad(cb, ((0, 0), (0, pw)), mode="edge")
+        crp = np.pad(cr, ((0, 0), (0, pw)), mode="edge")
+        cb2 = cbp.reshape(cbp.shape[0], cbp.shape[1] // 2, 2).mean(2)
+        cr2 = crp.reshape(crp.shape[0], crp.shape[1] // 2, 2).mean(2)
+        ygrid = _block_grid(ypl)
+        by, bx = ygrid.shape[:2]
+        if bx % 2:  # pad to even block COLUMNS so MCUs tile fully
+            ygrid = np.pad(
+                ygrid, ((0, 0), (0, 1), (0, 0), (0, 0)), mode="edge"
+            )
+            bx += 1
+        cbg, crg = _block_grid(cb2), _block_grid(cr2)
+        preds = [0, 0, 0]
+        for my in range(by):
+            for mx in range(bx // 2):
+                maybe_restart(preds)
+                for dx in range(2):
+                    preds[0] = _encode_plane_block(
+                        ygrid[my, mx * 2 + dx], ql, preds[0], dc_l, ac_l, bw
+                    )
+                preds[1] = _encode_plane_block(
+                    cbg[my, mx], qc, preds[1], dc_c, ac_c, bw
+                )
+                preds[2] = _encode_plane_block(
+                    crg[my, mx], qc, preds[2], dc_c, ac_c, bw
+                )
                 mcu_n += 1
     else:
         # 4:2:0 MCU = 4 Y blocks + 1 Cb + 1 Cr (chroma = 2x2 box mean)

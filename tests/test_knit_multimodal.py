@@ -289,8 +289,10 @@ def test_jpeg_roundtrip_profiles():
     for kwargs in (
         {},
         {"subsample": True},
+        {"subsample": "422"},  # 2x1 sampling: asymmetric upsample path
         {"restart_interval": 3},
         {"subsample": True, "restart_interval": 2},
+        {"subsample": "422", "restart_interval": 2},
     ):
         dec = decode_jpeg(encode_jpeg(img, quality=90, **kwargs))
         assert dec.shape == img.shape

@@ -394,3 +394,44 @@ def test_snapshot_concurrent_commit_single_winner(spark, tmp_path):
     res = S.expire_snapshots(spark, root, keep_n=10)
     assert "snap-2-ffffffff" in res["removed_dirs"]
     assert not any(d.startswith("snap-2-0-fixedaa") for d in res["removed_dirs"])
+
+
+def test_snapshot_expire_across_schema_evolution(spark, tmp_path):
+    """Folding expired snapshots forward must preserve the evolved
+    read: pre-evolution files folded into a post-evolution manifest are
+    read with the newer schema (missing column → NULL, Iceberg's
+    read-with-current-schema), so the latest view is unchanged."""
+    from reading_the_unreadable_spark import synth
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows
+    from reading_the_unreadable_spark.sources.snapshots import (
+        append_snapshot,
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    append_snapshot(docs_from_rows(spark, synth.make_corpus(6)), root)  # old schema
+    evolved = docs_from_rows(spark, synth.make_corpus(4, seed_tag="v2")).withColumn(
+        "source_rank", F.lit(3)
+    )
+    append_snapshot(evolved, root)
+    append_snapshot(
+        docs_from_rows(spark, synth.make_corpus(2, seed_tag="v3")).withColumn(
+            "source_rank", F.lit(9)
+        ),
+        root,
+    )
+    before = {
+        (r["doc_id"], r["source_rank"])
+        for r in read_snapshot(spark, root).select("doc_id", "source_rank").collect()
+    }
+    # expire snapshot 1 (old schema) — its paths fold into snapshot 2's
+    # manifest (new schema)
+    res = expire_snapshots(spark, root, keep_n=2)
+    assert res["expired"] == [1]
+    after = {
+        (r["doc_id"], r["source_rank"])
+        for r in read_snapshot(spark, root).select("doc_id", "source_rank").collect()
+    }
+    assert after == before
+    assert sum(1 for _, rank in after if rank is None) == 6  # old rows NULL
