@@ -1096,6 +1096,7 @@ def q_media_pipeline(spark, sf):
         encode_jpeg,
         encode_jpeg_progressive,
     )
+    from reading_the_unreadable_spark.operators.tiff import encode_tiff
     from reading_the_unreadable_spark.operators.multimodal import (
         extract_media_features,
     )
@@ -1135,6 +1136,14 @@ def q_media_pipeline(spark, sf):
                     else encode_jpeg
                 )
                 rows["payload"].append(enc(img, subsample=True))
+                # deterministic bilevel "scan" page through the CCITT
+                # Group 4 TIFF path (the real newspaper-archive codec)
+                page = np.zeros((24, 48), dtype=bool)
+                page[seed % 24, :] = True
+                page[:, seed % 48] = True
+                rows["media_ref"].append(f"{ref}.tif")
+                rows["kind"].append("image")
+                rows["payload"].append(encode_tiff(page, compression="g4"))
                 rows["media_ref"].append(f"{ref}.wav")
                 rows["kind"].append("audio")
                 rows["payload"].append(synth_wav_bytes(f"{ref}.wav"))
@@ -2288,7 +2297,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT kind, n_rows::BIGINT AS n_rows, avg_f0::DOUBLE AS avg_f0,
                    50::BIGINT AS n_docs_sampled, 10::BIGINT AS sample_modulus
             FROM (VALUES ('audio', 50, 0.357),
-                         ('image', 50, 210.111),
+                         ('image', 100, 112.914),
                          ('video', 100, 126.787)) AS t(kind, n_rows, avg_f0)
         """,
         # Closed-form expected-merge-table oracle: the dendrogram is a

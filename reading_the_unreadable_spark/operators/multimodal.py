@@ -5,13 +5,15 @@ Codec situation in this image: no PIL/cv2/soundfile.  Rather than stub
 everything, the formats that need no codec library are decoded for real:
 uncompressed 24-bit BMP and binary PGM/PPM (P5/P6) with a pure-numpy
 parser, 8-bit PNG (gray/GA/RGB/RGBA/palette, non-interlaced or Adam7
-interlaced) via stdlib zlib + a numpy unfilter, and baseline-sequential
-+ progressive JPEG via the from-scratch codec in :mod:`jpeg` — so the
+interlaced) via stdlib zlib + a numpy unfilter, GIF87a/89a (LZW,
+interlace, palette), baseline TIFF (strips; none/PackBits/LZW/CCITT
+Group 4 via :mod:`tiff` + :mod:`g4`), and baseline-sequential +
+progressive JPEG via the from-scratch codec in :mod:`jpeg` — so the
 full pipeline (binary column → decode → resize → feature-extract) runs
 end-to-end over Arrow batches on the formats real corpora actually
-use.  Exotic variants (arithmetic-coded JPEG, 16-bit PNG, …) raise
-NotImplementedError with a clear message; swapping in PIL later
-changes only ``decode_image``.
+use.  Exotic variants (arithmetic-coded JPEG, 16-bit PNG, tiled TIFF,
+…) raise NotImplementedError with a clear message; swapping in PIL
+later changes only ``decode_image``.
 
 Scale design: decode/feature runs in ``mapInPandas`` (one Python entry
 per Arrow batch, per-worker init scope for model/codec state); media
@@ -303,17 +305,206 @@ def encode_png(
     return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+# ----------------------------------------------------------------- GIF
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes:
+    """GIF-variant LZW (little-endian bit packing, CLEAR/END codes,
+    growing code width capped at 12 bits) → index bytes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK case
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+        if len(out) >= max_pixels:
+            break
+    return bytes(out)
+
+
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]  # (start row, step) passes
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → HxWx3 RGB: LZW decode, palette lookup,
+    4-pass row de-interlace.  Animated GIFs yield their first frame.
+    Truncation anywhere surfaces as ValueError (codec contract)."""
+    try:
+        return _decode_gif_impl(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or malformed GIF: {e}") from e
+
+
+def _decode_gif_impl(payload: bytes) -> np.ndarray:
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF: {payload[:6]!r}")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            pal = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(min_code, b"".join(chunks), w * h),
+                np.uint8,
+            )
+            if len(idx) < w * h:
+                raise ValueError("GIF frame underflow")
+            grid = idx[: w * h].reshape(h, w)
+            if iflags & 0x40:  # de-interlace
+                de = np.zeros_like(grid)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    rows = range(start, h, step)
+                    de[list(rows)] = grid[src : src + len(rows)]
+                    src += len(rows)
+                grid = de
+            if int(grid.max()) >= len(pal):
+                raise ValueError("GIF index outside color table")
+            frame = pal[grid]
+            # composite the (first) frame onto the logical screen
+            out = np.zeros((sh, sw, 3), dtype=np.uint8)
+            out[top : top + h, left : left + w] = frame
+            return out
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal GIF89a writer for round-trip tests: palette from the
+    image's unique colors (≤256), fixed-width LZW codes with periodic
+    CLEARs (the classic no-compression layout — spec-valid, decoder
+    dictionary growth never outruns the code width)."""
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"encode_gif needs ≤256 colors, got {len(pal)}")
+    bits = max(2, int(len(pal) - 1).bit_length())
+    pal_n = 1 << bits
+    palette = np.zeros((pal_n, 3), np.uint8)
+    palette[: len(pal)] = pal
+    grid = idx.reshape(h, w)
+    if interlace:
+        order = []
+        for start, step in _GIF_INTERLACE:
+            order.extend(range(start, h, step))
+        grid = grid[order]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    min_code = bits
+    clear, end = 1 << bits, (1 << bits) + 1
+    code_size = bits + 1
+    # CLEAR cadence: dict size resets to clear+2; one entry per emitted
+    # symbol; stay strictly below 1<<code_size so the width never grows
+    burst = (1 << code_size) - (clear + 2) - 1
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for i, v in enumerate(grid.flatten()):
+        if i and i % burst == 0:
+            emit(clear)
+        emit(int(v))
+    emit(end)
+    if nbits:
+        stream.append(acc & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """binary → HxWx3 uint8 RGB.  BMP/PGM/PPM/PNG decode for real (pure
-    numpy + stdlib zlib); baseline + progressive JPEG via the
-    from-scratch codec in :mod:`jpeg` (arithmetic/hierarchical profiles
-    raise there)."""
+    """binary → HxWx3 uint8 RGB.  BMP/PGM/PPM/PNG/GIF/TIFF (incl.
+    CCITT Group 4) decode for real (pure numpy + stdlib zlib); baseline
+    + progressive JPEG via the from-scratch codec in :mod:`jpeg`
+    (arithmetic/hierarchical profiles raise there)."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(payload)
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 

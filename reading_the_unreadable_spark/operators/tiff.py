@@ -1,0 +1,418 @@
+"""Baseline TIFF codec — pure numpy + stdlib, from the public TIFF 6.0
+specification.
+
+Scanned-newspaper archives (the reference's NCSE domain) ship TIFF:
+bilevel Group-4 faxes, grayscale and RGB scans, LZW- or
+PackBits-compressed.  Same policy as the other codecs in this repo
+(:mod:`jpeg`, :mod:`multimodal`, :mod:`audio`): the profiles real
+archives use are decoded for real — strip-based baseline TIFF, 1-bit
+bilevel (both photometric polarities) and 8-bit gray/RGB/palette, with
+Compression = none (1), CCITT Group 4 / T.6 (4), LZW (5, incl. the
+spec's early-change convention and horizontal-differencing predictor),
+and PackBits (32773).  Tiled layout, 16-bit samples, and planar
+configuration 2 raise ``NotImplementedError`` loudly; truncation and
+malformed structures raise ``ValueError`` (the quarantining-caller
+contract shared by every codec here).
+
+The writer emits uncompressed / PackBits / LZW strips for round-trip
+tests; Group-4 pages are exercised against the from-scratch T.6 coder
+in :mod:`g4`.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# TIFF tag ids (TIFF 6.0 spec §8)
+_T_WIDTH = 256
+_T_LENGTH = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SAMPLES = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PREDICTOR = 317
+_T_COLORMAP = 320
+_T_PLANAR = 284
+_T_TILE_WIDTH = 322
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """TIFF bytes → HxWx3 uint8 RGB (first IFD).  ValueError on
+    malformed/truncated input, NotImplementedError on out-of-profile
+    layouts — nothing else escapes."""
+    try:
+        return _decode_tiff_impl(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or malformed TIFF: {e}") from e
+    except KeyError as e:  # a required tag is absent
+        raise ValueError(f"TIFF missing required tag {e}") from e
+
+
+def _read_ifd(payload: bytes, off: int, bo: str) -> dict[int, list]:
+    (n,) = struct.unpack_from(bo + "H", payload, off)
+    tags: dict[int, list] = {}
+    for i in range(n):
+        base = off + 2 + i * 12
+        tag, typ, count = struct.unpack_from(bo + "HHI", payload, base)
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        total = size * count
+        voff = base + 8 if total <= 4 else struct.unpack_from(bo + "I", payload, base + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}.get(typ)
+        if fmt is None:
+            continue  # rationals/ascii: not needed for decode
+        vals = list(struct.unpack_from(bo + fmt * count, payload, voff))
+        tags[tag] = vals
+    return tags
+
+
+def _decode_tiff_impl(payload: bytes) -> np.ndarray:
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"not a TIFF: {payload[:4]!r}")
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    tags = _read_ifd(payload, ifd_off, bo)
+    if _T_TILE_WIDTH in tags:
+        raise NotImplementedError("tiled TIFF layout")
+    if tags.get(_T_PLANAR, [1])[0] != 1:
+        raise NotImplementedError("planar configuration 2")
+    w = tags[_T_WIDTH][0]
+    h = tags[_T_LENGTH][0]
+    spp = tags.get(_T_SAMPLES, [1])[0]
+    bits_l = tags.get(_T_BITS, [1])
+    comp = tags.get(_T_COMPRESSION, [1])[0]
+    photo = tags.get(_T_PHOTOMETRIC, [1])[0]
+    offsets = tags[_T_STRIP_OFFSETS]
+    counts = tags.get(_T_STRIP_COUNTS)
+    rps = tags.get(_T_ROWS_PER_STRIP, [h])[0] or h
+    if counts is None or len(counts) != len(offsets):
+        raise ValueError("TIFF strip offsets/counts mismatch")
+    bits = bits_l[0]
+    if any(b != bits for b in bits_l):
+        raise NotImplementedError(f"mixed bits-per-sample {bits_l}")
+    if bits not in (1, 8):
+        raise NotImplementedError(f"{bits}-bit samples")
+    if bits == 1 and spp != 1:
+        raise NotImplementedError("multi-sample bilevel")
+
+    row_bytes = (w * spp * bits + 7) // 8
+    rows = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = payload[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError(f"TIFF strip {si} truncated")
+        n_rows = min(rps, h - si * rps)
+        if n_rows <= 0:
+            continue
+        if comp == 1:
+            raw = strip
+        elif comp == 32773:
+            raw = _packbits_decode(strip, n_rows * row_bytes)
+        elif comp == 5:
+            raw = _tiff_lzw_decode(strip, n_rows * row_bytes)
+        elif comp == 4:
+            from .g4 import g4_decode
+
+            # G4 strips decode straight to row-padded bilevel bytes
+            raw = g4_decode(strip, w, n_rows)
+        elif comp in (2, 3):
+            raise NotImplementedError(
+                f"CCITT 1-D / Group 3 compression ({comp}); Group 4 is supported"
+            )
+        else:
+            raise NotImplementedError(f"TIFF compression {comp}")
+        if len(raw) < n_rows * row_bytes:
+            raise ValueError(f"TIFF strip {si} decodes short")
+        rows.append(
+            np.frombuffer(raw, np.uint8, n_rows * row_bytes).reshape(
+                n_rows, row_bytes
+            )
+        )
+    if not rows:
+        raise ValueError("TIFF has no strip data")
+    grid = np.vstack(rows)
+    if grid.shape[0] < h:
+        raise ValueError("TIFF rows short of ImageLength")
+    grid = grid[:h]
+
+    if bits == 1:
+        px = np.unpackbits(grid, axis=1)[:, :w]  # MSB-first, row byte-aligned
+        if photo == 0:  # WhiteIsZero: 0 = white
+            px = 1 - px
+        g8 = (px * 255).astype(np.uint8)
+        return np.stack([g8, g8, g8], axis=-1)
+
+    if tags.get(_T_PREDICTOR, [1])[0] == 2:  # horizontal differencing
+        grid = np.cumsum(
+            grid.reshape(h, w, spp).astype(np.int64), axis=1
+        ).astype(np.uint8).reshape(h, -1)
+
+    if photo == 3:  # palette
+        cmap = tags.get(_T_COLORMAP)
+        if cmap is None:
+            raise ValueError("palette TIFF missing ColorMap")
+        n = len(cmap) // 3
+        # ColorMap is 16-bit per channel, all reds then greens then blues
+        pal = (
+            np.array(cmap, dtype=np.uint32).reshape(3, n).T // 257
+        ).astype(np.uint8)
+        idx = grid.reshape(h, w)
+        if int(idx.max()) >= n:
+            raise ValueError("TIFF palette index out of range")
+        return pal[idx]
+    if spp == 1:  # grayscale
+        g8 = grid.reshape(h, w)
+        if photo == 0:
+            g8 = 255 - g8
+        return np.stack([g8, g8, g8], axis=-1)
+    if spp >= 3:
+        return grid.reshape(h, w, spp)[:, :, :3].copy()
+    raise NotImplementedError(f"samples-per-pixel {spp}")
+
+
+# ----------------------------------------------------------- compressions
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: noop
+    return bytes(out)
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Per-row PackBits (the spec recommends restarting per row)."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        # find run length at i
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, row[i]])
+            i += run
+        else:
+            # literal: extend until a 3-byte run starts or 128 cap
+            j = i + 1
+            while (
+                j < n
+                and j - i < 128
+                and not (j + 1 < n and row[j] == row[j + 1] == row[j - 1])
+            ):
+                j += 1
+            # back off if the last byte begins a run
+            lit = row[i:j]
+            out += bytes([len(lit) - 1]) + lit
+            i = j
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW: MSB-first bit packing, 9→12-bit codes,
+    Clear=256/EOI=257, and the spec's EARLY-CHANGE convention (the code
+    width grows one entry before the table is actually full)."""
+    CLEAR, EOI = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    code_size = 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                if len(out) >= expected:
+                    return bytes(out)
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - code_size)) & ((1 << code_size) - 1)
+        nbits -= code_size
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            code_size = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if code < len(table) and (code < 256 or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad TIFF LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4094:
+            table.append(prev + entry[:1])
+        # early change: grow width when ONE entry short of full
+        if len(table) + 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+        if len(out) >= expected:
+            break
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW compressor (early change, MSB-first)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << code_size) | code
+        nbits += code_size
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        # early change mirrors the decoder: width grows when the NEXT
+        # code to be assigned reaches the width limit minus one
+        if next_code + 1 == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code >= 4094:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            code_size = 9
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur])
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# ----------------------------------------------------------------- writer
+def encode_tiff(
+    arr: np.ndarray,
+    compression: str = "none",
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """HxWx3 uint8 RGB (or HxW grayscale, or HxW bool bilevel) →
+    little-endian baseline TIFF.  ``compression``: ``"none"``,
+    ``"packbits"``, ``"lzw"``, or (bilevel input only) ``"g4"``."""
+    bilevel = arr.dtype == bool
+    gray = arr.ndim == 2 and not bilevel
+    h, w = arr.shape[:2]
+    spp = 1 if (gray or bilevel) else 3
+    bits = 1 if bilevel else 8
+    rps = rows_per_strip or h
+    if bilevel:
+        raw_rows = [
+            np.packbits(arr[y].astype(np.uint8)).tobytes() for y in range(h)
+        ]
+    else:
+        raw_rows = [arr[y].tobytes() for y in range(h)]
+
+    strips = []
+    for s0 in range(0, h, rps):
+        block_rows = raw_rows[s0 : s0 + rps]
+        raw = b"".join(block_rows)
+        if compression == "none":
+            strips.append(raw)
+        elif compression == "packbits":
+            strips.append(b"".join(_packbits_encode(r) for r in block_rows))
+        elif compression == "lzw":
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == "g4":
+            if not bilevel:
+                raise ValueError("g4 compression needs bool bilevel input")
+            from .g4 import g4_encode
+
+            # bool convention is True = white; G4 codes black runs and
+            # G4-in-TIFF uses Photometric=0 (WhiteIsZero)
+            strips.append(g4_encode(~arr[s0 : s0 + rps]))
+        else:
+            raise ValueError(f"unknown compression {compression!r}")
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5, "g4": 4}[compression]
+    # BlackIsZero for gray/bilevel (bit 1 = white), except G4 which is
+    # conventionally WhiteIsZero (decoded bit 1 = black); RGB otherwise
+    photo = 0 if compression == "g4" else (1 if (gray or bilevel) else 2)
+
+    n_tags = 10
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    ifd_size = 2 + n_tags * 12 + 4
+    data_off = 8 + ifd_size
+    # strip offset/count arrays (if >1 strip they live after the IFD)
+    n_strips = len(strips)
+    arrays = b""
+    if n_strips > 1:
+        so_off = data_off
+        arrays_counts_off = so_off + 4 * n_strips
+        strip_data_off = arrays_counts_off + 4 * n_strips
+    else:
+        strip_data_off = data_off
+    offs = []
+    cur = strip_data_off
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    if n_strips > 1:
+        arrays = struct.pack(f"<{n_strips}I", *offs) + struct.pack(
+            f"<{n_strips}I", *[len(s) for s in strips]
+        )
+
+    def tag(tid: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tid, typ, count, value)
+
+    tags = [
+        tag(_T_WIDTH, 4, 1, w),
+        tag(_T_LENGTH, 4, 1, h),
+        tag(_T_BITS, 3, 1, bits),
+        tag(_T_COMPRESSION, 3, 1, comp_id),
+        tag(_T_PHOTOMETRIC, 3, 1, photo),
+        tag(
+            _T_STRIP_OFFSETS, 4, n_strips,
+            offs[0] if n_strips == 1 else data_off,
+        ),
+        tag(_T_SAMPLES, 3, 1, spp),
+        tag(_T_ROWS_PER_STRIP, 4, 1, rps),
+        tag(
+            _T_STRIP_COUNTS, 4, n_strips,
+            len(strips[0]) if n_strips == 1 else data_off + 4 * n_strips,
+        ),
+        tag(_T_PLANAR, 3, 1, 1),
+    ]
+    ifd = struct.pack("<H", n_tags) + b"".join(tags) + struct.pack("<I", 0)
+    return header + ifd + arrays + b"".join(strips)

@@ -710,3 +710,31 @@ def test_png_adam7_and_palette():
     )
     with _pytest.raises(ValueError):
         decode_image(bad)
+
+
+def test_gif_roundtrip_and_contract():
+    """GIF87a/89a decode: LZW, palette lookup, 4-pass interlace; the
+    minimal writer round-trips exactly for ≤256-color images, and
+    truncation surfaces as ValueError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark.operators.multimodal import (
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    for shape, ncol in [((9, 13), 5), ((16, 16), 256), ((1, 1), 1), ((7, 31), 17)]:
+        pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+        img = pal[rng.integers(0, ncol, shape)]
+        for inter in (False, True):
+            got = decode_image(encode_gif(img, interlace=inter))
+            assert np.array_equal(got, img), (shape, ncol, inter)
+    pal = rng.integers(0, 256, (17, 3)).astype(np.uint8)
+    enc = encode_gif(pal[rng.integers(0, 17, (7, 31))])
+    for cut in (10, len(enc) // 2, len(enc) - 3):
+        with _pytest.raises(ValueError):
+            decode_image(enc[:cut])
+    with _pytest.raises(ValueError):
+        encode_gif(rng.integers(0, 256, (32, 32, 3)).astype(np.uint8))
