@@ -172,9 +172,11 @@ def _next_mode(br: _Bits) -> tuple[str, int]:
 def g4_decode(data: bytes, width: int, n_rows: int) -> bytes:
     """G4 code stream → row-byte-aligned packed bilevel raster
     (MSB-first, bit 1 = black), ``n_rows`` rows of ``width`` px."""
+    import numpy as np
+
     br = _Bits(data)
     row_bytes = (width + 7) // 8
-    out = bytearray(row_bytes * n_rows)
+    rows = np.zeros((n_rows, width), dtype=bool)
     ref: list[int] = [width, width]  # imaginary all-white reference row
     for y in range(n_rows):
         cur: list[int] = []
@@ -216,15 +218,18 @@ def g4_decode(data: bytes, width: int, n_rows: int) -> bytes:
                 cur.append(t1)
                 cur.append(t2)
                 a0 = t2
-        # paint black runs: transitions alternate starting white
-        base = y * row_bytes
-        for k in range(0, len(cur) - 1 if len(cur) % 2 else len(cur), 2):
-            start = cur[k]
-            end = cur[k + 1] if k + 1 < len(cur) else width
-            for x in range(start, min(end, width)):
-                out[base + (x >> 3)] |= 0x80 >> (x & 7)
+        # paint black runs (transitions alternate starting white):
+        # cumulative-XOR trick — flip at each transition, prefix-xor
+        if cur:
+            flips = np.zeros(width + 1, dtype=bool)
+            for t in cur:
+                if t < width:
+                    flips[t] ^= True
+            rows[y] = np.logical_xor.accumulate(flips)[:width]
         ref = cur + [width, width]
-    return bytes(out)
+    packed = np.packbits(rows, axis=1)  # MSB-first, row byte-aligned
+    assert packed.shape[1] == row_bytes
+    return packed.tobytes()
 
 
 def _transitions(row) -> list[int]:
