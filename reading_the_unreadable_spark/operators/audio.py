@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame
 N_BANDS = 8
 AUDIO_FEATURE_SCHEMA = (
     "media_ref string, kind string, n_bytes long, sha1 string, "
-    "sample_rate int, n_channels int, duration_ms int, feat array<float>"
+    "sample_rate int, n_channels int, duration_ms int, feat array<float>, "
+    "decode_err string"
 )
 
 
@@ -176,21 +177,34 @@ def extract_audio_features(
                 for k in (
                     "media_ref", "kind", "n_bytes", "sha1",
                     "sample_rate", "n_channels", "duration_ms", "feat",
+                    "decode_err",
                 )
             }
             for ref, kind, p in zip(pdf["media_ref"], pdf["kind"], pdf[payload_col]):
                 if p is None:
                     continue
                 b = bytes(p)
-                rate, samples = decode_wav(b)
                 rows["media_ref"].append(ref)
                 rows["kind"].append(kind)
                 rows["n_bytes"].append(len(b))
                 rows["sha1"].append(hashlib.sha1(b).hexdigest())
+                try:
+                    rate, samples = decode_wav(b)
+                except (ValueError, NotImplementedError) as e:
+                    # quarantine, don't kill the task (see image path)
+                    rows["sample_rate"].append(0)
+                    rows["n_channels"].append(0)
+                    rows["duration_ms"].append(0)
+                    rows["feat"].append([0.0] * (4 + N_BANDS))
+                    rows["decode_err"].append(f"{type(e).__name__}: {e}"[:200])
+                    continue
                 rows["sample_rate"].append(int(rate))
                 rows["n_channels"].append(int(samples.shape[1]))
                 rows["duration_ms"].append(int(round(1000 * samples.shape[0] / rate)))
                 rows["feat"].append(audio_features(samples, rate).tolist())
+                rows["decode_err"].append(None)
+            if not rows["media_ref"]:
+                continue  # empty frame would dtype-confuse Arrow (list cols)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(fn, schema=AUDIO_FEATURE_SCHEMA)

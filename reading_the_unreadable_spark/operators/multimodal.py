@@ -46,7 +46,7 @@ MEDIA_SCHEMA = T.StructType(
 N_HIST_BINS = 16
 FEATURE_SCHEMA = (
     "media_ref string, kind string, n_bytes long, sha1 string, "
-    "width int, height int, feat array<float>"
+    "width int, height int, feat array<float>, decode_err string"
 )
 
 
@@ -566,19 +566,31 @@ def extract_media_features(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-task init scope (codec/model load goes here, once per worker)
         for pdf in batches:
-            feats, widths, heights = [], [], []
+            feats, widths, heights, errs = [], [], [], []
             for p in pdf["payload"]:
                 if p is None:
                     feats.append(np.zeros(4 + N_HIST_BINS, np.float32))
                     widths.append(0)
                     heights.append(0)
+                    errs.append(None)
                     continue
-                arr = decode_image(bytes(p))
+                try:
+                    arr = decode_image(bytes(p))
+                except (ValueError, NotImplementedError) as e:
+                    # quarantine, don't kill the task: at corpus scale a
+                    # handful of corrupt payloads is CERTAIN — the row
+                    # stays auditable via decode_err
+                    feats.append(np.zeros(4 + N_HIST_BINS, np.float32))
+                    widths.append(0)
+                    heights.append(0)
+                    errs.append(f"{type(e).__name__}: {e}"[:200])
+                    continue
                 if resize_to is not None:
                     arr = resize_nearest(arr, *resize_to)
                 feats.append(image_features(arr))
                 widths.append(int(arr.shape[1]))
                 heights.append(int(arr.shape[0]))
+                errs.append(None)
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
@@ -593,6 +605,7 @@ def extract_media_features(
                     "width": widths,
                     "height": heights,
                     "feat": [f.tolist() for f in feats],
+                    "decode_err": errs,
                 }
             )
 

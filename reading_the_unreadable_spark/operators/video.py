@@ -34,7 +34,7 @@ from .multimodal import image_features
 
 FRAME_FEATURE_SCHEMA = (
     "media_ref string, frame_idx int, n_frames int, fps double, "
-    "width int, height int, feat array<float>"
+    "width int, height int, feat array<float>, decode_err string"
 )
 
 
@@ -109,6 +109,11 @@ def decode_avi_frames(
             pos += 8 + size + (size & 1)
 
     walk(payload[12:])
+    if not frames:
+        # a RIFF/AVI header with no video chunks is a truncated or
+        # gutted file — silently returning zero frames would be data
+        # loss the quarantine layer can't see
+        raise ValueError("AVI contains no video frames (truncated?)")
     sampled = [
         (i, decode_jpeg(frames[i])) for i in range(0, len(frames), max(every_n, 1))
     ]
@@ -129,13 +134,25 @@ def sample_frame_features(
                 k: []
                 for k in (
                     "media_ref", "frame_idx", "n_frames", "fps",
-                    "width", "height", "feat",
+                    "width", "height", "feat", "decode_err",
                 )
             }
             for ref, p in zip(pdf["media_ref"], pdf[payload_col]):
                 if p is None:
                     continue
-                fps, n, sampled = decode_avi_frames(bytes(p), every_n=every_n)
+                try:
+                    fps, n, sampled = decode_avi_frames(bytes(p), every_n=every_n)
+                except (ValueError, NotImplementedError) as e:
+                    # quarantine, don't kill the task: one marker row
+                    rows["media_ref"].append(ref)
+                    rows["frame_idx"].append(-1)
+                    rows["n_frames"].append(0)
+                    rows["fps"].append(0.0)
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["feat"].append([])
+                    rows["decode_err"].append(f"{type(e).__name__}: {e}"[:200])
+                    continue
                 for idx, arr in sampled:
                     rows["media_ref"].append(ref)
                     rows["frame_idx"].append(idx)
@@ -144,6 +161,9 @@ def sample_frame_features(
                     rows["width"].append(int(arr.shape[1]))
                     rows["height"].append(int(arr.shape[0]))
                     rows["feat"].append(image_features(arr).tolist())
+                    rows["decode_err"].append(None)
+            if not rows["media_ref"]:
+                continue  # empty frame would dtype-confuse Arrow (list cols)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(fn, schema=FRAME_FEATURE_SCHEMA)

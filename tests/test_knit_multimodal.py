@@ -738,3 +738,59 @@ def test_gif_roundtrip_and_contract():
             decode_image(enc[:cut])
     with _pytest.raises(ValueError):
         encode_gif(rng.integers(0, 256, (32, 32, 3)).astype(np.uint8))
+
+
+def test_media_quarantine_corrupt_payloads(spark):
+    """At corpus scale corrupt payloads are certain: a bad byte stream
+    must quarantine into a decode_err row, never kill the Spark task —
+    across the image, audio, and video extractors."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.audio import (
+        encode_wav,
+        extract_audio_features,
+    )
+    from reading_the_unreadable_spark.operators.jpeg import encode_jpeg
+    from reading_the_unreadable_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+    from reading_the_unreadable_spark.operators.video import (
+        sample_frame_features,
+        synth_avi_bytes,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(47))
+    good_img = encode_jpeg(rng.integers(0, 256, (16, 24, 3)).astype(np.uint8))
+    rows = [
+        ("ok.jpg", "image", bytearray(good_img), 24, 16, None),
+        ("bad.jpg", "image", bytearray(good_img[: len(good_img) // 2]), 0, 0, None),
+        ("junk.bin", "image", bytearray(b"\x00\x01\x02\x03" * 10), 0, 0, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_ref"]: r for r in extract_media_features(media).collect()}
+    assert len(got) == 3
+    assert got["ok.jpg"]["decode_err"] is None and got["ok.jpg"]["width"] == 24
+    assert got["bad.jpg"]["decode_err"] and got["bad.jpg"]["width"] == 0
+    assert "unknown image magic" in got["junk.bin"]["decode_err"]
+
+    wav = encode_wav(np.zeros(100, dtype=np.int16), 8000)
+    rows = [
+        ("ok.wav", "audio", bytearray(wav), None, None, 12),
+        ("bad.wav", "audio", bytearray(wav[:20]), None, None, 0),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_ref"]: r for r in extract_audio_features(media).collect()}
+    assert got["ok.wav"]["decode_err"] is None and got["ok.wav"]["sample_rate"] == 8000
+    assert got["bad.wav"]["decode_err"] and got["bad.wav"]["sample_rate"] == 0
+
+    avi = synth_avi_bytes("clip.avi", n_frames=3)
+    rows = [
+        ("ok.avi", "video", bytearray(avi), None, None, 300),
+        ("bad.avi", "video", bytearray(avi[:40]), None, None, 0),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_frame_features(media).collect()
+    ok = [r for r in frames if r["media_ref"] == "ok.avi"]
+    bad = [r for r in frames if r["media_ref"] == "bad.avi"]
+    assert len(ok) == 3 and all(r["decode_err"] is None for r in ok)
+    assert len(bad) == 1 and bad[0]["frame_idx"] == -1 and bad[0]["decode_err"]
