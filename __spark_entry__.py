@@ -1012,6 +1012,13 @@ def q_ann_ivf(spark, sf):
     return S.ann_ivf_topk(_t(spark, sf, "embeddings"), n_probes=10, k=3, nprobe_cells=2)
 
 
+def q_ann_quantized(spark, sf):
+    """Int8-quantized brute-force ANN: per-vector symmetric scale,
+    cosine over the integer vectors (scales cancel exactly).  The 4x
+    shuffle/scan-byte lever for embedding stages at corpus scale."""
+    return S.ann_quantized_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
 def q_label_centroids(spark, sf):
     return S.label_centroids(_t(spark, sf, "embeddings"))
 
@@ -1219,10 +1226,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_queries_vs_duckdb.py).
     # r05 rotation: in  = pricing_summary, top_customers, region_revenue,
     #                     rank_and_median, monthly_revenue (last driver row r03)
-    #                     + snapshot_incremental (new family, first driver row)
+    #                     + snapshot_incremental, ann_quantized (new
+    #                       families, first driver rows)
     #               out = html_strip, html_main_text, one_hot_labels,
     #                     deterministic_sample, name_distance,
-    #                     except_customers (green r02-r04)
+    #                     except_customers, rollup_revenue (green r02-r04)
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -1255,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_multiprobe": q_ann_multiprobe,
         "ann_ivf": q_ann_ivf,
+        "ann_quantized": q_ann_quantized,
         "label_centroids": q_label_centroids,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
@@ -2278,6 +2287,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(length(text)), 0)::BIGINT
             FROM documents WHERE doc_id % 3 IN (0, 1)
         """,
+        "ann_quantized": S.ann_quantized_oracle_sql(query_vec_id=0, k=10),
         "label_centroids": """
             SELECT label, (dim - 1)::INT AS dim,
                    round(avg(embedding[dim]::DOUBLE), 6) AS centroid,

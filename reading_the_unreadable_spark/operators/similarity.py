@@ -527,3 +527,87 @@ def ann_ivf_oracle_sql(
             ORDER BY cos_sim DESC, vec_id) AS rank
           FROM scored) WHERE rank <= {k}
     """
+
+
+# -------------------------------------------------- int8-quantized ANN
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127,
+    q_i = round(x_i / scale) ∈ [-127, 127].
+
+    The 100 TB lever: embedding columns dominate shuffle and scan bytes
+    in every ANN/near-dup stage; int8 cuts them 4× (further with
+    dictionary/byte-packing at the parquet layer) while cosine — which
+    is SCALE-INVARIANT, so the per-vector scale cancels exactly —
+    degrades only by the rounding error.  Pure higher-order functions
+    (transform/aggregate), no UDF, fully pushdown-friendly."""
+    maxabs = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.greatest(maxabs / F.lit(127.0), F.lit(1e-12))
+    qvec = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") / scale).cast("int")
+    )
+    return embeddings.select(
+        "vec_id",
+        "label",
+        scale.alias("scale"),
+        qvec.alias("qvec"),
+    )
+
+
+def ann_quantized_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Brute-force top-k by cosine over int8-QUANTIZED vectors —
+    the same shape as :func:`cosine_topk` (broadcast probe,
+    TakeOrdered) but every shuffled/compared byte is quantized.  The
+    per-vector scales cancel in the cosine, so the score is simply the
+    cosine of the integer vectors, rounded to 6 dp."""
+    q = quantize_embeddings(embeddings)
+    probe = q.filter(F.col("vec_id") == query_vec_id).select(
+        _as_double(F.col("qvec")).alias("pvec")
+    )
+    scored = (
+        q.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine(_as_double(F.col("qvec")), F.col("pvec")), 6
+            ).alias("qcos_sim"),
+        )
+    )
+    topk = scored.orderBy(F.desc("qcos_sim"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("qcos_sim"), F.asc("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", "label", "qcos_sim"
+    )
+
+
+def ann_quantized_oracle_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """DuckDB replica: identical quantization formula (round half away
+    from zero matches Spark's HALF_UP on these values), identical
+    tie-break."""
+    return f"""
+        WITH q AS (
+          SELECT vec_id, label,
+                 list_transform(
+                   embedding,
+                   x -> round(x::DOUBLE /
+                        greatest(list_max(list_transform(embedding,
+                                 y -> abs(y::DOUBLE))) / 127.0, 1e-12))
+                 ) AS qvec
+          FROM embeddings),
+        probe AS (SELECT qvec AS pvec FROM q WHERE vec_id = {query_vec_id}),
+        scored AS (
+          SELECT q.vec_id, q.label,
+                 round(list_cosine_similarity(q.qvec, p.pvec), 6) AS qcos_sim
+          FROM q, probe p WHERE q.vec_id != {query_vec_id})
+        SELECT rank::INT AS rank, vec_id, label, qcos_sim FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY qcos_sim DESC, vec_id) AS rank
+          FROM scored) WHERE rank <= {k}
+    """

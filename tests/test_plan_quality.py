@@ -334,3 +334,22 @@ def test_snapshot_read_pushdown_and_union_shape(spark, tmp_path):
     plan2 = _plan(read_snapshot(spark, root).select("doc_id"))
     assert plan2.count("FileScan parquet") == 2, plan2[:2000]
     assert "Union" in plan2, plan2[:2000]
+
+
+def test_ann_quantized_plan_and_recall(spark):
+    """Quantized ANN keeps the cosine_topk plan shape (broadcast probe,
+    TakeOrdered, no cartesian beyond the 1-row broadcast) and its top-k
+    strongly overlaps the exact top-k (int8 rounding error only)."""
+    from reading_the_unreadable_spark.operators.similarity import (
+        ann_quantized_topk,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = ann_quantized_topk(emb, query_vec_id=0, k=10)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    exact = {r["vec_id"] for r in cosine_topk(emb, 0, 10).collect()}
+    quant = {r["vec_id"] for r in df.collect()}
+    assert len(exact & quant) >= 8, (exact, quant)
