@@ -369,6 +369,9 @@ def _decode_gif_impl(payload: bytes) -> np.ndarray:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError(f"not a GIF: {payload[:6]!r}")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if sw == 0 or sh == 0 or sw * sh > 1 << 26:
+        # corrupt headers claiming absurd screens must not allocate
+        raise ValueError(f"implausible GIF dimensions {sw}x{sh}")
     pos = 13
     gct = None
     if flags & 0x80:

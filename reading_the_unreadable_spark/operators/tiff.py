@@ -65,6 +65,10 @@ def _read_ifd(payload: bytes, off: int, bo: str) -> dict[int, list]:
         if size is None:
             continue
         total = size * count
+        # a corrupt count can claim gigabytes: it can never exceed the
+        # payload itself (guards the fmt-string build below, too)
+        if total > len(payload):
+            raise ValueError(f"TIFF tag {tag} claims {total} value bytes")
         voff = base + 8 if total <= 4 else struct.unpack_from(bo + "I", payload, base + 8)[0]
         fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}.get(typ)
         if fmt is None:
@@ -91,6 +95,9 @@ def _decode_tiff_impl(payload: bytes) -> np.ndarray:
         raise NotImplementedError("planar configuration 2")
     w = tags[_T_WIDTH][0]
     h = tags[_T_LENGTH][0]
+    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20) or w * h > 1 << 28:
+        # corrupt headers claiming absurd rasters must not allocate
+        raise ValueError(f"implausible TIFF dimensions {w}x{h}")
     spp = tags.get(_T_SAMPLES, [1])[0]
     bits_l = tags.get(_T_BITS, [1])
     comp = tags.get(_T_COMPRESSION, [1])[0]

@@ -201,3 +201,43 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     got_rate, got = decode_wav(encode_wav(samples, rate))
     assert got_rate == rate and got.shape == (n, ch)
     assert np.array_equal((got * 32768.0).round().astype(np.int16), samples)
+
+
+# ---------------------------------------------------- codec fuzz contracts
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(0, 400),
+    st.integers(0, 255),
+    st.integers(0, 60),
+)
+def test_archive_codec_fuzz_contract(seed, cut, flip_val, flip_pos):
+    """GIF / TIFF (every compression incl. G4) under truncation AND a
+    byte flip: decode either succeeds or raises ValueError /
+    NotImplementedError — no IndexError/KeyError/struct.error/infinite
+    loop ever escapes to a quarantining caller."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.multimodal import (
+        decode_image,
+        encode_gif,
+    )
+    from reading_the_unreadable_spark.operators.tiff import encode_tiff
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    img = pal[rng.integers(0, 8, (9, 14))]
+    bil = rng.random((9, 14)) > 0.5
+    payloads = [
+        encode_gif(img),
+        encode_tiff(img, "lzw"),
+        encode_tiff(img, "packbits"),
+        encode_tiff(bil, "g4"),
+    ]
+    for enc in payloads:
+        mut = bytearray(enc[: max(8, len(enc) - cut)])
+        mut[flip_pos % len(mut)] = flip_val
+        try:
+            decode_image(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass  # the contract: exactly these may escape
