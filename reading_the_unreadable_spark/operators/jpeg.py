@@ -583,6 +583,9 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit precision")
             fh, fw = struct.unpack_from(">HH", seg, 1)
+            if fh == 0 or fw == 0 or fh * fw > 1 << 28:
+                # corrupt frame headers must not drive allocations
+                raise ValueError(f"implausible JPEG dimensions {fw}x{fh}")
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):

@@ -222,6 +222,10 @@ def test_archive_codec_fuzz_contract(seed, cut, flip_val, flip_pos):
         decode_image,
         encode_gif,
     )
+    from reading_the_unreadable_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from reading_the_unreadable_spark.operators.tiff import encode_tiff
 
     rng = np.random.Generator(np.random.PCG64(seed))
@@ -233,6 +237,8 @@ def test_archive_codec_fuzz_contract(seed, cut, flip_val, flip_pos):
         encode_tiff(img, "lzw"),
         encode_tiff(img, "packbits"),
         encode_tiff(bil, "g4"),
+        encode_jpeg(img, subsample="422"),
+        encode_jpeg_progressive(img),
     ]
     for enc in payloads:
         mut = bytearray(enc[: max(8, len(enc) - cut)])
