@@ -1085,6 +1085,57 @@ def q_snapshot_incremental(spark, sf):
     )
 
 
+def q_scan_preprocess(spark, sf):
+    """Scanned-page preprocessing under the driver: deterministic
+    text-like pages with a per-doc KNOWN skew are G4-TIFF encoded
+    (operators/tiff.py + g4.py), decoded back, Otsu-binarized, and
+    skew-estimated (operators/scans.py).  Grouping by the estimate
+    proves recovery: each skew bucket's count matches the construction.
+    Output is a pure function of the fixed doc sample — closed-form
+    VALUES oracle."""
+    import numpy as np
+    import pandas as pd_local
+
+    from reading_the_unreadable_spark.operators.scans import (
+        deskew,
+        scan_preprocess_features,
+    )
+    from reading_the_unreadable_spark.operators.tiff import encode_tiff
+
+    d = _t(spark, sf, "documents").select("doc_id").filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 500)
+    )
+
+    def gen(batches):
+        base = np.full((120, 240), 235, np.uint8)
+        rng = np.random.Generator(np.random.PCG64(3))
+        for y0 in range(20, 100, 10):
+            for x0 in range(15, 225, 9):
+                if rng.random() < 0.75:
+                    base[y0 : y0 + 3, x0 : x0 + 6] = 40
+        base3 = np.stack([base] * 3, -1)
+        for pdf in batches:
+            rows = {"media_ref": [], "kind": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                s = float((int(doc_id) // 10) % 7 - 3)  # -3..+3 degrees
+                img = deskew(base3, -s) if s else base3
+                page = img[:, :, 0] > 128  # already bimodal: True=white
+                rows["media_ref"].append(f"doc-{doc_id}.tif")
+                rows["kind"].append("image")
+                rows["payload"].append(encode_tiff(page, compression="g4"))
+            yield pd_local.DataFrame(rows)
+
+    media = d.mapInPandas(gen, "media_ref string, kind string, payload binary")
+    return (
+        scan_preprocess_features(media)
+        .groupBy("skew_deg")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("ink_ratio"), 4).alias("avg_ink"),
+        )
+    )
+
+
 def q_media_pipeline(spark, sf):
     """Multimodal families end-to-end under the driver: deterministic
     JPEG / WAV / AVI payloads derived per doc feed the image, audio, and
@@ -1217,7 +1268,8 @@ def q_extract_spans_filled(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness samples the FIRST 50
-    # entries of this dict at sf0.1.  The flagship extraction chain leads;
+    # entries of this dict at sf0.01 (TESTDATA.md: "t2 correctness (duckdb
+    # oracle) uses sf0.01").  The flagship extraction chain leads;
     # behind it sits a per-round ROTATION (r04 verdict §Next #2): each round
     # five of the long-green TPC rows cycle back into the window, swapped
     # against the cheapest multi-round-green family rows, so no query goes
@@ -1226,11 +1278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_queries_vs_duckdb.py).
     # r05 rotation: in  = pricing_summary, top_customers, region_revenue,
     #                     rank_and_median, monthly_revenue (last driver row r03)
-    #                     + snapshot_incremental, ann_quantized (new
-    #                       families, first driver rows)
+    #                     + snapshot_incremental, ann_quantized,
+    #                       scan_preprocess (new families, first driver rows)
     #               out = html_strip, html_main_text, one_hot_labels,
-    #                     deterministic_sample, name_distance,
-    #                     except_customers, rollup_revenue (green r02-r04)
+    #                     deterministic_sample, name_distance, except_customers,
+    #                     rollup_revenue, dow_revenue (green r02-r04)
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -1250,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
+        "scan_preprocess": q_scan_preprocess,
         "snapshot_incremental": q_snapshot_incremental,
         # -- r05 rotated-in TPC rows (fresh driver check this round) --
         "pricing_summary": q_pricing_summary,
@@ -2268,6 +2321,19 @@ def oracle_sql() -> dict[str, str]:
         "ann_multiprobe": S.ann_multiprobe_oracle_sql(n_probes=10, k=3),
         "ann_ivf": S.ann_ivf_oracle_sql(n_probes=10, k=3, nprobe_cells=2),
         "embedding_near_dup": S.embedding_near_dup_oracle_sql(threshold=0.3),
+        # Closed-form oracle like media_pipeline: the per-doc skews are
+        # constructed ((doc_id//10) % 7 - 3 over the fixed sample
+        # 0,10,…,490 → residue 0 gets 8 docs, others 7), the estimator
+        # recovers each exactly (pinned by pytest), and ink ratios are
+        # pure functions of the deterministic page raster.
+        "scan_preprocess": """
+            SELECT skew_deg::DOUBLE AS skew_deg, n_docs::BIGINT AS n_docs,
+                   avg_ink::DOUBLE AS avg_ink
+            FROM (VALUES (-3.0, 8, 0.0936), (-2.0, 7, 0.0938),
+                         (-1.0, 7, 0.0937), (0.0, 7, 0.0938),
+                         (1.0, 7, 0.0937), (2.0, 7, 0.0938),
+                         (3.0, 7, 0.0935)) AS t(skew_deg, n_docs, avg_ink)
+        """,
         # Snapshot-layer oracle: the three appends partition documents by
         # doc_id mod 3, so every window summary is directly derivable
         "snapshot_incremental": """

@@ -794,3 +794,50 @@ def test_media_quarantine_corrupt_payloads(spark):
     bad = [r for r in frames if r["media_ref"] == "bad.avi"]
     assert len(ok) == 3 and all(r["decode_err"] is None for r in ok)
     assert len(bad) == 1 and bad[0]["frame_idx"] == -1 and bad[0]["decode_err"]
+
+
+def test_scan_preprocess_otsu_deskew(spark):
+    """Scan preprocessing: Otsu binarization splits a bimodal page at
+    the histogram valley, projection-profile skew estimation recovers a
+    known rotation within the sweep step, and the Spark extractor runs
+    the whole chain over G4-TIFF payloads with quarantine."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.multimodal import MEDIA_SCHEMA
+    from reading_the_unreadable_spark.operators.scans import (
+        binarize_otsu,
+        deskew,
+        estimate_skew,
+        scan_preprocess_features,
+    )
+    from reading_the_unreadable_spark.operators.tiff import encode_tiff
+
+    def make_page(h=120, w=240):
+        img = np.full((h, w), 235, np.uint8)
+        rng = np.random.Generator(np.random.PCG64(3))
+        for y0 in range(20, 100, 10):
+            for x0 in range(15, 225, 9):
+                if rng.random() < 0.75:
+                    img[y0 : y0 + 3, x0 : x0 + 6] = 40
+        return np.stack([img] * 3, -1)
+
+    base = make_page()
+    rows = []
+    for i, s in enumerate((0.0, 2.0, -3.0)):
+        skewed = deskew(base, -s) if s else base
+        page, t = binarize_otsu(skewed)
+        assert 40 <= t < 235
+        assert abs(estimate_skew(page) - s) <= 0.5
+        rows.append(
+            (f"p{i}.tif", "image", bytearray(encode_tiff(page, "g4")), None, None, None)
+        )
+    rows.append(("bad.tif", "image", bytearray(b"II*\x00garbage"), None, None, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_ref"]: r for r in scan_preprocess_features(media).collect()}
+    assert len(got) == 4
+    for i, s in enumerate((0.0, 2.0, -3.0)):
+        r = got[f"p{i}.tif"]
+        assert r["decode_err"] is None
+        assert abs(r["skew_deg"] - s) <= 0.5
+        assert 0.02 < r["ink_ratio"] < 0.4
+    assert got["bad.tif"]["decode_err"]
