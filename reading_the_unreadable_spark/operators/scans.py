@@ -85,7 +85,7 @@ def estimate_skew(
         score = float(np.var(counts))
         if score > best_score:
             best_score, best_angle = score, float(a)
-    return -best_angle
+    return -best_angle if best_angle != 0.0 else 0.0  # never -0.0
 
 
 def deskew(arr: np.ndarray, angle_deg: float) -> np.ndarray:
