@@ -1136,6 +1136,49 @@ def q_scan_preprocess(spark, sf):
     )
 
 
+def q_page_blocks_pixels(spark, sf):
+    """Pixels→layout-blocks under the driver: per doc a deterministic
+    page with k = 2 + (doc_id//10) % 3 text blocks is G4-TIFF encoded,
+    decoded, binarized, and block-detected (operators/scans.py CC +
+    proximity merge).  The oracle derives the same k per doc from
+    documents in plain SQL — detection must recover the construction
+    exactly."""
+    import numpy as np
+    import pandas as pd_local
+
+    from reading_the_unreadable_spark.operators.scans import detect_page_blocks
+    from reading_the_unreadable_spark.operators.tiff import encode_tiff
+
+    d = _t(spark, sf, "documents").select("doc_id").filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 500)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"media_ref": [], "kind": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                k = 2 + (int(doc_id) // 10) % 3
+                page = np.ones((10 + k * 30, 220), bool)
+                for b in range(k):
+                    y0 = 10 + b * 30
+                    for ly in range(y0, y0 + 18, 6):
+                        for wx in range(10, 200, 10):
+                            page[ly : ly + 3, wx : wx + 7] = False
+                rows["media_ref"].append(f"doc-{doc_id}")
+                rows["kind"].append("image")
+                rows["payload"].append(encode_tiff(page, compression="g4"))
+            yield pd_local.DataFrame(rows)
+
+    media = d.mapInPandas(gen, "media_ref string, kind string, payload binary")
+    blocks = detect_page_blocks(media, gap_x=8, gap_y=4)
+    return (
+        blocks.groupBy("media_ref")
+        .agg(F.count("*").cast("long").alias("n_blocks"))
+        .groupBy("n_blocks")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def q_media_pipeline(spark, sf):
     """Multimodal families end-to-end under the driver: deterministic
     JPEG / WAV / AVI payloads derived per doc feed the image, audio, and
@@ -1279,10 +1322,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r05 rotation: in  = pricing_summary, top_customers, region_revenue,
     #                     rank_and_median, monthly_revenue (last driver row r03)
     #                     + snapshot_incremental, ann_quantized,
-    #                       scan_preprocess (new families, first driver rows)
+    #                       scan_preprocess, page_blocks_pixels (new
+    #                       families, first driver rows)
     #               out = html_strip, html_main_text, one_hot_labels,
     #                     deterministic_sample, name_distance, except_customers,
-    #                     rollup_revenue, dow_revenue (green r02-r04)
+    #                     rollup_revenue, dow_revenue, union_segments,
+    #                     knit_reclassify (green r02-r04)
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -1303,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
         "scan_preprocess": q_scan_preprocess,
+        "page_blocks_pixels": q_page_blocks_pixels,
         "snapshot_incremental": q_snapshot_incremental,
         # -- r05 rotated-in TPC rows (fresh driver check this round) --
         "pricing_summary": q_pricing_summary,
@@ -2321,6 +2367,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_multiprobe": S.ann_multiprobe_oracle_sql(n_probes=10, k=3),
         "ann_ivf": S.ann_ivf_oracle_sql(n_probes=10, k=3, nprobe_cells=2),
         "embedding_near_dup": S.embedding_near_dup_oracle_sql(threshold=0.3),
+        # DERIVED oracle (not a literal): the construction puts
+        # k = 2 + (doc_id//10) % 3 blocks on each sampled doc's page and
+        # detection must recover k exactly, so the distribution of k over
+        # the sample is computable straight from documents
+        "page_blocks_pixels": """
+            SELECT n_blocks, count(*)::BIGINT AS n_docs FROM (
+              SELECT (2 + (doc_id // 10) % 3)::BIGINT AS n_blocks
+              FROM documents WHERE doc_id % 10 = 0 AND doc_id < 500)
+            GROUP BY n_blocks
+        """,
         # Closed-form oracle like media_pipeline: the per-doc skews are
         # constructed ((doc_id//10) % 7 - 3 over the fixed sample
         # 0,10,…,490 → residue 0 gets 8 docs, others 7), the estimator

@@ -147,3 +147,176 @@ def scan_preprocess_features(
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(fn, schema=SCAN_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------ pixels → layout blocks
+def _ink_runs(row: np.ndarray) -> list[tuple[int, int]]:
+    """[x0, x1) spans of ink (True) in a 1-D bool row."""
+    d = np.diff(row.astype(np.int8), prepend=0, append=0)
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def connected_component_boxes(
+    page: np.ndarray, min_area: int = 4
+) -> list[tuple[int, int, int, int]]:
+    """8-connected components of the INK pixels of a bilevel page
+    (True = white), as (x1, y1, x2, y2) boxes, reading order (y1, x1).
+
+    Run-based two-pass union-find: each row's ink runs are the units
+    and unions link runs overlapping (±1 for 8-connectivity) between
+    consecutive rows — O(#runs), not O(#pixels), so a full page costs
+    milliseconds without scipy."""
+    ink = ~page
+    parent: list[int] = []
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    boxes: list[list[int]] = []  # per run-label: [x1, y1, x2, y2]
+    prev: list[tuple[int, int, int]] = []  # (x0, x1, label) of prior row
+    for y in range(ink.shape[0]):
+        cur: list[tuple[int, int, int]] = []
+        for x0, x1 in _ink_runs(ink[y]):
+            lbl = len(parent)
+            parent.append(lbl)
+            boxes.append([x0, y, x1 - 1, y])
+            for px0, px1, plbl in prev:
+                if px0 <= x1 and x0 <= px1 + 1:  # ±1: 8-connectivity
+                    union(plbl, lbl)
+            cur.append((x0 - 1, x1, lbl))  # pre-widened for next row
+        prev = cur
+    merged: dict[int, list[int]] = {}
+    for lbl, (x1, y1, x2, y2) in enumerate(boxes):
+        r = find(lbl)
+        if r in merged:
+            m = merged[r]
+            m[0] = min(m[0], x1)
+            m[1] = min(m[1], y1)
+            m[2] = max(m[2], x2)
+            m[3] = max(m[3], y2)
+        else:
+            merged[r] = [x1, y1, x2, y2]
+    out = [
+        (b[0], b[1], b[2], b[3])
+        for b in merged.values()
+        if (b[2] - b[0] + 1) * (b[3] - b[1] + 1) >= min_area
+    ]
+    return sorted(out, key=lambda b: (b[1], b[0]))
+
+
+def merge_nearby_boxes(
+    boxes: list[tuple[int, int, int, int]], gap_x: int = 8, gap_y: int = 4
+) -> list[tuple[int, int, int, int]]:
+    """Cluster glyph/word boxes into text blocks: union boxes whose
+    bounding boxes come within (gap_x, gap_y) of each other, repeat via
+    union-find, return merged boxes in reading order.  This is the
+    classic morphological-dilation-then-CC step expressed on boxes
+    (#glyphs², fine at page scale — pages are batch-grain units)."""
+    n = len(boxes)
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        x1a, y1a, x2a, y2a = boxes[i]
+        for j in range(i + 1, n):
+            x1b, y1b, x2b, y2b = boxes[j]
+            if (
+                x1b <= x2a + gap_x
+                and x1a <= x2b + gap_x
+                and y1b <= y2a + gap_y
+                and y1a <= y2b + gap_y
+            ):
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[rb] = ra
+    groups: dict[int, list[int]] = {}
+    for i, b in enumerate(boxes):
+        r = find(i)
+        if r in groups:
+            g = groups[r]
+            g[0] = min(g[0], b[0])
+            g[1] = min(g[1], b[1])
+            g[2] = max(g[2], b[2])
+            g[3] = max(g[3], b[3])
+        else:
+            groups[r] = list(b)
+    return sorted(
+        ((g[0], g[1], g[2], g[3]) for g in groups.values()),
+        key=lambda b: (b[1], b[0]),
+    )
+
+
+BLOCK_SCHEMA = (
+    "media_ref string, block_idx int, x1 int, y1 int, x2 int, y2 int, "
+    "decode_err string"
+)
+
+
+def detect_page_blocks(
+    media: DataFrame,
+    payload_col: str = "payload",
+    gap_x: int = 8,
+    gap_y: int = 4,
+    min_area: int = 4,
+) -> DataFrame:
+    """(media_ref, payload binary, …) → one row per detected text
+    BLOCK: decode → Otsu binarize → run-based connected components →
+    proximity merge.  The pixels→boxes stand-in for the reference's
+    GPU layout model (``DocLayout``): downstream the boxes feed the
+    same column-assignment / reading-order chain
+    (``operators/layout.py``) the reference feeds model detections.
+    Quarantines corrupt payloads via ``decode_err``."""
+    from .multimodal import decode_image
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "media_ref", "block_idx", "x1", "y1", "x2", "y2",
+                    "decode_err",
+                )
+            }
+            for ref, p in zip(pdf["media_ref"], pdf[payload_col]):
+                if p is None:
+                    continue
+                try:
+                    arr = decode_image(bytes(p))
+                except (ValueError, NotImplementedError) as e:
+                    rows["media_ref"].append(ref)
+                    rows["block_idx"].append(-1)
+                    for c in ("x1", "y1", "x2", "y2"):
+                        rows[c].append(0)
+                    rows["decode_err"].append(f"{type(e).__name__}: {e}"[:200])
+                    continue
+                page, _t = binarize_otsu(arr)
+                glyphs = connected_component_boxes(page, min_area=min_area)
+                blocks = merge_nearby_boxes(glyphs, gap_x=gap_x, gap_y=gap_y)
+                for i, (x1, y1, x2, y2) in enumerate(blocks):
+                    rows["media_ref"].append(ref)
+                    rows["block_idx"].append(i)
+                    rows["x1"].append(int(x1))
+                    rows["y1"].append(int(y1))
+                    rows["x2"].append(int(x2))
+                    rows["y2"].append(int(y2))
+                    rows["decode_err"].append(None)
+            if not rows["media_ref"]:
+                continue
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, schema=BLOCK_SCHEMA)

@@ -841,3 +841,44 @@ def test_scan_preprocess_otsu_deskew(spark):
         assert abs(r["skew_deg"] - s) <= 0.5
         assert 0.02 < r["ink_ratio"] < 0.4
     assert got["bad.tif"]["decode_err"]
+
+
+def test_detect_page_blocks_spark(spark):
+    """Pixels → layout blocks end-to-end: CC glyph boxes merge into the
+    constructed text blocks, through the G4 codec and mapInPandas, with
+    quarantine for corrupt payloads."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.multimodal import MEDIA_SCHEMA
+    from reading_the_unreadable_spark.operators.scans import detect_page_blocks
+    from reading_the_unreadable_spark.operators.tiff import encode_tiff
+
+    def make_page(n_blocks):
+        page = np.ones((10 + n_blocks * 30, 220), bool)
+        for b in range(n_blocks):
+            y0 = 10 + b * 30
+            for ly in range(y0, y0 + 18, 6):
+                for wx in range(10, 200, 10):
+                    page[ly : ly + 3, wx : wx + 7] = False
+        return page
+
+    rows = []
+    for i, k in enumerate((2, 3, 4)):
+        rows.append(
+            (f"p{i}.tif", "image", bytearray(encode_tiff(make_page(k), "g4")),
+             None, None, None)
+        )
+    rows.append(("bad.tif", "image", bytearray(b"II*\x00xx"), None, None, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = detect_page_blocks(media, gap_x=8, gap_y=4).collect()
+    per_ref = {}
+    for r in got:
+        per_ref.setdefault(r["media_ref"], []).append(r)
+    for i, k in enumerate((2, 3, 4)):
+        blocks = sorted(per_ref[f"p{i}.tif"], key=lambda r: r["block_idx"])
+        assert len(blocks) == k, (i, k, blocks)
+        for b, r in enumerate(blocks):
+            assert r["decode_err"] is None
+            assert abs(r["y1"] - (10 + b * 30)) <= 1
+            assert r["x1"] == 10 and r["x2"] <= 206
+    assert per_ref["bad.tif"][0]["decode_err"]
