@@ -1179,6 +1179,72 @@ def q_page_blocks_pixels(spark, sf):
     )
 
 
+def q_xy_cut_pixels(spark, sf):
+    """XY-cut reading order under the driver (the north rule's
+    multi-column ordering): per doc a two-column page with
+    m = 2 + (doc_id//10) % 3 blocks per column is G4-encoded, decoded,
+    block-detected, and XY-cut ordered.  Column-major recovery is the
+    assertion: the first m orders must all sit in the left column —
+    the oracle derives the same distribution from documents in SQL and
+    expects every doc to order column-major."""
+    import numpy as np
+    import pandas as pd_local
+
+    from reading_the_unreadable_spark.operators.scans import (
+        add_xy_cut_order,
+        detect_page_blocks,
+    )
+    from reading_the_unreadable_spark.operators.tiff import encode_tiff
+
+    d = _t(spark, sf, "documents").select("doc_id").filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 500)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"media_ref": [], "kind": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                m = 2 + (int(doc_id) // 10) % 3
+                page = np.ones((10 + m * 30, 260), bool)
+                for cx in (10, 140):
+                    for b in range(m):
+                        y0 = 10 + b * 30
+                        for ly in range(y0, y0 + 18, 6):
+                            for wx in range(cx, cx + 100, 10):
+                                page[ly : ly + 3, wx : wx + 7] = False
+                rows["media_ref"].append(f"doc-{doc_id}")
+                rows["kind"].append("image")
+                rows["payload"].append(encode_tiff(page, compression="g4"))
+            yield pd_local.DataFrame(rows)
+
+    media = d.mapInPandas(gen, "media_ref string, kind string, payload binary")
+    ordered = add_xy_cut_order(detect_page_blocks(media, gap_x=8, gap_y=4))
+    # column-major iff every block with order <= m (m = n/2) is in the
+    # left column (x1 < 140); n per doc comes from a window, the flag
+    # sums in a plain aggregation
+    w = Window.partitionBy("media_ref")
+    flagged = ordered.withColumn("nb", F.count("*").over(w)).withColumn(
+        "first_half_left",
+        (
+            (F.col("reading_order") <= F.col("nb") / 2) & (F.col("x1") < 140)
+        ).cast("int"),
+    )
+    per_doc = flagged.groupBy("media_ref", "nb").agg(
+        F.sum("first_half_left").alias("left_in_first_half")
+    )
+    return (
+        per_doc.withColumn(
+            "column_major",
+            (F.col("left_in_first_half") == F.col("nb") / 2).cast("int"),
+        )
+        .groupBy(F.col("nb").cast("long").alias("n_blocks"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("column_major").cast("long").alias("n_column_major"),
+        )
+    )
+
+
 def q_media_pipeline(spark, sf):
     """Multimodal families end-to-end under the driver: deterministic
     JPEG / WAV / AVI payloads derived per doc feed the image, audio, and
@@ -1349,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline": q_media_pipeline,
         "scan_preprocess": q_scan_preprocess,
         "page_blocks_pixels": q_page_blocks_pixels,
+        "xy_cut_pixels": q_xy_cut_pixels,
         "snapshot_incremental": q_snapshot_incremental,
         # -- r05 rotated-in TPC rows (fresh driver check this round) --
         "pricing_summary": q_pricing_summary,
@@ -1373,7 +1440,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
-        "doc_fingerprint": q_fingerprint,
         "bpe_tokens": q_bpe_tokens,
         "readability": q_readability,
         "json_permissive": q_json_permissive,
@@ -1387,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "union_segments": q_union_segments,
         # -- rotated out r05 (green r02-r04; pytest replica still replays) --
+        "doc_fingerprint": q_fingerprint,
         "html_strip": q_html_strip,
         "html_main_text": q_html_main_text,
         "except_customers": q_except_customers,
@@ -2374,6 +2441,16 @@ def oracle_sql() -> dict[str, str]:
         "page_blocks_pixels": """
             SELECT n_blocks, count(*)::BIGINT AS n_docs FROM (
               SELECT (2 + (doc_id // 10) % 3)::BIGINT AS n_blocks
+              FROM documents WHERE doc_id % 10 = 0 AND doc_id < 500)
+            GROUP BY n_blocks
+        """,
+        # DERIVED oracle: every sampled doc's page is constructed with
+        # 2m blocks (m per column); XY-cut must order it column-major,
+        # so n_column_major == n_docs per bucket by construction
+        "xy_cut_pixels": """
+            SELECT n_blocks, count(*)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_column_major FROM (
+              SELECT (2 * (2 + (doc_id // 10) % 3))::BIGINT AS n_blocks
               FROM documents WHERE doc_id % 10 = 0 AND doc_id < 500)
             GROUP BY n_blocks
         """,

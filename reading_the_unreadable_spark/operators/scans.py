@@ -320,3 +320,76 @@ def detect_page_blocks(
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(fn, schema=BLOCK_SCHEMA)
+
+
+# -------------------------------------------------- XY-cut reading order
+def xy_cut_order(
+    boxes: list[tuple[int, int, int, int]], min_gap: int = 2
+) -> list[int]:
+    """Recursive XY-cut reading order over (x1, y1, x2, y2) boxes — the
+    north rule's prescribed multi-column ordering.  Vertical cuts are
+    PREFERRED (any x-projection gap ≥ min_gap → left group reads fully
+    before right, the newspaper column convention); otherwise the
+    TOPMOST y-projection gap cuts top-before-bottom — taking the
+    topmost (not widest) gap lets a full-width banner peel off first so
+    the columns underneath still read column-major; raster (y1, x1)
+    order is the no-gap fallback.  Returns the permutation of input
+    indices in reading order."""
+
+    def gaps(idxs: list[int], lo_k: int, hi_k: int) -> list[tuple[int, int]]:
+        spans = sorted((boxes[i][lo_k], boxes[i][hi_k]) for i in idxs)
+        merged = [list(spans[0])]
+        for lo, hi in spans[1:]:
+            if lo <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        return [
+            (merged[i][1] + 1, merged[i + 1][0] - 1)
+            for i in range(len(merged) - 1)
+        ]
+
+    def rec(idxs: list[int]) -> list[int]:
+        if len(idxs) <= 1:
+            return idxs
+        xg = [g for g in gaps(idxs, 0, 2) if g[1] - g[0] + 1 >= min_gap]
+        if xg:  # vertical cut at the LEFTMOST gutter: left reads first
+            mid = (xg[0][0] + xg[0][1]) // 2
+            left = [i for i in idxs if boxes[i][2] <= mid]
+            right = [i for i in idxs if boxes[i][2] > mid]
+            return rec(left) + rec(right)
+        yg = [g for g in gaps(idxs, 1, 3) if g[1] - g[0] + 1 >= min_gap]
+        if yg:  # horizontal cut at the TOPMOST gap: banner peels first
+            mid = (yg[0][0] + yg[0][1]) // 2
+            top = [i for i in idxs if boxes[i][3] <= mid]
+            bottom = [i for i in idxs if boxes[i][3] > mid]
+            return rec(top) + rec(bottom)
+        return sorted(idxs, key=lambda i: (boxes[i][1], boxes[i][0]))
+
+    return rec(list(range(len(boxes))))
+
+
+def add_xy_cut_order(
+    blocks: DataFrame, group_col: str = "media_ref", min_gap: int = 2
+) -> DataFrame:
+    """Per-page XY-cut: assigns ``reading_order`` (1-based) to each
+    block row via ``applyInPandas`` grouped on ``group_col`` — one
+    page's boxes are one group, the exact granularity the recursion
+    needs; quarantined rows (block_idx = -1) keep order 0."""
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in blocks.schema.fields
+    ) + ", reading_order int"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        good = pdf[pdf["block_idx"] >= 0]
+        order = xy_cut_order(
+            list(zip(good["x1"], good["y1"], good["x2"], good["y2"])),
+            min_gap=min_gap,
+        )
+        rank = {good.index[i]: pos + 1 for pos, i in enumerate(order)}
+        pdf = pdf.copy()
+        pdf["reading_order"] = [rank.get(i, 0) for i in pdf.index]
+        return pdf
+
+    return blocks.groupBy(group_col).applyInPandas(fn, schema=schema)

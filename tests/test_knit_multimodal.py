@@ -882,3 +882,46 @@ def test_detect_page_blocks_spark(spark):
             assert abs(r["y1"] - (10 + b * 30)) <= 1
             assert r["x1"] == 10 and r["x2"] <= 206
     assert per_ref["bad.tif"][0]["decode_err"]
+
+
+def test_xy_cut_reading_order(spark):
+    """North-rule XY-cut: two-column pages read column-major (plain
+    (y,x) raster order cannot produce this), full-width banners peel
+    off first, and the Spark applyInPandas wrapper assigns 1-based
+    reading_order per page."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.multimodal import MEDIA_SCHEMA
+    from reading_the_unreadable_spark.operators.scans import (
+        add_xy_cut_order,
+        detect_page_blocks,
+        xy_cut_order,
+    )
+    from reading_the_unreadable_spark.operators.tiff import encode_tiff
+
+    boxes = [
+        (cx, by, cx + 80, by + 30) for cx in (10, 120) for by in (10, 60, 110)
+    ]
+    assert xy_cut_order(boxes) == [0, 1, 2, 3, 4, 5]
+    banner = [(10, 0, 200, 5)] + boxes
+    assert xy_cut_order(banner) == list(range(7))
+
+    # end-to-end: build a 2-column page, detect blocks, order them
+    page = np.ones((160, 240), bool)
+    for cx in (10, 130):
+        for by in (10, 60, 110):
+            for ly in range(by, by + 24, 6):
+                for wx in range(cx, cx + 90, 10):
+                    page[ly : ly + 3, wx : wx + 7] = False
+    media = spark.createDataFrame(
+        [("page.tif", "image", bytearray(encode_tiff(page, "g4")), None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    blocks = detect_page_blocks(media, gap_x=8, gap_y=5)
+    ordered = add_xy_cut_order(blocks).orderBy("reading_order").collect()
+    assert [r["reading_order"] for r in ordered] == [1, 2, 3, 4, 5, 6]
+    # column-major: first three blocks share the LEFT column x-range
+    assert all(r["x1"] < 120 for r in ordered[:3])
+    assert all(r["x1"] >= 120 for r in ordered[3:])
+    # and within each column, top to bottom
+    assert [r["y1"] for r in ordered[:3]] == sorted(r["y1"] for r in ordered[:3])
