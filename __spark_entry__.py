@@ -1042,12 +1042,12 @@ def q_snapshot_incremental(spark, sf):
     Aggregation runs distributed; only the 5 summary rows are
     collected so the scratch table can be removed before returning.
     Oracle: the same counts/sums derived directly from documents."""
-    import shutil
     import uuid as uuid_mod
 
     from pyspark.sql import functions as FF
 
     from reading_the_unreadable_spark.sources.snapshots import (
+        _fs_path,
         append_snapshot,
         incremental_read,
         read_snapshot,
@@ -1079,7 +1079,12 @@ def q_snapshot_incremental(spark, sf):
         )
         rows.append(("asof_2", int(tt["n"]), int(tt["s"])))
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        # cleanup on the SAME filesystem the snapshot layer wrote to —
+        # a driver-local shutil.rmtree would no-op against HDFS/S3 and
+        # leak the scratch table (the write/cleanup-split rule)
+        fs, p, _ = _fs_path(spark, root)
+        if fs.exists(p):
+            fs.delete(p, True)
     return spark.createDataFrame(
         rows, "window string, n_docs long, sum_chars long"
     )

@@ -42,9 +42,13 @@ def _spread(documents: DataFrame, n_tasks: int | None = None) -> DataFrame:
     # file-count heuristic, NOT ``.rdd.getNumPartitions()``: touching
     # ``.rdd`` forces an RDD conversion of the logical plan at
     # plan-build time.  ``inputFiles()`` is metadata-only; a scan with
-    # ≥ n files is already at least n splits (big files split further,
-    # never coarser), so the no-op branch stays a no-op.  Non-file
-    # plans (in-memory test frames) report zero files and get balanced.
+    # ≥ n files yields ≥ n splits under the DEFAULT file-source packing
+    # (openCostInBytes padding sizes bins to bytesPerCore — measured:
+    # 32 tiny files at defaultParallelism 8 plan exactly 8 scan
+    # partitions; big files split further, never coarser).  Deployments
+    # that zero out spark.sql.files.openCostInBytes void this and
+    # should pass n_tasks explicitly.  Non-file plans (in-memory test
+    # frames) report zero files and get balanced.
     if len(documents.inputFiles()) >= n:
         return documents
     return documents.repartition(n)

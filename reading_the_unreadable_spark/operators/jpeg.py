@@ -702,6 +702,11 @@ def _comp_geometry(frame: tuple):
     """Per-component block geometry: MCU-grid dims (what interleaved DC
     scans cover) and true dims (what non-interleaved AC scans cover)."""
     fh, fw, comps = frame
+    for _cid, ch, cv, _tq in comps:
+        if ch not in (1, 2) or cv not in (1, 2):
+            # same profile gate as the baseline path — also keeps a
+            # crafted sampling factor of 0 out of the divisions below
+            raise NotImplementedError(f"sampling factor {ch}x{cv}")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     geo = {}
@@ -1237,7 +1242,13 @@ def encode_jpeg_progressive(
     banded AC first scans, AC refinement, DC refinement, final Al=0 AC
     refinements.  The quantized coefficients are identical to the
     baseline encoder's at the same quality, so decode(progressive) ==
-    decode(baseline) pixel-for-pixel — pinned by tests."""
+    decode(baseline) pixel-for-pixel — pinned by tests.  ``subsample``:
+    False (4:4:4) or True/"420"; other modes raise rather than silently
+    changing the sampling (parity with :func:`encode_jpeg`)."""
+    if subsample not in (False, None, True, "420"):
+        raise ValueError(
+            f"unsupported progressive subsample mode {subsample!r}"
+        )
     comps, hmax, vmax, ql, qc, gray = _quantized_comps(arr, quality, subsample)
     h, w = arr.shape[:2]
     out = bytearray(b"\xff\xd8")

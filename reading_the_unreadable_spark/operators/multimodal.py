@@ -387,6 +387,13 @@ def _decode_gif_impl(payload: bytes) -> np.ndarray:
             pos += 1
         elif b == 0x2C:  # image descriptor
             left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            # frame must fit the (already-bounded) logical screen — a
+            # crafted 65535x65535 descriptor plus an LZW bomb would
+            # otherwise drive multi-GB allocations past the screen guard
+            if w == 0 or h == 0 or left + w > sw or top + h > sh:
+                raise ValueError(
+                    f"GIF frame {w}x{h}@{left},{top} exceeds screen {sw}x{sh}"
+                )
             pos += 10
             pal = gct
             if iflags & 0x80:  # local color table

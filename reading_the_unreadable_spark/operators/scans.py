@@ -183,7 +183,7 @@ def connected_component_boxes(
             parent[rb] = ra
 
     boxes: list[list[int]] = []  # per run-label: [x1, y1, x2, y2]
-    prev: list[tuple[int, int, int]] = []  # (x0, x1, label) of prior row
+    prev: list[tuple[int, int, int]] = []  # (x0, x1 excl, label) of prior row
     for y in range(ink.shape[0]):
         cur: list[tuple[int, int, int]] = []
         for x0, x1 in _ink_runs(ink[y]):
@@ -191,9 +191,12 @@ def connected_component_boxes(
             parent.append(lbl)
             boxes.append([x0, y, x1 - 1, y])
             for px0, px1, plbl in prev:
-                if px0 <= x1 and x0 <= px1 + 1:  # ±1: 8-connectivity
+                # runs [x0,x1) and [px0,px1) touch 8-connectively iff
+                # x0 <= px1 and px0 <= x1 (diagonal contact included,
+                # a 2-column horizontal gap correctly excluded)
+                if x0 <= px1 and px0 <= x1:
                     union(plbl, lbl)
-            cur.append((x0 - 1, x1, lbl))  # pre-widened for next row
+            cur.append((x0, x1, lbl))
         prev = cur
     merged: dict[int, list[int]] = {}
     for lbl, (x1, y1, x2, y2) in enumerate(boxes):

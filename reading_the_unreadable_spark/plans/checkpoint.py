@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import time
 import uuid
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -43,6 +42,18 @@ def with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def _hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check on the SAME filesystem Spark reads/writes — a
+    driver-local ``Path.exists()`` is wrong on any cluster whose
+    default FS is not the driver's disk (it would report a real HDFS
+    table as absent, and compaction would then replace the table with
+    an empty frame)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def read_checkpoints(
     spark: SparkSession, ckpt_path: str, dedup: bool = True
 ) -> DataFrame:
@@ -51,7 +62,7 @@ def read_checkpoints(
     lineage row for the same bucket (append-mode parquet cannot express
     MERGE INTO — on Iceberg this is a MERGE) collapse to one row, so
     resume logic and metric sums stay exactly-once per bucket."""
-    if Path(ckpt_path).exists():
+    if _hadoop_exists(spark, ckpt_path):
         df = spark.read.schema(CHECKPOINT_SCHEMA).parquet(ckpt_path)
     else:
         df = spark.createDataFrame([], CHECKPOINT_SCHEMA)

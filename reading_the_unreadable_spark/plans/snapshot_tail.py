@@ -140,11 +140,14 @@ def tail_once(
     )
     advanced = remaining == 0
     if advanced:
-        _write_file(
-            spark,
-            f"{state_dir}/hwm-{until}.json",
-            json.dumps({"until": until}).encode(),
-        )
+        # idempotent advance: a crash between the hwm write and the
+        # intent delete leaves the hwm file behind — _write_file demands
+        # a fresh path (rename-onto-existing fails on HDFS), so skip the
+        # rewrite and just finish the cleanup
+        hwm_path = f"{state_dir}/hwm-{until}.json"
+        fs, p, _ = _fs_path(spark, hwm_path)
+        if not fs.exists(p):
+            _write_file(spark, hwm_path, json.dumps({"until": until}).encode())
         fs, p, _ = _fs_path(spark, f"{state_dir}/intent-{after}-{until}.json")
         if fs.exists(p):
             fs.delete(p, False)

@@ -238,7 +238,9 @@ def incremental_read(
     return _read_snaps(spark, snaps)
 
 
-def expire_snapshots(spark: SparkSession, root: str, keep_n: int) -> dict:
+def expire_snapshots(
+    spark: SparkSession, root: str, keep_n: int, orphan_grace_s: int = 86400
+) -> dict:
     """Expire all but the newest ``keep_n`` snapshots and reclaim
     unreferenced data dirs.  Iceberg equivalent:
     ``expireSnapshots().retainLast(keep_n)`` followed by
@@ -249,9 +251,11 @@ def expire_snapshots(spark: SparkSession, root: str, keep_n: int) -> dict:
     RETAINED — the expired manifests' paths are folded into the oldest
     surviving manifest, so ``read_snapshot(latest)`` is byte-identical
     before and after.  Only then are data dirs referenced by NO
-    surviving manifest deleted (orphan attempt dirs from killed or
-    race-losing appends, plus any paths only expired manifests held
-    that the fold made redundant — none, by construction).
+    surviving manifest AND older than ``orphan_grace_s`` deleted
+    (orphan attempt dirs from killed or race-losing appends; the grace
+    age keeps a concurrent append's just-written-but-not-yet-published
+    data dir safe — Iceberg's remove_orphan_files uses the same
+    age-threshold guard).
 
     Crash-safe ordering: (1) publish the folded manifest under a new
     attempt name that deterministically wins its sid, (2) delete
@@ -301,18 +305,29 @@ def expire_snapshots(spark: SparkSession, root: str, keep_n: int) -> dict:
                 fs.delete(p, False)
     else:
         expired_ids = []
-    # reclaim data dirs referenced by no surviving manifest
+    # reclaim data dirs referenced by no surviving manifest — but only
+    # past the grace age: an IN-FLIGHT append writes its data dir
+    # BEFORE publishing its manifest, so a fresh unreferenced dir may
+    # be a commit about to happen, not an orphan (Iceberg's
+    # remove_orphan_files guards the same race with an age threshold)
+    import time as _time
+
     referenced = {
         path.rstrip("/").rsplit("/", 1)[-1]
         for snap in _snapshots(spark, root)
         for path in snap["paths"]
     }
+    cutoff_ms = (_time.time() - orphan_grace_s) * 1000.0
     removed = []
     fs, data_p, jvm = _fs_path(spark, f"{root}/data")
     if fs.exists(data_p):
         for st in fs.listStatus(data_p):
             name = st.getPath().getName()
-            if name.startswith("snap-") and name not in referenced:
+            if (
+                name.startswith("snap-")
+                and name not in referenced
+                and st.getModificationTime() <= cutoff_ms
+            ):
                 fs.delete(st.getPath(), True)
                 removed.append(name)
     return {"expired": expired_ids, "removed_dirs": sorted(removed)}

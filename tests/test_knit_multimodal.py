@@ -925,3 +925,49 @@ def test_xy_cut_reading_order(spark):
     assert all(r["x1"] >= 120 for r in ordered[3:])
     # and within each column, top to bottom
     assert [r["y1"] for r in ordered[:3]] == sorted(r["y1"] for r in ordered[:3])
+
+
+def test_review_regressions_codecs():
+    """Round-5 review fixes: progressive JPEG with a zero sampling
+    factor must not leak ZeroDivisionError; encode_jpeg_progressive
+    rejects modes it cannot honor instead of silently changing the
+    subsampling; GIF frames exceeding the logical screen raise."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from reading_the_unreadable_spark.operators.multimodal import (
+        decode_image,
+        encode_gif,
+    )
+
+    img = np.arange(16 * 24 * 3, dtype=np.uint8).reshape(16, 24, 3)
+    enc = bytearray(encode_jpeg_progressive(img))
+    # patch the SOF2 Y-component sampling byte to 0x00
+    pos = 2
+    while pos < len(enc):
+        marker = enc[pos + 1]
+        seglen = _struct.unpack_from(">H", enc, pos + 2)[0]
+        if marker == 0xC2:
+            enc[pos + 4 + 7] = 0x00  # comps start at seg+6, samp at +1
+            break
+        pos += 2 + seglen
+    with _pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(bytes(enc))
+
+    with _pytest.raises(ValueError):
+        encode_jpeg_progressive(img, subsample="422")
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    g = encode_gif(pal[np.zeros((4, 6), np.uint8)])
+    bad = bytearray(g)
+    # image descriptor follows header(13) + palette(6): widen frame w
+    desc = g.index(b"\x2c")
+    _struct.pack_into("<H", bad, desc + 5, 60000)
+    with _pytest.raises(ValueError):
+        decode_image(bytes(bad))

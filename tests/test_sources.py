@@ -314,7 +314,7 @@ def test_snapshot_expire_keeps_data_drops_travel(spark, tmp_path):
     )
     before = {r["doc_id"] for r in read_snapshot(spark, root).collect()}
 
-    res = expire_snapshots(spark, root, keep_n=2)
+    res = expire_snapshots(spark, root, keep_n=2, orphan_grace_s=0)
     assert res["expired"] == [1]
     assert "snap-9-orphan99" in res["removed_dirs"]
     # snapshot 1's data dir was folded forward, NOT deleted
@@ -327,7 +327,7 @@ def test_snapshot_expire_keeps_data_drops_travel(spark, tmp_path):
     # surviving time travel unchanged: snapshot 2 = first two batches
     assert read_snapshot(spark, root, snapshot_id=2).count() == 14
     # idempotent re-run removes nothing further
-    res2 = expire_snapshots(spark, root, keep_n=2)
+    res2 = expire_snapshots(spark, root, keep_n=2, orphan_grace_s=0)
     assert res2["expired"] == [] and res2["removed_dirs"] == []
     # data dirs on disk == referenced dirs exactly
     assert len(os.listdir(f"{root}/data")) == 3
@@ -391,7 +391,7 @@ def test_snapshot_concurrent_commit_single_winner(spark, tmp_path):
     b_ids = {r["doc_id"] for r in df_b.select("doc_id").collect()}
     assert a_ids <= read_rows and not (b_ids & read_rows)
     # loser's data dir is reclaimed by expire as an orphan
-    res = S.expire_snapshots(spark, root, keep_n=10)
+    res = S.expire_snapshots(spark, root, keep_n=10, orphan_grace_s=0)
     assert "snap-2-ffffffff" in res["removed_dirs"]
     assert not any(d.startswith("snap-2-0-fixedaa") for d in res["removed_dirs"])
 
@@ -427,7 +427,7 @@ def test_snapshot_expire_across_schema_evolution(spark, tmp_path):
     }
     # expire snapshot 1 (old schema) — its paths fold into snapshot 2's
     # manifest (new schema)
-    res = expire_snapshots(spark, root, keep_n=2)
+    res = expire_snapshots(spark, root, keep_n=2, orphan_grace_s=0)
     assert res["expired"] == [1]
     after = {
         (r["doc_id"], r["source_rank"])
