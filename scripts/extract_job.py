@@ -73,6 +73,15 @@ def main() -> None:
         help="timed passes; wall_sec reports the fastest (noise-robust "
         "capability measurement on shared hardware)",
     )
+    ap.add_argument(
+        "--tail-table",
+        default=None,
+        help="snapshot-table root: with --synth N, first append N "
+        "synthetic docs as a NEW snapshot, then run one exactly-once "
+        "tail step (plans/snapshot_tail.py) over everything appended "
+        "since the last completed call — the Iceberg incremental-"
+        "consumption loop as a spark-submit surface",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -91,6 +100,37 @@ def main() -> None:
         read_docs,
         write_docs,
     )
+
+    if args.tail_table:
+        from reading_the_unreadable_spark.plans.snapshot_tail import (
+            read_tail_output,
+            tail_once,
+        )
+        from reading_the_unreadable_spark.sources.snapshots import (
+            append_snapshot,
+            current_snapshot_id,
+        )
+
+        if args.synth:
+            tag = f"tail{(current_snapshot_id(spark, args.tail_table) or 0) + 1}"
+            append_snapshot(
+                docs_from_rows(spark, synth.make_corpus(args.synth, seed_tag=tag)),
+                args.tail_table,
+            )
+        summary = tail_once(
+            spark,
+            args.tail_table,
+            args.output,
+            n_buckets=args.buckets,
+            num_partitions=args.partitions,
+            max_buckets=args.max_buckets,
+        )
+        total = read_tail_output(spark, args.output).count() if summary[
+            "until"
+        ] else 0
+        print(json.dumps({"job": "snapshot_tail", **summary, "total_docs": total}))
+        spark.stop()
+        return
 
     if args.synth:
         docs = docs_from_rows(spark, synth.make_corpus(args.synth, seed_tag="job"))
