@@ -1038,8 +1038,10 @@ def q_snapshot_incremental(spark, sf):
     """Snapshot layer under the driver (sources/snapshots.py — the
     Iceberg-semantics fallback): the documents table is appended as
     three deterministic snapshots (doc_id mod 3), then incremental
-    windows, the full scan, and a time-travel read are summarized.
-    Aggregation runs distributed; only the 5 summary rows are
+    windows, the full scan, and a time-travel read are summarized;
+    finally a copy-on-write MERGE INTO (update " [v2]" suffix +
+    keyed inserts) and a DELETE FROM are applied and re-summarized.
+    Aggregation runs distributed; only the 7 summary rows are
     collected so the scratch table can be removed before returning.
     Oracle: the same counts/sums derived directly from documents."""
     import uuid as uuid_mod
@@ -1049,35 +1051,51 @@ def q_snapshot_incremental(spark, sf):
     from reading_the_unreadable_spark.sources.snapshots import (
         _fs_path,
         append_snapshot,
+        delete_where,
         incremental_read,
+        merge_into,
         read_snapshot,
     )
 
     root = f"/tmp/snap_query_{uuid_mod.uuid4().hex[:12]}"
     docs = _t(spark, sf, "documents")
+
+    def _summary(df):
+        r = df.agg(
+            FF.count("*").alias("n"),
+            FF.coalesce(FF.sum(FF.length("text")), FF.lit(0)).alias("s"),
+        ).first()
+        return int(r["n"]), int(r["s"])
+
     try:
         for m in (0, 1, 2):
             append_snapshot(docs.filter(FF.col("doc_id") % 3 == m), root)
         rows = []
         for after, until in [(0, 1), (1, 2), (2, 3), (0, 3)]:
-            r = (
+            n, s = _summary(
                 incremental_read(spark, root, after=after or None, until=until)
-                .agg(
-                    FF.count("*").alias("n"),
-                    FF.coalesce(FF.sum(FF.length("text")), FF.lit(0)).alias("s"),
-                )
-                .first()
             )
-            rows.append((f"diff_{after}_{until}", int(r["n"]), int(r["s"])))
-        tt = (
-            read_snapshot(spark, root, snapshot_id=2)
-            .agg(
-                FF.count("*").alias("n"),
-                FF.coalesce(FF.sum(FF.length("text")), FF.lit(0)).alias("s"),
-            )
-            .first()
+            rows.append((f"diff_{after}_{until}", n, s))
+        rows.append(
+            ("asof_2", *_summary(read_snapshot(spark, root, snapshot_id=2)))
         )
-        rows.append(("asof_2", int(tt["n"]), int(tt["s"])))
+        # MERGE INTO (copy-on-write upsert): docs with doc_id % 7 == 0
+        # get " [v2]" appended (update), and copies keyed
+        # doc_id + 10_000_000 are inserted — then DELETE FROM where
+        # doc_id % 11 = 3; both summaries replicate in plain SQL
+        src_upd = docs.filter(FF.col("doc_id") % 7 == 0).withColumn(
+            "text", FF.concat(FF.col("text"), FF.lit(" [v2]"))
+        )
+        merge_into(
+            src_upd.unionByName(
+                src_upd.withColumn("doc_id", FF.col("doc_id") + 10_000_000)
+            ),
+            root,
+            key_cols=["doc_id"],
+        )
+        rows.append(("post_merge", *_summary(read_snapshot(spark, root))))
+        delete_where(spark, root, "doc_id % 11 = 3")
+        rows.append(("post_delete", *_summary(read_snapshot(spark, root))))
     finally:
         # cleanup on the SAME filesystem the snapshot layer wrote to —
         # a driver-local shutil.rmtree would no-op against HDFS/S3 and
@@ -2490,6 +2508,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'asof_2', count(*),
                    coalesce(sum(length(text)), 0)::BIGINT
             FROM documents WHERE doc_id % 3 IN (0, 1)
+            UNION ALL SELECT 'post_merge', count(*),
+                   coalesce(sum(length(text)), 0)::BIGINT
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]'
+                            ELSE text END AS text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text || ' [v2]'
+                FROM documents WHERE doc_id % 7 = 0
+            )
+            UNION ALL SELECT 'post_delete', count(*),
+                   coalesce(sum(length(text)), 0)::BIGINT
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]'
+                            ELSE text END AS text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text || ' [v2]'
+                FROM documents WHERE doc_id % 7 = 0
+            ) WHERE doc_id % 11 <> 3
         """,
         "ann_quantized": S.ann_quantized_oracle_sql(query_vec_id=0, k=10),
         "label_centroids": """

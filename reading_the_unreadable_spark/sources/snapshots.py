@@ -17,6 +17,13 @@ discipline as :mod:`docs`:
   ``expireSnapshots().retainLast(n)`` + orphan-file removal: old
   time-travel points disappear, their data files are retained for the
   surviving snapshots, and unreferenced attempt dirs are reclaimed
+- ``merge_into(source, root, key_cols)`` → Iceberg ``MERGE INTO t USING
+  s ON keys WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT
+  *`` under copy-on-write: only data files that actually CONTAIN a
+  matched key are rewritten; every other file is carried over untouched
+  by manifest reference (file-granular rewrite, Iceberg's COW unit)
+- ``delete_where(spark, root, condition)`` → Iceberg ``DELETE FROM``
+  under copy-on-write, same file-granular rewrite
 - schema evolution: each manifest records the schema of the files it
   added; reads union snapshots with ``unionByName(allowMissingColumns)``
   so an append with an added column coexists with older snapshots
@@ -25,7 +32,16 @@ Layout under ``root``::
 
     data/snap-<id>-<attempt>/*.parquet        immutable data files
     manifests/snap-<id>-<attempt>.json        {"snapshot_id", "parent_id",
-                                               "paths", "schema"}
+                                               "files", "removed_files",
+                                               "operation", "schema"}
+
+Manifests record explicit data-FILE lists (Iceberg's manifest unit);
+legacy manifests that recorded data DIRS under ``"paths"`` are expanded
+at read-plan time.  Table state at snapshot S is the ordered fold over
+manifests 1..S: drop each manifest's ``removed_files`` from the
+accumulated set, then add its ``files`` — exactly Iceberg's
+snapshot-inheritance model, so a merge/delete is one tiny manifest plus
+the rewritten files, never a table copy.
 
 ALL filesystem access — data AND manifests — goes through the Hadoop
 FileSystem API resolved from the path, so on a cluster whose default FS
@@ -53,11 +69,22 @@ from __future__ import annotations
 
 import json
 import uuid
+from urllib.parse import urlparse
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from .docs import DOCS_SCHEMA
+
+
+def _norm_uri(path: str) -> str:
+    """Canonical (authority, path) form so file paths compare equal
+    across the spellings different APIs emit for the same file
+    (``file:/x`` from Hadoop ``Path.toString`` vs ``file:///x`` from
+    ``_metadata.file_path`` vs a bare ``/x``)."""
+    u = urlparse(path)
+    return f"{u.netloc}{u.path}"
 
 
 # ------------------------------------------------------- Hadoop FS helpers
@@ -141,6 +168,38 @@ def current_snapshot_id(spark: SparkSession, root: str) -> int | None:
     return wins[-1][0] if wins else None
 
 
+def _write_data_dir(df: DataFrame, root: str, sid: int, attempt: str) -> list[str]:
+    """Write ``df`` under the attempt-unique data dir and return the
+    parquet file list for the manifest (one driver-side listing)."""
+    data_dir = f"{root}/data/snap-{sid}-{attempt}"
+    df.write.mode("errorifexists").parquet(data_dir)
+    spark = df.sparkSession
+    fs, p, _ = _fs_path(spark, data_dir)
+    files = []
+    for st in sorted(fs.listStatus(p), key=lambda s: s.getPath().getName()):
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            files.append(st.getPath().toString())
+    return files
+
+
+def _commit(spark: SparkSession, root: str, sid: int, attempt: str, manifest: dict) -> int:
+    """Publish ``manifest`` under its attempt-unique name and verify the
+    commit won.  If another committer claimed this sid with a smaller
+    attempt, we lost — withdraw our manifest (the data dir becomes an
+    expire-reclaimable orphan) and surface the conflict."""
+    name = f"snap-{sid}-{attempt}.json"
+    _write_file(spark, f"{root}/manifests/{name}", json.dumps(manifest).encode())
+    winner = dict(_winning_manifests(spark, root)).get(sid)
+    if winner != name:
+        fs, p, _ = _fs_path(spark, f"{root}/manifests/{name}")
+        fs.delete(p, False)
+        raise RuntimeError(
+            f"snapshot {sid} was committed concurrently; retry the operation"
+        )
+    return sid
+
+
 def append_snapshot(df: DataFrame, root: str) -> int:
     """Append ``df`` as a new snapshot; returns the new snapshot id.
     Iceberg equivalent: ``df.writeTo(table).append()``."""
@@ -150,27 +209,15 @@ def append_snapshot(df: DataFrame, root: str) -> int:
     attempt = uuid.uuid4().hex[:8]
     # attempt-unique data dir: a killed previous attempt can never
     # collide, and unreferenced attempts are invisible to readers
-    data_dir = f"{root}/data/snap-{sid}-{attempt}"
-    df.write.mode("errorifexists").parquet(data_dir)
+    files = _write_data_dir(df, root, sid, attempt)
     manifest = {
         "snapshot_id": sid,
         "parent_id": parent,
-        "paths": [data_dir],
+        "files": files,
+        "operation": "append",
         "schema": df.schema.jsonValue(),
     }
-    name = f"snap-{sid}-{attempt}.json"
-    _write_file(spark, f"{root}/manifests/{name}", json.dumps(manifest).encode())
-    # post-publish race check: if another committer claimed this sid
-    # with a smaller attempt, we lost — withdraw our manifest (the data
-    # dir becomes an expire-reclaimable orphan) and surface the conflict
-    winner = dict(_winning_manifests(spark, root)).get(sid)
-    if winner != name:
-        fs, p, _ = _fs_path(spark, f"{root}/manifests/{name}")
-        fs.delete(p, False)
-        raise RuntimeError(
-            f"snapshot {sid} was committed concurrently; retry the append"
-        )
-    return sid
+    return _commit(spark, root, sid, attempt, manifest)
 
 
 def _schema_of(snap: dict) -> StructType:
@@ -179,28 +226,82 @@ def _schema_of(snap: dict) -> StructType:
     return DOCS_SCHEMA  # legacy manifest predating schema recording
 
 
-def _read_snaps(spark: SparkSession, snaps: list[dict]) -> DataFrame:
-    """Union the data of ``snaps``, honoring each manifest's recorded
-    schema.  Snapshots are grouped by schema (one parquet scan per
+def _files_of(spark: SparkSession, snap: dict) -> list[str]:
+    """Data files this manifest ADDED.  New manifests record the file
+    list explicitly (``"files"``); legacy dir-granular manifests
+    (``"paths"``) are expanded with one driver-side listing per dir —
+    a metadata-only operation, same cost class as Iceberg's manifest
+    read."""
+    if "files" in snap:
+        return list(snap["files"])
+    files: list[str] = []
+    for d in snap.get("paths", []):
+        fs, p, _ = _fs_path(spark, d)
+        for st in sorted(fs.listStatus(p), key=lambda s: s.getPath().getName()):
+            name = st.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                files.append(st.getPath().toString())
+    return files
+
+
+def _added_entries(spark: SparkSession, snap: dict) -> list[tuple[str, str]]:
+    """The ``(file, schema_json)`` entries this manifest ADDED.  A fold
+    manifest (written by :func:`expire_snapshots`) carries precomputed
+    per-file schemas under ``"entries"`` because it can span an
+    evolution window; ordinary manifests tag every added file with
+    their single recorded schema."""
+    if "entries" in snap:
+        return [(f, key) for f, key in snap["entries"]]
+    key = _schema_of(snap).json()
+    return [(f, key) for f in _files_of(spark, snap)]
+
+
+def _state_files(
+    spark: SparkSession, snaps: list[dict]
+) -> list[tuple[str, str]]:
+    """Ordered fold of manifests → the live ``(file, schema_json)``
+    list: each manifest first drops its ``removed_files`` from the
+    accumulated state, then appends its own files tagged with its
+    recorded schema.  This is Iceberg's snapshot inheritance — a
+    merge/delete manifest removes exactly the files it rewrote."""
+    entries: list[tuple[str, str]] = []
+    for snap in snaps:
+        removed = {_norm_uri(f) for f in snap.get("removed_files", [])}
+        if removed:
+            entries = [e for e in entries if _norm_uri(e[0]) not in removed]
+        entries.extend(_added_entries(spark, snap))
+    return entries
+
+
+def _read_entries(
+    spark: SparkSession, entries: list[tuple[str, str]]
+) -> DataFrame:
+    """Read ``(file, schema_json)`` entries, honoring each file's
+    recorded schema.  Files are grouped by schema (one parquet scan per
     distinct schema — normally 1, 2 during an evolution window) and
     joined with ``unionByName(allowMissingColumns=True)``: columns added
     by a later append read as NULL for older snapshots, Iceberg's
     add-column semantics.  Column pruning and predicate pushdown apply
     per scan as usual."""
-    if not snaps:
-        return spark.createDataFrame([], schema=DOCS_SCHEMA)
-    by_schema: dict[str, tuple[StructType, list[str]]] = {}
-    for snap in snaps:
-        schema = _schema_of(snap)
-        key = schema.json()
-        by_schema.setdefault(key, (schema, []))[1].extend(snap["paths"])
+    by_schema: dict[str, list[str]] = {}
+    for f, key in entries:
+        by_schema.setdefault(key, []).append(f)
     out = None
-    for schema, paths in by_schema.values():
-        part = spark.read.schema(schema).parquet(*paths)
+    for key, files in by_schema.items():
+        part = spark.read.schema(StructType.fromJson(json.loads(key))).parquet(
+            *files
+        )
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=True
         )
     return out
+
+
+def _read_snaps(spark: SparkSession, snaps: list[dict]) -> DataFrame:
+    entries = _state_files(spark, snaps)
+    if not entries:
+        return spark.createDataFrame([], schema=DOCS_SCHEMA)
+    return _read_entries(spark, entries)
 
 
 def read_snapshot(
@@ -238,6 +339,114 @@ def incremental_read(
     return _read_snaps(spark, snaps)
 
 
+def _hit_files(
+    tagged: DataFrame, entries: list[tuple[str, str]], hits: DataFrame
+) -> list[tuple[str, str]]:
+    """The subset of ``entries`` whose file contributed at least one row
+    to ``hits`` (a frame derived from ``tagged`` that kept ``_src_file``).
+    One distinct + collect, bounded by the table's FILE count — the same
+    driver-side metadata scale as Iceberg's manifest evaluation."""
+    norm_hit = {
+        _norm_uri(r["_src_file"])
+        for r in hits.select("_src_file").distinct().collect()
+    }
+    return [(f, key) for f, key in entries if _norm_uri(f) in norm_hit]
+
+
+def merge_into(source: DataFrame, root: str, key_cols: list[str]) -> int:
+    """Iceberg ``MERGE INTO target USING source ON target.k = source.k
+    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
+    under copy-on-write: target rows whose key appears in ``source`` are
+    replaced by the source row, all other source rows are inserted,
+    everything else is untouched.
+
+    Scale shape (Iceberg's COW unit): a left-semi join on the keys finds
+    the data FILES that contain a matched key; only those files are
+    rewritten (read → anti-join out the matched rows → union the full
+    source → new files).  Every untouched file is carried forward by
+    manifest reference — one tiny JSON, zero data movement.  The commit
+    is one new snapshot whose manifest lists the rewritten files as
+    ``removed_files``, so time travel to the pre-merge state still sees
+    the original rows.  Keys join with SQL equality (NULL never
+    matches), Iceberg's ON-clause semantics."""
+    spark = source.sparkSession
+    missing = [c for c in key_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"key columns missing from source: {missing}")
+    snaps = _snapshots(spark, root)
+    parent = snaps[-1]["snapshot_id"] if snaps else None
+    sid = (parent or 0) + 1
+    attempt = uuid.uuid4().hex[:8]
+    entries = _state_files(spark, snaps)
+    removed: list[str] = []
+    new_df = source
+    if entries:
+        # _src_file is stamped in the scan stage (before any exchange),
+        # so row→file attribution survives the semi join
+        tagged = _read_entries(spark, entries).withColumn(
+            "_src_file", F.input_file_name()
+        )
+        keys = source.select(*key_cols).dropDuplicates(key_cols)
+        affected = _hit_files(
+            tagged, entries, tagged.join(keys, on=key_cols, how="left_semi")
+        )
+        if affected:
+            removed = [f for f, _key in affected]
+            survivors = _read_entries(spark, affected).join(
+                keys, on=key_cols, how="left_anti"
+            )
+            new_df = survivors.unionByName(source, allowMissingColumns=True)
+    files = _write_data_dir(new_df, root, sid, attempt)
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "files": files,
+        "removed_files": removed,
+        "operation": "merge",
+        "schema": new_df.schema.jsonValue(),
+    }
+    return _commit(spark, root, sid, attempt, manifest)
+
+
+def delete_where(
+    spark: SparkSession, root: str, condition: Column | str
+) -> int | None:
+    """Iceberg ``DELETE FROM t WHERE condition`` under copy-on-write:
+    rows for which ``condition`` is TRUE are removed (FALSE and NULL
+    rows are kept — SQL DELETE semantics).  Only data files that contain
+    at least one matching row are rewritten; all others are carried
+    forward by manifest reference.  Returns the new snapshot id, or
+    ``None`` when nothing matched (no empty snapshot is committed,
+    Iceberg's behavior)."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    snaps = _snapshots(spark, root)
+    entries = _state_files(spark, snaps)
+    if not entries:
+        return None
+    tagged = _read_entries(spark, entries).withColumn(
+        "_src_file", F.input_file_name()
+    )
+    affected = _hit_files(tagged, entries, tagged.filter(cond))
+    if not affected:
+        return None
+    parent = snaps[-1]["snapshot_id"]
+    sid = parent + 1
+    attempt = uuid.uuid4().hex[:8]
+    kept = _read_entries(spark, [e for e in affected]).filter(
+        ~F.coalesce(cond, F.lit(False))
+    )
+    files = _write_data_dir(kept, root, sid, attempt)
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "files": files,
+        "removed_files": [f for f, _key in affected],
+        "operation": "delete",
+        "schema": kept.schema.jsonValue(),
+    }
+    return _commit(spark, root, sid, attempt, manifest)
+
+
 def expire_snapshots(
     spark: SparkSession, root: str, keep_n: int, orphan_grace_s: int = 86400
 ) -> dict:
@@ -273,19 +482,25 @@ def expire_snapshots(
     if len(wins) > keep_n:
         expired, survivors = wins[:-keep_n], wins[-keep_n:]
         expired_ids = [sid for sid, _ in expired]
-        # fold expired paths into the oldest surviving manifest
+        # fold the fully-resolved state AT the oldest survivor (expired
+        # manifests + base, removed_files applied) into one manifest; it
+        # carries per-file schemas because the folded span may cross a
+        # schema-evolution window
         base_sid, base_name = survivors[0]
-        folded_paths: list[str] = []
-        for _sid, name in expired:
-            snap = json.loads(
-                _read_file(spark, f"{root}/manifests/{name}").decode()
-            )
-            folded_paths.extend(snap["paths"])
+        folded = [
+            json.loads(_read_file(spark, f"{root}/manifests/{name}").decode())
+            for _sid, name in expired
+        ]
         base = json.loads(
             _read_file(spark, f"{root}/manifests/{base_name}").decode()
         )
-        base["paths"] = folded_paths + base["paths"]
-        base["parent_id"] = None
+        base = {
+            "snapshot_id": base_sid,
+            "parent_id": None,
+            "entries": _state_files(spark, folded + [base]),
+            "operation": "fold",
+            "schema": base.get("schema", _schema_of(base).jsonValue()),
+        }
         # "0-<hex>" sorts before any plain-hex attempt ('-' < '0'..'f'),
         # so the folded manifest deterministically wins its sid; among
         # repeated folds the smallest wins and stale ones get deleted
@@ -312,10 +527,13 @@ def expire_snapshots(
     # remove_orphan_files guards the same race with an age threshold)
     import time as _time
 
+    # every file ADDED by any surviving manifest keeps its dir alive —
+    # removed_files are ignored here on purpose: a file a later merge
+    # rewrote is still needed for time travel to intermediate snapshots
     referenced = {
-        path.rstrip("/").rsplit("/", 1)[-1]
+        f.rstrip("/").rsplit("/", 2)[-2]
         for snap in _snapshots(spark, root)
-        for path in snap["paths"]
+        for f, _key in _added_entries(spark, snap)
     }
     cutoff_ms = (_time.time() - orphan_grace_s) * 1000.0
     removed = []

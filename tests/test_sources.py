@@ -435,3 +435,103 @@ def test_snapshot_expire_across_schema_evolution(spark, tmp_path):
     }
     assert after == before
     assert sum(1 for _, rank in after if rank is None) == 6  # old rows NULL
+
+
+def test_snapshot_merge_into_copy_on_write(spark, tmp_path):
+    """merge_into = Iceberg MERGE INTO … UPDATE SET * / INSERT * under
+    copy-on-write: matched rows replaced, unmatched target rows kept,
+    unmatched source rows inserted — and ONLY files containing a
+    matched key are rewritten (file-granular COW), so time travel to
+    the pre-merge snapshot still reads the original rows."""
+    import json as _json
+    import os
+
+    from reading_the_unreadable_spark import synth
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows
+    from reading_the_unreadable_spark.sources import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    corpus = synth.make_corpus(12)
+    # two appends → two data dirs; source keys come ONLY from batch 2,
+    # so batch 1's files must be carried forward untouched
+    S.append_snapshot(docs_from_rows(spark, corpus[:6]), root)
+    S.append_snapshot(docs_from_rows(spark, corpus[6:]), root)
+
+    upd = [dict(d, spans=[dict(s, text="MERGED") for s in d["spans"]]) for d in corpus[8:10]]
+    ins = synth.make_corpus(3, seed_tag="new")
+    sid = S.merge_into(docs_from_rows(spark, upd + ins), root, key_cols=["doc_id"])
+    assert sid == 3
+
+    latest = {
+        r["doc_id"]: [s["text"] for s in r["spans"]]
+        for r in S.read_snapshot(spark, root).collect()
+    }
+    assert len(latest) == 15  # 12 originals (2 updated in place) + 3 inserted
+    for d in upd:
+        assert latest[d["doc_id"]] == ["MERGED"] * len(d["spans"])
+    for d in corpus[:8] + corpus[10:]:
+        assert latest[d["doc_id"]] == [s["text"] for s in d["spans"]]
+    for d in ins:
+        assert latest[d["doc_id"]] == [s["text"] for s in d["spans"]]
+
+    # COW granularity: the merge manifest rewrote only snap-2 files
+    man_dir = f"{root}/manifests"
+    merge_man = [n for n in os.listdir(man_dir) if n.startswith("snap-3-")]
+    assert len(merge_man) == 1
+    man = _json.loads(open(f"{man_dir}/{merge_man[0]}").read())
+    assert man["operation"] == "merge"
+    assert man["removed_files"], "expected rewritten files"
+    assert all("/snap-2-" in f for f in man["removed_files"])
+
+    # time travel: pre-merge snapshot is untouched
+    pre = {
+        r["doc_id"]: [s["text"] for s in r["spans"]]
+        for r in S.read_snapshot(spark, root, snapshot_id=2).collect()
+    }
+    assert len(pre) == 12
+    for d in upd:
+        assert pre[d["doc_id"]] != ["MERGED"] * len(d["spans"])
+
+    # incremental feed after the pre-merge snapshot = the rewritten rows:
+    # every updated + inserted doc, plus survivors ONLY from the part
+    # files that were rewritten (file-granular COW — unaffected part
+    # files of batch 2 are carried forward, not re-emitted)
+    inc = {r["doc_id"] for r in S.incremental_read(spark, root, after=2).collect()}
+    assert inc >= {d["doc_id"] for d in upd + ins}
+    assert inc <= {d["doc_id"] for d in corpus[6:] + ins}
+
+
+def test_snapshot_delete_where(spark, tmp_path):
+    """delete_where = Iceberg DELETE FROM under copy-on-write: TRUE rows
+    removed, FALSE/NULL kept, no-match commits nothing, and files with
+    no matching row are never rewritten."""
+    from pyspark.sql import functions as FF
+
+    from reading_the_unreadable_spark import synth
+    from reading_the_unreadable_spark.sources.docs import docs_from_rows
+    from reading_the_unreadable_spark.sources import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    corpus = synth.make_corpus(10)
+    S.append_snapshot(docs_from_rows(spark, corpus[:5]), root)
+    S.append_snapshot(docs_from_rows(spark, corpus[5:]), root)
+
+    victims = {corpus[1]["doc_id"], corpus[2]["doc_id"]}  # batch-1 only
+    sid = S.delete_where(
+        spark, root, FF.col("doc_id").isin(*victims)
+    )
+    assert sid == 3
+    left = {r["doc_id"] for r in S.read_snapshot(spark, root).collect()}
+    assert left == {d["doc_id"] for d in corpus} - victims
+    # time travel pre-delete still sees the victims
+    assert {
+        r["doc_id"] for r in S.read_snapshot(spark, root, snapshot_id=2).collect()
+    } == {d["doc_id"] for d in corpus}
+    # no-match → no new snapshot (Iceberg skips empty commits)
+    assert S.delete_where(spark, root, "doc_id = 'nope'") is None
+    assert S.current_snapshot_id(spark, root) == 3
+    # expire everything but the latest: the post-delete view survives
+    S.expire_snapshots(spark, root, keep_n=1, orphan_grace_s=0)
+    assert {
+        r["doc_id"] for r in S.read_snapshot(spark, root).collect()
+    } == {d["doc_id"] for d in corpus} - victims
