@@ -24,6 +24,14 @@ discipline as :mod:`docs`:
   by manifest reference (file-granular rewrite, Iceberg's COW unit)
 - ``delete_where(spark, root, condition)`` → Iceberg ``DELETE FROM``
   under copy-on-write, same file-granular rewrite
+- ``append_snapshot(df, root, stat_cols=[...])`` records per-file
+  min/max column bounds in the manifest (Iceberg's column bounds);
+  ``read_snapshot(..., prune={col: (lo, hi)})`` then skips data files
+  whose bounds cannot overlap the range BEFORE the scan is planned —
+  Iceberg's metadata file-skipping
+- ``rewrite_data_files(spark, root)`` → Iceberg ``rewrite_data_files``
+  small-file compaction: live sub-threshold files are bin-packed into
+  target-size files and committed as one ``replace`` snapshot
 - schema evolution: each manifest records the schema of the files it
   added; reads union snapshots with ``unionByName(allowMissingColumns)``
   so an append with an added column coexists with older snapshots
@@ -200,9 +208,57 @@ def _commit(spark: SparkSession, root: str, sid: int, attempt: str, manifest: di
     return sid
 
 
-def append_snapshot(df: DataFrame, root: str) -> int:
+def _jsonable(v) -> bool:
+    return v is None or isinstance(v, (bool, int, float, str))
+
+
+def _collect_stats(
+    spark: SparkSession, files: list[str], schema: StructType,
+    stat_cols: list[str],
+) -> dict:
+    """Per-file ``{"n": rows, "cols": {col: [min, max]}}`` for the
+    just-written ``files``, keyed by normalized URI — the manifest
+    analog of Iceberg's per-data-file column bounds.  Iceberg lifts
+    these from parquet footers at commit time; footers aren't reachable
+    through a pure-Hadoop-API path without reading whole files, so this
+    runs ONE column-pruned distributed aggregate over the new files
+    (scans only the stat columns, grouped by ``input_file_name`` —
+    cluster-parallel, proportional to the files just written, never the
+    table).  Only JSON-scalar bounds (int/float/str/bool) are recorded;
+    other types are skipped and those files simply never prune."""
+    names = {f.name for f in schema.fields}
+    cols = [c for c in stat_cols if c in names]
+    if not cols or not files:
+        return {}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    rows = (
+        spark.read.schema(schema)
+        .parquet(*files)
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(*aggs)
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        colstats = {}
+        for c in cols:
+            mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
+            if _jsonable(mn) and _jsonable(mx):
+                colstats[c] = [mn, mx]
+        out[_norm_uri(r["__f"])] = {"n": r["__n"], "cols": colstats}
+    return out
+
+
+def append_snapshot(
+    df: DataFrame, root: str, stat_cols: list[str] | None = None
+) -> int:
     """Append ``df`` as a new snapshot; returns the new snapshot id.
-    Iceberg equivalent: ``df.writeTo(table).append()``."""
+    Iceberg equivalent: ``df.writeTo(table).append()``.  With
+    ``stat_cols``, per-file min/max bounds for those columns are
+    recorded in the manifest (Iceberg's column bounds), enabling
+    file-skipping via ``read_snapshot(..., prune=...)``."""
     spark = df.sparkSession
     parent = current_snapshot_id(spark, root)
     sid = (parent or 0) + 1
@@ -217,6 +273,8 @@ def append_snapshot(df: DataFrame, root: str) -> int:
         "operation": "append",
         "schema": df.schema.jsonValue(),
     }
+    if stat_cols:
+        manifest["stats"] = _collect_stats(spark, files, df.schema, stat_cols)
     return _commit(spark, root, sid, attempt, manifest)
 
 
@@ -273,6 +331,37 @@ def _state_files(
     return entries
 
 
+def _state_stats(snaps: list[dict]) -> dict:
+    """Fold of per-file column-bounds stats (normalized URI → stats)
+    across manifests, removed files dropped.  Files written without
+    stats (legacy appends, merge/delete rewrites) are simply absent —
+    they can never be pruned, which is the conservative direction."""
+    stats: dict = {}
+    for snap in snaps:
+        for f in snap.get("removed_files", []):
+            stats.pop(_norm_uri(f), None)
+        stats.update(snap.get("stats", {}))
+    return stats
+
+
+def _stats_may_match(stat: dict, prune: dict) -> bool:
+    """Can a file with ``stat`` bounds contain a row inside every
+    pruned column's [lo, hi] range?  Unknown columns / non-scalar or
+    NULL bounds keep the file (never prune on missing evidence)."""
+    for c, (lo, hi) in prune.items():
+        bounds = stat.get("cols", {}).get(c)
+        if not bounds:
+            continue
+        mn, mx = bounds
+        if mn is None or mx is None:
+            continue
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+    return True
+
+
 def _read_entries(
     spark: SparkSession, entries: list[tuple[str, str]]
 ) -> DataFrame:
@@ -305,12 +394,26 @@ def _read_snaps(spark: SparkSession, snaps: list[dict]) -> DataFrame:
 
 
 def read_snapshot(
-    spark: SparkSession, root: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Table contents AS OF ``snapshot_id`` (default: latest).  Iceberg
     equivalent: ``VERSION AS OF``.  An unknown snapshot id raises (the
     Iceberg behavior) rather than silently reading the latest state —
-    including ids removed by :func:`expire_snapshots`."""
+    including ids removed by :func:`expire_snapshots`.
+
+    ``prune`` is a range read with manifest-level file skipping
+    (Iceberg's min/max pruning): ``{col: (lo, hi)}`` (either bound may
+    be ``None``) returns exactly the rows inside every range — NULLs
+    excluded, standard range-predicate semantics — while data files
+    whose recorded column bounds cannot overlap a range are dropped
+    from the scan plan entirely, BEFORE Spark ever lists or opens them.
+    At 100 TB this is the difference between planning thousands of
+    files and planning the handful a selective range touches; files
+    without recorded bounds are conservatively kept and filtered
+    row-wise."""
     snaps = _snapshots(spark, root)
     if snapshot_id is not None:
         known = {s["snapshot_id"] for s in snaps}
@@ -319,7 +422,28 @@ def read_snapshot(
                 f"unknown snapshot id {snapshot_id} (known: {sorted(known)})"
             )
         snaps = [s for s in snaps if s["snapshot_id"] <= snapshot_id]
-    return _read_snaps(spark, snaps)
+    if not prune:
+        return _read_snaps(spark, snaps)
+    entries = _state_files(spark, snaps)
+    stats = _state_stats(snaps)
+    kept = [
+        e
+        for e in entries
+        if _stats_may_match(stats.get(_norm_uri(e[0]), {}), prune)
+    ]
+    if not kept:
+        schema = (
+            _schema_of(snaps[-1]) if snaps else DOCS_SCHEMA
+        )
+        df = spark.createDataFrame([], schema=schema)
+    else:
+        df = _read_entries(spark, kept)
+    for c, (lo, hi) in prune.items():
+        if lo is not None:
+            df = df.filter(F.col(c) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(c) <= hi)
+    return df
 
 
 def incremental_read(
@@ -447,6 +571,81 @@ def delete_where(
     return _commit(spark, root, sid, attempt, manifest)
 
 
+def rewrite_data_files(
+    spark: SparkSession,
+    root: str,
+    small_file_bytes: int = 32 << 20,
+    target_file_bytes: int = 128 << 20,
+    stat_cols: list[str] | None = None,
+) -> dict | None:
+    """Bin-pack small data files into fewer, larger ones — Iceberg's
+    ``rewrite_data_files`` compaction.  Streaming appends and
+    file-granular merges inevitably accrete small files; at 100 TB the
+    resulting task-per-tiny-file scan plan is the classic small-files
+    death, so compaction is table maintenance, not an optimization.
+
+    Live files under ``small_file_bytes`` (sizes from one driver-side
+    ``getFileStatus`` sweep — metadata-only, bounded by file count) are
+    read back per schema group, repartitioned to roughly
+    ``target_file_bytes`` outputs, and committed as ONE ``replace``
+    snapshot: new files in, compacted files in ``removed_files``.  Row
+    content is byte-identical before and after; time travel to
+    pre-compaction snapshots still plans the original files (they are
+    only reclaimed once :func:`expire_snapshots` drops those
+    snapshots).  With ``stat_cols`` the rewritten files get fresh
+    column bounds so pruning keeps working across compaction.  Returns
+    ``None`` when fewer than two live files qualify (no gain — Iceberg
+    likewise skips no-op rewrites)."""
+    snaps = _snapshots(spark, root)
+    entries = _state_files(spark, snaps)
+    sized: list[tuple[str, str, int]] = []
+    for f, key in entries:
+        fs, p, _ = _fs_path(spark, f)
+        sized.append((f, key, int(fs.getFileStatus(p).getLen())))
+    candidates = [e for e in sized if e[2] < small_file_bytes]
+    if len(candidates) < 2:
+        return None
+    parent = snaps[-1]["snapshot_id"]
+    sid = parent + 1
+    attempt = uuid.uuid4().hex[:8]
+    by_schema: dict[str, list[tuple[str, int]]] = {}
+    for f, key, sz in candidates:
+        by_schema.setdefault(key, []).append((f, sz))
+    new_entries: list[tuple[str, str]] = []
+    stats: dict = {}
+    for gi, (key, group) in enumerate(sorted(by_schema.items())):
+        schema = StructType.fromJson(json.loads(key))
+        total = sum(sz for _f, sz in group)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = (
+            spark.read.schema(schema)
+            .parquet(*[f for f, _sz in group])
+            .repartition(n_out)
+        )
+        # per-group suffix keeps one schema per physical dir; the dir
+        # still matches the snap-* orphan-reclamation contract
+        files = _write_data_dir(df, root, sid, f"{attempt}-g{gi}")
+        new_entries.extend((f, key) for f in files)
+        if stat_cols:
+            stats.update(_collect_stats(spark, files, schema, stat_cols))
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "entries": new_entries,
+        "removed_files": [f for f, _key, _sz in candidates],
+        "operation": "replace",
+        "schema": snaps[-1].get("schema", DOCS_SCHEMA.jsonValue()),
+    }
+    if stats:
+        manifest["stats"] = stats
+    _commit(spark, root, sid, attempt, manifest)
+    return {
+        "snapshot_id": sid,
+        "compacted": len(candidates),
+        "new_files": len(new_entries),
+    }
+
+
 def expire_snapshots(
     spark: SparkSession, root: str, keep_n: int, orphan_grace_s: int = 86400
 ) -> dict:
@@ -494,10 +693,17 @@ def expire_snapshots(
         base = json.loads(
             _read_file(spark, f"{root}/manifests/{base_name}").decode()
         )
+        fold_entries = _state_files(spark, folded + [base])
+        fold_norm = {_norm_uri(f) for f, _key in fold_entries}
         base = {
             "snapshot_id": base_sid,
             "parent_id": None,
-            "entries": _state_files(spark, folded + [base]),
+            "entries": fold_entries,
+            "stats": {
+                k: v
+                for k, v in _state_stats(folded + [base]).items()
+                if k in fold_norm
+            },
             "operation": "fold",
             "schema": base.get("schema", _schema_of(base).jsonValue()),
         }

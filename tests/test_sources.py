@@ -535,3 +535,73 @@ def test_snapshot_delete_where(spark, tmp_path):
     assert {
         r["doc_id"] for r in S.read_snapshot(spark, root).collect()
     } == {d["doc_id"] for d in corpus} - victims
+
+
+def test_snapshot_stats_pruning(spark, tmp_path):
+    """append_snapshot(stat_cols=...) records per-file min/max bounds;
+    read_snapshot(prune=...) drops files whose bounds cannot overlap
+    the range BEFORE the scan (Iceberg file skipping) — verified via
+    inputFiles() — and returns exactly the in-range rows."""
+    from reading_the_unreadable_spark.sources import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    # three appends with disjoint doc_id ranges, several files each
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v")
+    ).repartition(3)
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        S.append_snapshot(mk(lo, hi), root, stat_cols=["doc_id"])
+    full = S.read_snapshot(spark, root)
+    assert len(full.inputFiles()) == 9
+
+    pruned = S.read_snapshot(spark, root, prune={"doc_id": (120, 180)})
+    # only snapshot 2's files can contain [120, 180]
+    assert 0 < len(pruned.inputFiles()) <= 3
+    got = sorted(r["doc_id"] for r in pruned.collect())
+    assert got == list(range(120, 181))
+
+    # open-ended range + a col with no stats falls back to row filtering
+    hi_only = S.read_snapshot(spark, root, prune={"doc_id": (None, 50), "v": (10, 20)})
+    assert sorted(r["doc_id"] for r in hi_only.collect()) == [5, 6, 7, 8, 9, 10]
+    # nothing overlaps → zero files planned, empty result, schema kept
+    none = S.read_snapshot(spark, root, prune={"doc_id": (1000, 2000)})
+    assert none.count() == 0 and none.columns == ["doc_id", "v"]
+
+    # pruning survives expire's fold (stats carried with the entries)
+    S.expire_snapshots(spark, root, keep_n=1, orphan_grace_s=0)
+    pruned2 = S.read_snapshot(spark, root, prune={"doc_id": (120, 180)})
+    assert 0 < len(pruned2.inputFiles()) <= 3
+    assert sorted(r["doc_id"] for r in pruned2.collect()) == list(range(120, 181))
+
+
+def test_snapshot_rewrite_data_files(spark, tmp_path):
+    """rewrite_data_files bin-packs small live files into fewer files
+    as one 'replace' snapshot: read identical before/after, file count
+    drops, pre-compaction time travel still works, and fresh stats on
+    the compacted files keep pruning effective."""
+    from reading_the_unreadable_spark.sources import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    ).repartition(4)
+    S.append_snapshot(mk(0, 150), root, stat_cols=["doc_id"])
+    S.append_snapshot(mk(150, 300), root, stat_cols=["doc_id"])
+    before = {r["doc_id"] for r in S.read_snapshot(spark, root).collect()}
+    n_before = len(S.read_snapshot(spark, root).inputFiles())
+    assert n_before == 8
+
+    res = S.rewrite_data_files(spark, root, stat_cols=["doc_id"])
+    assert res is not None and res["compacted"] == 8 and res["new_files"] == 1
+    after_df = S.read_snapshot(spark, root)
+    assert {r["doc_id"] for r in after_df.collect()} == before
+    assert len(after_df.inputFiles()) == 1
+    # time travel to pre-compaction still plans the original files
+    assert len(S.read_snapshot(spark, root, snapshot_id=2).inputFiles()) == 8
+    # fresh bounds on the compacted file: a miss range plans zero files
+    assert (
+        len(S.read_snapshot(spark, root, prune={"doc_id": (900, 999)}).inputFiles())
+        == 0
+    )
+    # idempotent: a single compacted file has nothing left to pack
+    assert S.rewrite_data_files(spark, root, stat_cols=["doc_id"]) is None
