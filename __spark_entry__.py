@@ -1038,11 +1038,14 @@ def q_snapshot_incremental(spark, sf):
     """Snapshot layer under the driver (sources/snapshots.py — the
     Iceberg-semantics fallback): the documents table is appended as
     three deterministic snapshots (doc_id mod 3), then incremental
-    windows, the full scan, and a time-travel read are summarized;
-    finally a copy-on-write MERGE INTO (update " [v2]" suffix +
-    keyed inserts) and a DELETE FROM are applied and re-summarized.
-    Aggregation runs distributed; only the 7 summary rows are
-    collected so the scratch table can be removed before returning.
+    windows, the full scan, a time-travel read, and a
+    manifest-bounds PRUNED range read are summarized; finally a
+    copy-on-write MERGE INTO (update " [v2]" suffix + keyed inserts),
+    a DELETE FROM, and a small-file compaction are applied and
+    re-summarized (pruning and compaction are semantics-preserving,
+    so their sums must equal the plain-SQL replicas).  Aggregation
+    runs distributed; only the 9 summary rows are collected so the
+    scratch table can be removed before returning.
     Oracle: the same counts/sums derived directly from documents."""
     import uuid as uuid_mod
 
@@ -1069,7 +1072,11 @@ def q_snapshot_incremental(spark, sf):
 
     try:
         for m in (0, 1, 2):
-            append_snapshot(docs.filter(FF.col("doc_id") % 3 == m), root)
+            append_snapshot(
+                docs.filter(FF.col("doc_id") % 3 == m),
+                root,
+                stat_cols=["doc_id"],
+            )
         rows = []
         for after, until in [(0, 1), (1, 2), (2, 3), (0, 3)]:
             n, s = _summary(
@@ -1078,6 +1085,16 @@ def q_snapshot_incremental(spark, sf):
             rows.append((f"diff_{after}_{until}", n, s))
         rows.append(
             ("asof_2", *_summary(read_snapshot(spark, root, snapshot_id=2)))
+        )
+        # manifest-bounds pruned range read (file skipping is
+        # semantics-preserving — the sums must equal a plain BETWEEN)
+        rows.append(
+            (
+                "range_100_299",
+                *_summary(
+                    read_snapshot(spark, root, prune={"doc_id": (100, 299)})
+                ),
+            )
         )
         # MERGE INTO (copy-on-write upsert): docs with doc_id % 7 == 0
         # get " [v2]" appended (update), and copies keyed
@@ -1096,6 +1113,15 @@ def q_snapshot_incremental(spark, sf):
         rows.append(("post_merge", *_summary(read_snapshot(spark, root))))
         delete_where(spark, root, "doc_id % 11 = 3")
         rows.append(("post_delete", *_summary(read_snapshot(spark, root))))
+        # small-file compaction must be read-invisible: same sums after
+        from reading_the_unreadable_spark.sources.snapshots import (
+            rewrite_data_files,
+        )
+
+        rewrite_data_files(
+            spark, root, small_file_bytes=1 << 30, stat_cols=["doc_id"]
+        )
+        rows.append(("post_compact", *_summary(read_snapshot(spark, root))))
     finally:
         # cleanup on the SAME filesystem the snapshot layer wrote to —
         # a driver-local shutil.rmtree would no-op against HDFS/S3 and
@@ -2508,6 +2534,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'asof_2', count(*),
                    coalesce(sum(length(text)), 0)::BIGINT
             FROM documents WHERE doc_id % 3 IN (0, 1)
+            UNION ALL SELECT 'range_100_299', count(*),
+                   coalesce(sum(length(text)), 0)::BIGINT
+            FROM documents WHERE doc_id BETWEEN 100 AND 299
             UNION ALL SELECT 'post_merge', count(*),
                    coalesce(sum(length(text)), 0)::BIGINT
             FROM (
@@ -2520,6 +2549,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id % 7 = 0
             )
             UNION ALL SELECT 'post_delete', count(*),
+                   coalesce(sum(length(text)), 0)::BIGINT
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]'
+                            ELSE text END AS text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text || ' [v2]'
+                FROM documents WHERE doc_id % 7 = 0
+            ) WHERE doc_id % 11 <> 3
+            UNION ALL SELECT 'post_compact', count(*),
                    coalesce(sum(length(text)), 0)::BIGINT
             FROM (
                 SELECT doc_id,
