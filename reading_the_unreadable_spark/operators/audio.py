@@ -2,12 +2,13 @@
 
 Same codec policy as :mod:`multimodal` (images) and :mod:`pdf`: the
 container formats that need no codec library — RIFF/WAVE with integer
-PCM (8/16/24/32-bit, any channel count), IEEE float (32/64-bit), and
-WAVE_FORMAT_EXTENSIBLE wrapping either — are decoded for real, so the
-full pipeline (binary column → decode → feature-extract) runs
-end-to-end over Arrow batches.  Compressed formats (MP3/AAC/ADPCM/
-mu-law) raise ``NotImplementedError`` loudly; swapping in
-soundfile/ffmpeg later changes only :func:`decode_wav`.
+PCM (8/16/24/32-bit, any channel count), IEEE float (32/64-bit),
+G.711 mu-law/A-law (the telephone-era companded formats, ITU-T G.711
+LUT expansion), and WAVE_FORMAT_EXTENSIBLE wrapping any of them — are
+decoded for real, so the full pipeline (binary column → decode →
+feature-extract) runs end-to-end over Arrow batches.  Compressed
+formats (MP3/AAC/ADPCM) raise ``NotImplementedError`` loudly; swapping
+in soundfile/ffmpeg later changes only :func:`decode_wav`.
 
 Features are the classic cheap descriptors a corpus-curation pass
 filters on (silence/clipping/tone detection): duration, RMS level,
@@ -37,6 +38,54 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
+# ------------------------------------------------------ G.711 companding
+def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry mu-law / A-law → linear int16 tables from the ITU-T
+    G.711 expansion formulas (the classic segment/mantissa decode every
+    telephony stack ships).  Built once at import; decode is then a
+    single vectorized table lookup."""
+    ulaw = np.empty(256, np.int16)
+    for byte in range(256):
+        u = ~byte & 0xFF
+        exponent = (u >> 4) & 7
+        mantissa = u & 0x0F
+        sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+        ulaw[byte] = -sample if u & 0x80 else sample
+    alaw = np.empty(256, np.int16)
+    for byte in range(256):
+        a = byte ^ 0x55
+        exponent = (a >> 4) & 7
+        mantissa = a & 0x0F
+        if exponent == 0:
+            sample = (mantissa << 4) + 8
+        else:
+            sample = ((mantissa << 4) + 0x108) << (exponent - 1)
+        alaw[byte] = -sample if a & 0x80 else sample
+    return ulaw, alaw
+
+
+_ULAW_TO_LINEAR, _ALAW_TO_LINEAR = _g711_luts()
+
+
+def encode_g711(samples: np.ndarray, law: str) -> np.ndarray:
+    """int16 linear → companded uint8 (``law`` = 'ulaw' | 'alaw'),
+    via nearest-match against the expansion table — exact inverse of
+    the LUT decode for every representable level, used to build test
+    fixtures and synthetic telephone-band corpora."""
+    lut = _ULAW_TO_LINEAR if law == "ulaw" else _ALAW_TO_LINEAR
+    order = np.argsort(lut, kind="stable")
+    pos = np.searchsorted(lut[order], samples.astype(np.int32), side="left")
+    pos = np.clip(pos, 0, 255)
+    lo = np.clip(pos - 1, 0, 255)
+    pick = np.where(
+        np.abs(lut[order[lo]].astype(np.int32) - samples)
+        <= np.abs(lut[order[pos]].astype(np.int32) - samples),
+        lo,
+        pos,
+    )
+    return order[pick].astype(np.uint8)
+
+
 # ----------------------------------------------------------------- codec
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """mono int16 (n,) or multi-channel (n, ch) → RIFF/WAVE PCM bytes."""
@@ -56,11 +105,29 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_g711(
+    companded: np.ndarray, rate: int = 8000, law: str = "ulaw", ch: int = 1
+) -> bytes:
+    """Companded uint8 samples → RIFF/WAVE with format code 7 (mu-law)
+    or 6 (A-law), 8 bits/sample — the telephone-era WAV layout."""
+    if companded.dtype != np.uint8:
+        raise ValueError("encode_wav_g711 expects companded uint8 samples")
+    code = 7 if law == "ulaw" else 6
+    data = companded.tobytes()
+    fmt = struct.pack("<HHIIHHH", code, ch, rate, rate * ch, ch, 8, 0)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE bytes → (sample_rate, float64 samples in [-1, 1],
     shape (n, ch)).  Integer PCM (8/16/24/32-bit), IEEE float (32/64),
-    and WAVE_FORMAT_EXTENSIBLE wrapping either; ADPCM/mu-law/compressed
-    formats raise loudly."""
+    G.711 mu-law/A-law, and WAVE_FORMAT_EXTENSIBLE wrapping any;
+    ADPCM/compressed formats raise loudly."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError(f"not a RIFF/WAVE file: {payload[:4]!r}")
     pos = 12
@@ -126,10 +193,15 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             arr = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
         else:
             raise NotImplementedError(f"{bits}-bit PCM not supported")
+    elif audio_format in (6, 7):  # G.711 A-law / mu-law (8-bit companded)
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        lut = _ULAW_TO_LINEAR if audio_format == 7 else _ALAW_TO_LINEAR
+        arr = lut[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
     else:
         raise NotImplementedError(
             f"unsupported WAV format {audio_format} "
-            "(ADPCM/mu-law/compressed need a codec lib)"
+            "(ADPCM/MP3/compressed need a codec lib)"
         )
     n = len(arr) // ch
     return rate, arr[: n * ch].reshape(n, ch)

@@ -971,3 +971,67 @@ def test_review_regressions_codecs():
     _struct.pack_into("<H", bad, desc + 5, 60000)
     with _pytest.raises(ValueError):
         decode_image(bytes(bad))
+
+
+def test_g711_known_answers_and_roundtrip():
+    """G.711 LUTs match the published expansion-table anchor values;
+    companding any int16 signal and expanding it back stays within one
+    top-segment quantization step (the format's contract)."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.audio import (
+        _ALAW_TO_LINEAR,
+        _ULAW_TO_LINEAR,
+        decode_wav,
+        encode_g711,
+        encode_wav_g711,
+    )
+
+    # anchor values from the ITU-T G.711 tables
+    assert _ULAW_TO_LINEAR[0xFF] == 0 and _ULAW_TO_LINEAR[0x7F] == 0
+    assert _ULAW_TO_LINEAR[0x00] == -32124 and _ULAW_TO_LINEAR[0x80] == 32124
+    assert _ALAW_TO_LINEAR[0x55] == 8 and _ALAW_TO_LINEAR[0xD5] == -8
+    assert _ALAW_TO_LINEAR[0x2A] == 32256 and _ALAW_TO_LINEAR[0xAA] == -32256
+    # LUTs are odd-symmetric about the sign bit
+    assert np.array_equal(_ULAW_TO_LINEAR[:128], -_ULAW_TO_LINEAR[128:])
+    assert np.array_equal(-_ALAW_TO_LINEAR[:128], _ALAW_TO_LINEAR[128:])
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    lin = rng.integers(-32768, 32768, 4000).astype(np.int16)
+    for law in ("ulaw", "alaw"):
+        comp = encode_g711(lin, law)
+        rate, out = decode_wav(encode_wav_g711(comp, rate=8000, law=law))
+        assert rate == 8000 and out.shape == (4000, 1)
+        err = np.abs(out[:, 0] * 32768.0 - lin)
+        assert err.max() <= 650  # half a top-segment step + clip headroom
+        # expansion is exact for representable levels
+        lut = _ULAW_TO_LINEAR if law == "ulaw" else _ALAW_TO_LINEAR
+        again = encode_g711(lut[comp].astype(np.int16), law)
+        assert np.array_equal(lut[again], lut[comp])
+
+
+def test_g711_wav_through_spark_features(spark):
+    """A mu-law telephone clip flows through the same mapInPandas
+    feature path as linear PCM — no quarantine row, sane features."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.audio import (
+        encode_g711,
+        encode_wav_g711,
+        extract_audio_features,
+    )
+
+    t = np.arange(1600) / 8000.0
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    payload = encode_wav_g711(encode_g711(tone, "ulaw"), rate=8000, law="ulaw")
+    media = spark.createDataFrame(
+        [("clip-1", "audio", bytearray(payload))],
+        "media_ref string, kind string, payload binary",
+    )
+    row = extract_audio_features(media).collect()[0]
+    assert row["decode_err"] is None
+    assert row["sample_rate"] == 8000 and row["duration_ms"] == 200
+    assert row["n_channels"] == 1
+    feat = row["feat"]
+    assert 0.2 < feat[0] < 0.5  # RMS of a half-scale sine ≈ 0.35
+    assert 350 < feat[2] < 550  # spectral centroid near 440 Hz
