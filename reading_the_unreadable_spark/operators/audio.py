@@ -6,9 +6,11 @@ PCM (8/16/24/32-bit, any channel count), IEEE float (32/64-bit),
 G.711 mu-law/A-law (the telephone-era companded formats, ITU-T G.711
 LUT expansion), and WAVE_FORMAT_EXTENSIBLE wrapping any of them — are
 decoded for real, so the full pipeline (binary column → decode →
-feature-extract) runs end-to-end over Arrow batches.  Compressed
-formats (MP3/AAC/ADPCM) raise ``NotImplementedError`` loudly; swapping
-in soundfile/ffmpeg later changes only :func:`decode_wav`.
+feature-extract) runs end-to-end over Arrow batches.  IMA/DVI ADPCM
+(format 0x11) decodes too — block-vectorized numpy, every block's
+header restarts the predictor.  Truly compressed formats (MS-ADPCM,
+MP3/AAC) raise ``NotImplementedError`` loudly; swapping in
+soundfile/ffmpeg later changes only :func:`decode_wav`.
 
 Features are the classic cheap descriptors a corpus-curation pass
 filters on (silence/clipping/tone detection): duration, RMS level,
@@ -86,6 +88,95 @@ def encode_g711(samples: np.ndarray, law: str) -> np.ndarray:
     return order[pick].astype(np.uint8)
 
 
+# --------------------------------------------------------- IMA ADPCM
+# Step-size and index-adjust tables from the IMA ADPCM reference
+# algorithm (the DVI/IMA spec every RIFF format-0x11 writer follows).
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], np.int32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def _ima_decode_blocks(
+    nibbles: np.ndarray, pred0: np.ndarray, idx0: np.ndarray
+) -> np.ndarray:
+    """Vectorized-across-blocks IMA ADPCM expansion: ``nibbles`` is
+    (n_blocks, samples_per_block-1) uint8, ``pred0``/``idx0`` the
+    per-block header predictor/step-index.  The predictor recurrence is
+    sequential WITHIN a block, but every RIFF ADPCM block is
+    self-contained (its header restarts the predictor), so the loop
+    runs over positions-in-block (~505 iterations) while numpy works
+    all blocks per step — the same trick as the G4 row painter."""
+    n_blocks, n_nib = nibbles.shape
+    out = np.empty((n_blocks, n_nib + 1), np.int32)
+    pred = pred0.astype(np.int32).copy()
+    idx = np.clip(idx0.astype(np.int32), 0, 88)
+    out[:, 0] = pred
+    for j in range(n_nib):
+        n = nibbles[:, j].astype(np.int32)
+        step = _IMA_STEPS[idx]
+        diff = step >> 3
+        diff += np.where(n & 1, step >> 2, 0)
+        diff += np.where(n & 2, step >> 1, 0)
+        diff += np.where(n & 4, step, 0)
+        pred = np.clip(
+            pred + np.where(n & 8, -diff, diff), -32768, 32767
+        )
+        idx = np.clip(idx + _IMA_INDEX_ADJ[n & 7], 0, 88)
+        out[:, j + 1] = pred
+    return out
+
+
+def _decode_ima_adpcm(
+    data: bytes, ch: int, block_align: int, samples_per_block: int
+) -> np.ndarray:
+    """RIFF format-0x11 data chunk → float64 (n, ch).  Layout per
+    block: a 4-byte header per channel (int16 predictor, uint8 step
+    index, reserved), then nibble data interleaved in 4-byte words per
+    channel; two samples per byte, low nibble first."""
+    if ch < 1 or block_align < 4 * ch or (block_align - 4 * ch) % (4 * ch):
+        raise ValueError(f"malformed ADPCM fmt: ch={ch} align={block_align}")
+    want = (block_align - 4 * ch) * 2 // ch + 1
+    if samples_per_block not in (0, want):
+        raise ValueError(
+            f"ADPCM samples_per_block {samples_per_block} inconsistent "
+            f"with block_align {block_align} ({want} expected)"
+        )
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        return np.zeros((0, ch), np.float64)
+    raw = np.frombuffer(data[: n_blocks * block_align], np.uint8).reshape(
+        n_blocks, block_align
+    )
+    header = raw[:, : 4 * ch].reshape(n_blocks, ch, 4)
+    pred0 = (
+        header[:, :, 0].astype(np.int32)
+        | (header[:, :, 1].astype(np.int32) << 8)
+    )
+    pred0 = np.where(pred0 >= 32768, pred0 - 65536, pred0)
+    idx0 = header[:, :, 2].astype(np.int32)
+    if np.any(idx0 > 88):
+        raise ValueError("ADPCM step index out of range")
+    # data area: 4-byte words round-robin per channel
+    body = raw[:, 4 * ch :].reshape(n_blocks, -1, ch, 4)
+    per_ch = body.transpose(2, 0, 1, 3).reshape(ch, n_blocks, -1)
+    chans = []
+    for c in range(ch):
+        bytes_c = per_ch[c]
+        nib = np.empty((n_blocks, bytes_c.shape[1] * 2), np.uint8)
+        nib[:, 0::2] = bytes_c & 0x0F
+        nib[:, 1::2] = bytes_c >> 4
+        chans.append(_ima_decode_blocks(nib, pred0[:, c], idx0[:, c]))
+    stacked = np.stack(chans, axis=2)  # (blocks, samples, ch)
+    return stacked.reshape(-1, ch).astype(np.float64) / 32768.0
+
+
 # ----------------------------------------------------------------- codec
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """mono int16 (n,) or multi-channel (n, ch) → RIFF/WAVE PCM bytes."""
@@ -97,6 +188,74 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     data = samples.astype("<i2").tobytes()
     byte_rate = rate * ch * 2
     fmt = struct.pack("<HHIIHH", 1, ch, rate, byte_rate, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, rate: int = 8000, samples_per_block: int = 505
+) -> bytes:
+    """mono int16 → RIFF/WAVE format 0x11 (IMA ADPCM) bytes — the
+    forward compander matching :func:`_decode_ima_adpcm`, for fixtures
+    and synthetic archival corpora.  Vectorized across blocks the same
+    way the decoder is; the last partial block is zero-padded (the
+    usual writer behavior)."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav_ima_adpcm expects mono int16")
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 8k+1")
+    spb = samples_per_block
+    n = len(samples)
+    n_blocks = max(1, -(-n // spb))
+    padded = np.zeros(n_blocks * spb, np.int32)
+    padded[:n] = samples
+    blocks = padded.reshape(n_blocks, spb)
+    pred = blocks[:, 0].copy()
+    # per-block initial step index from the block's mean slope (the
+    # standard writer heuristic; index 0 would ramp for dozens of
+    # samples after every block boundary) — stays block-parallel
+    slope = np.abs(np.diff(blocks, axis=1)).mean(axis=1)
+    idx = np.clip(
+        np.searchsorted(_IMA_STEPS, slope).astype(np.int32), 0, 88
+    )
+    idx0 = idx.copy()
+    nibbles = np.empty((n_blocks, spb - 1), np.uint8)
+    for j in range(spb - 1):
+        step = _IMA_STEPS[idx]
+        diff = blocks[:, j + 1] - pred
+        code = np.where(diff < 0, 8, 0).astype(np.int32)
+        mag = np.abs(diff)
+        hit4 = mag >= step
+        code |= np.where(hit4, 4, 0)
+        mag = mag - np.where(hit4, step, 0)
+        hit2 = mag >= step >> 1
+        code |= np.where(hit2, 2, 0)
+        mag = mag - np.where(hit2, step >> 1, 0)
+        code |= np.where(mag >= step >> 2, 1, 0)
+        nibbles[:, j] = code.astype(np.uint8)
+        # reconstruct the decoder's predictor so both sides track
+        dq = step >> 3
+        dq += np.where(code & 1, step >> 2, 0)
+        dq += np.where(code & 2, step >> 1, 0)
+        dq += np.where(code & 4, step, 0)
+        pred = np.clip(pred + np.where(code & 8, -dq, dq), -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX_ADJ[code & 7], 0, 88)
+    block_align = 4 + (spb - 1) // 2
+    first = blocks[:, 0].astype(np.int32) & 0xFFFF
+    header = np.zeros((n_blocks, 4), np.uint8)
+    header[:, 0] = first & 0xFF
+    header[:, 1] = first >> 8
+    header[:, 2] = idx0.astype(np.uint8)
+    packed = (nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)).astype(np.uint8)
+    data = np.concatenate([header, packed], axis=1).tobytes()
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate,
+        rate * block_align // spb, block_align, 4, 2, spb,
+    )
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -126,8 +285,8 @@ def encode_wav_g711(
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE bytes → (sample_rate, float64 samples in [-1, 1],
     shape (n, ch)).  Integer PCM (8/16/24/32-bit), IEEE float (32/64),
-    G.711 mu-law/A-law, and WAVE_FORMAT_EXTENSIBLE wrapping any;
-    ADPCM/compressed formats raise loudly."""
+    G.711 mu-law/A-law, IMA ADPCM, and WAVE_FORMAT_EXTENSIBLE
+    wrapping any; MS-ADPCM/compressed formats raise loudly."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError(f"not a RIFF/WAVE file: {payload[:4]!r}")
     pos = 12
@@ -198,10 +357,19 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
         lut = _ULAW_TO_LINEAR if audio_format == 7 else _ALAW_TO_LINEAR
         arr = lut[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
+    elif audio_format == 0x11:  # IMA/DVI ADPCM (4-bit, block-restarted)
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM WAV must be 4-bit, got {bits}")
+        spb = (
+            struct.unpack_from("<H", fmt_chunk, 18)[0]
+            if len(fmt_chunk) >= 20
+            else 0
+        )
+        return rate, _decode_ima_adpcm(data, ch, fmt[4], spb)
     else:
         raise NotImplementedError(
             f"unsupported WAV format {audio_format} "
-            "(ADPCM/MP3/compressed need a codec lib)"
+            "(MS-ADPCM/MP3/compressed need a codec lib)"
         )
     n = len(arr) // ch
     return rate, arr[: n * ch].reshape(n, ch)

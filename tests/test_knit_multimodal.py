@@ -1035,3 +1035,84 @@ def test_g711_wav_through_spark_features(spark):
     feat = row["feat"]
     assert 0.2 < feat[0] < 0.5  # RMS of a half-scale sine ≈ 0.35
     assert 350 < feat[2] < 550  # spectral centroid near 440 Hz
+
+
+def test_ima_adpcm_matches_scalar_reference_and_roundtrips():
+    """The block-vectorized IMA ADPCM expansion must equal a scalar
+    transcription of the IMA reference algorithm nibble-for-nibble;
+    encode->decode on a tone stays within ADPCM's ~2% error envelope;
+    malformed blocks raise ValueError (quarantine contract)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark.operators.audio import (
+        _IMA_INDEX_ADJ,
+        _IMA_STEPS,
+        _ima_decode_blocks,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    def ref_decode(nibs, pred, idx):
+        out = [pred]
+        for n in nibs:
+            step = int(_IMA_STEPS[idx])
+            diff = step >> 3
+            if n & 1:
+                diff += step >> 2
+            if n & 2:
+                diff += step >> 1
+            if n & 4:
+                diff += step
+            pred = max(-32768, min(32767, pred + (-diff if n & 8 else diff)))
+            idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[n & 7])))
+            out.append(pred)
+        return out
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    nib = rng.integers(0, 16, (6, 96)).astype(np.uint8)
+    p0 = rng.integers(-32768, 32768, 6).astype(np.int32)
+    i0 = rng.integers(0, 89, 6).astype(np.int32)
+    vec = _ima_decode_blocks(nib, p0, i0)
+    for b in range(6):
+        assert vec[b].tolist() == ref_decode(nib[b], int(p0[b]), int(i0[b]))
+
+    t = np.arange(4040) / 8000.0
+    sig = (0.6 * np.sin(2 * np.pi * 300 * t) * 32767).astype(np.int16)
+    rate, out = decode_wav(encode_wav_ima_adpcm(sig, 8000))
+    assert rate == 8000
+    err = out[: len(sig), 0] * 32768.0 - sig
+    assert float(np.sqrt(np.mean(err**2))) < 0.03 * 32768
+    assert float(np.abs(err).max()) < 1500
+
+    # corrupt step index in the first block header must raise, not wrap
+    wav = bytearray(encode_wav_ima_adpcm(sig[:505], 8000))
+    data_off = wav.index(b"data") + 8
+    wav[data_off + 2] = 99  # step index > 88
+    with _pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(wav))
+
+
+def test_ima_adpcm_through_spark_features(spark):
+    """A format-0x11 clip flows through the mapInPandas feature path
+    with no quarantine row and sane descriptors."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.audio import (
+        encode_wav_ima_adpcm,
+        extract_audio_features,
+    )
+
+    t = np.arange(2020) / 8000.0
+    tone = (0.5 * np.sin(2 * np.pi * 500 * t) * 32767).astype(np.int16)
+    payload = encode_wav_ima_adpcm(tone, rate=8000)
+    media = spark.createDataFrame(
+        [("clip-a", "audio", bytearray(payload))],
+        "media_ref string, kind string, payload binary",
+    )
+    row = extract_audio_features(media).collect()[0]
+    assert row["decode_err"] is None
+    assert row["sample_rate"] == 8000 and row["n_channels"] == 1
+    # 2020 samples = exactly 4 blocks of 505, no padding
+    assert row["duration_ms"] == round(1000 * 2020 / 8000)
+    assert 400 < row["feat"][2] < 600  # centroid near 500 Hz
