@@ -447,20 +447,53 @@ def read_snapshot(
 
 
 def incremental_read(
-    spark: SparkSession, root: str, after: int | None, until: int | None = None
+    spark: SparkSession,
+    root: str,
+    after: int | None,
+    until: int | None = None,
+    on_row_changes: str = "error",
 ) -> DataFrame:
     """Rows appended AFTER snapshot ``after`` up to ``until`` (default:
     latest) — the incremental-processing feed.  Iceberg equivalent: an
-    incremental scan with ``start-snapshot-id``/``end-snapshot-id``.
+    incremental APPEND scan with ``start-snapshot-id``/``end-snapshot-
+    id``, with Iceberg's per-operation semantics:
+
+    - ``append`` snapshots contribute the files they added;
+    - ``replace`` (compaction) and ``fold`` (expire) snapshots
+      contribute NOTHING — they rewrite rows the consumer has already
+      seen, so including them would re-deliver the whole compacted set;
+    - ``merge`` / ``delete`` snapshots CHANGE rows, which an
+      append-only feed cannot represent — they raise ``ValueError``
+      (Iceberg's incremental scan refuses non-append snapshots) unless
+      ``on_row_changes="include"``, which folds their rewritten files
+      in (the updated rows plus re-delivered survivors from partially
+      rewritten files: at-least-once semantics the caller must dedup).
+
     Pairs with the checkpointed extract job: process the diff, record
-    ``until`` as the new high-water mark."""
-    snaps = [
+    ``until`` as the new high-water mark — and a maintenance compaction
+    running between two tail cycles is now invisible to the tail
+    instead of a duplicate storm."""
+    if on_row_changes not in ("error", "include"):
+        raise ValueError(f"on_row_changes must be error|include, got {on_row_changes!r}")
+    window = [
         s
         for s in _snapshots(spark, root)
         if (after is None or s["snapshot_id"] > after)
         and (until is None or s["snapshot_id"] <= until)
     ]
-    return _read_snaps(spark, snaps)
+    use = []
+    for s in window:
+        op = s.get("operation", "append")
+        if op in ("replace", "fold"):
+            continue
+        if op in ("merge", "delete") and on_row_changes == "error":
+            raise ValueError(
+                f"snapshot {s['snapshot_id']} is a {op}: an incremental "
+                "append scan cannot represent row changes (pass "
+                "on_row_changes='include' for at-least-once redelivery)"
+            )
+        use.append(s)
+    return _read_snaps(spark, use)
 
 
 def _hit_files(

@@ -492,11 +492,21 @@ def test_snapshot_merge_into_copy_on_write(spark, tmp_path):
     for d in upd:
         assert pre[d["doc_id"]] != ["MERGED"] * len(d["spans"])
 
-    # incremental feed after the pre-merge snapshot = the rewritten rows:
-    # every updated + inserted doc, plus survivors ONLY from the part
-    # files that were rewritten (file-granular COW — unaffected part
-    # files of batch 2 are carried forward, not re-emitted)
-    inc = {r["doc_id"] for r in S.incremental_read(spark, root, after=2).collect()}
+    # an append-only incremental scan cannot represent the merge's row
+    # changes: default mode refuses, like Iceberg's incremental scan
+    with pytest.raises(ValueError, match="merge"):
+        S.incremental_read(spark, root, after=2).collect()
+
+    # opt-in redelivery: every updated + inserted doc, plus survivors
+    # ONLY from the part files that were rewritten (file-granular COW —
+    # unaffected part files of batch 2 are carried forward, not
+    # re-emitted); at-least-once, caller dedups
+    inc = {
+        r["doc_id"]
+        for r in S.incremental_read(
+            spark, root, after=2, on_row_changes="include"
+        ).collect()
+    }
     assert inc >= {d["doc_id"] for d in upd + ins}
     assert inc <= {d["doc_id"] for d in corpus[6:] + ins}
 
@@ -605,3 +615,34 @@ def test_snapshot_rewrite_data_files(spark, tmp_path):
     )
     # idempotent: a single compacted file has nothing left to pack
     assert S.rewrite_data_files(spark, root, stat_cols=["doc_id"]) is None
+
+
+def test_incremental_read_skips_compaction(spark, tmp_path):
+    """A maintenance compaction between two tail cycles is invisible to
+    the incremental feed: 'replace' snapshots rewrite rows the consumer
+    already saw, so they contribute nothing — no duplicate storm, and
+    appends on either side of the compaction are each delivered exactly
+    once (Iceberg's incremental APPEND scan semantics)."""
+    from reading_the_unreadable_spark.sources import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    ).repartition(3)
+    S.append_snapshot(mk(0, 60), root)      # snap 1 — consumed
+    S.append_snapshot(mk(60, 120), root)    # snap 2 — pending
+    assert S.rewrite_data_files(spark, root)["snapshot_id"] == 3  # replace
+    S.append_snapshot(mk(120, 150), root)   # snap 4 — pending
+
+    inc = S.incremental_read(spark, root, after=1)
+    got = [r["doc_id"] for r in inc.collect()]
+    assert sorted(got) == list(range(60, 150))  # exactly once, no dupes
+    # and the compacted rewrite of already-consumed snap-1 rows is
+    # genuinely absent, not deduped away
+    assert len(got) == len(set(got))
+
+    # a tail that starts AFTER the compaction snapshot sees only the
+    # later append (the replace added no new rows past its own sid)
+    assert sorted(
+        r["doc_id"] for r in S.incremental_read(spark, root, after=3).collect()
+    ) == list(range(120, 150))
