@@ -251,21 +251,226 @@ def _collect_stats(
     return out
 
 
+# ---------------------------------------------- hidden partitioning
+# Iceberg partition TRANSFORMS: the table declares a spec like
+# [bucket(16, doc_id), identity(source)]; writers route rows into
+# partition directories by the TRANSFORMED value, the manifest records
+# each data file's partition tuple, and readers prune files from the
+# range predicate alone — without ever knowing the physical layout
+# (Iceberg's "hidden partitioning": queries mention doc_id, never the
+# bucket).  Spec entries are ``(col, "identity")``, ``(col, "bucket",
+# N)`` or ``(col, "truncate", W)``; sources are restricted to
+# integer/string columns so the transformed value round-trips exactly
+# through a Hive-style directory name.
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _norm_spec(partition_by) -> list[tuple[str, str, int | None]]:
+    spec = []
+    for entry in partition_by:
+        if len(entry) == 2:
+            col, tr, param = entry[0], entry[1], None
+        else:
+            col, tr, param = entry
+        if tr not in ("identity", "bucket", "truncate"):
+            raise ValueError(f"unknown partition transform {tr!r}")
+        if tr in ("bucket", "truncate") and not (
+            isinstance(param, int) and param > 0
+        ):
+            raise ValueError(f"{tr} transform needs a positive int param")
+        spec.append((col, tr, param))
+    return spec
+
+
+def _spec_source_kind(schema: StructType, col: str) -> str:
+    """'int' or 'str' — the only source kinds a transform accepts."""
+    kind = {f.name: f.dataType.typeName() for f in schema.fields}.get(col)
+    if kind in ("byte", "short", "integer", "long"):
+        return "int"
+    if kind == "string":
+        return "str"
+    raise ValueError(
+        f"partition source column {col!r} must be integer or string "
+        f"(got {kind})"
+    )
+
+
+def _transform_col(kind: str, col: str, tr: str, param: int | None) -> Column:
+    """The transform as a Spark expression (write path)."""
+    c = F.col(col)
+    if tr == "identity":
+        return c
+    if tr == "bucket":
+        # md5-based bucket: bit-identical to the Python replica below on
+        # every engine (Spark's murmur hash() is not portably
+        # replicable driver-side without the JVM)
+        return F.pmod(
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+                "long"
+            ),
+            F.lit(param),
+        )
+    if kind == "int":  # truncate, integer source: floor to width multiple
+        return (F.floor(c / param) * param).cast("long")
+    return F.substring(c, 1, param)  # truncate, string source
+
+
+def _transform_py(kind: str, v, tr: str, param: int | None):
+    """Driver-side replica of :func:`_transform_col` for prune bounds."""
+    import hashlib
+
+    if v is None:
+        return None
+    if tr == "identity":
+        return v
+    if tr == "bucket":
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % param
+    if kind == "int":
+        return (int(v) // param) * param
+    return str(v)[:param]
+
+
+def _parse_part_value(raw: str, kind: str, tr: str):
+    if raw == _HIVE_NULL:
+        return None
+    from urllib.parse import unquote
+
+    raw = unquote(raw)
+    if tr == "bucket" or kind == "int":
+        return int(raw)
+    return raw
+
+
+def _partition_may_match(
+    spec: list, values: list, prune: dict
+) -> bool:
+    """Can a file whose partition tuple is ``values`` contain a row
+    inside every pruned range?  NULL partition values and unknown
+    columns keep the file (never prune on missing evidence)."""
+    for (col, tr, param, kind), v in zip(spec, values):
+        if col not in prune or v is None:
+            continue
+        lo, hi = prune[col]
+        try:
+            if tr == "identity":
+                if (lo is not None and v < lo) or (hi is not None and v > hi):
+                    return False
+            elif tr == "bucket":
+                # a bucket constrains only point lookups
+                if (
+                    lo is not None
+                    and lo == hi
+                    and _transform_py(kind, lo, tr, param) != v
+                ):
+                    return False
+            elif kind == "int":  # truncate: file covers [v, v + W)
+                if (hi is not None and v > hi) or (
+                    lo is not None and v + param - 1 < lo
+                ):
+                    return False
+            else:  # truncate on strings: every row shares prefix v
+                if (hi is not None and v > str(hi)) or (
+                    lo is not None and v < str(lo)[:param]
+                ):
+                    return False
+        except TypeError:
+            continue  # incomparable bound: keep the file
+    return True
+
+
+def _write_data_dir_partitioned(
+    df: DataFrame, root: str, sid: int, attempt: str, spec: list
+) -> tuple[list[str], dict]:
+    """Write ``df`` routed into Hive-style transform directories and
+    return ``(files, {norm_uri: partition_tuple})``.  The synthetic
+    ``_pt{i}`` columns exist only as directory names — data files keep
+    exactly the user schema."""
+    kinds = [_spec_source_kind(df.schema, col) for col, _tr, _p in spec]
+    pcols = [f"_pt{i}" for i in range(len(spec))]
+    out = df
+    for (col, tr, param), kind, pc in zip(spec, kinds, pcols):
+        out = out.withColumn(pc, _transform_col(kind, col, tr, param))
+    data_dir = f"{root}/data/snap-{sid}-{attempt}"
+    out.write.mode("errorifexists").partitionBy(*pcols).parquet(data_dir)
+    spark = df.sparkSession
+    fs, p, _ = _fs_path(spark, data_dir)
+    files: list[str] = []
+    partitions: dict = {}
+
+    def walk(path, values):
+        for st in sorted(fs.listStatus(path), key=lambda s: s.getPath().getName()):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name:
+                i = len(values)
+                v = _parse_part_value(
+                    name.split("=", 1)[1], kinds[i], spec[i][1]
+                )
+                walk(st.getPath(), values + [v])
+            elif name.endswith(".parquet") and not name.startswith(("_", ".")):
+                f = st.getPath().toString()
+                files.append(f)
+                partitions[_norm_uri(f)] = values
+    walk(p, [])
+    return files, partitions
+
+
+def _state_partitions(snaps: list[dict]) -> dict:
+    """Fold of per-file partition info across manifests:
+    ``{norm_uri: (spec_with_kinds, values)}``.  Files written without a
+    spec (unpartitioned appends, merge/delete rewrites) are absent and
+    never partition-prune — the conservative direction.  Spec evolution
+    is free: pruning is evaluated per file against the spec its
+    manifest recorded."""
+    parts: dict = {}
+    for snap in snaps:
+        for f in snap.get("removed_files", []):
+            parts.pop(_norm_uri(f), None)
+        spec = snap.get("partition_spec")
+        if spec:
+            schema = _schema_of(snap)
+            spec_k = [
+                (col, tr, param, _spec_source_kind(schema, col))
+                for col, tr, param in spec
+            ]
+            for f, values in snap.get("partitions", {}).items():
+                parts[f] = (spec_k, values)
+        # fold manifests carry pre-resolved info under "partitions_k"
+        for f, (spec_k, values) in snap.get("partitions_k", {}).items():
+            parts[f] = ([tuple(e) for e in spec_k], values)
+    return parts
+
+
 def append_snapshot(
-    df: DataFrame, root: str, stat_cols: list[str] | None = None
+    df: DataFrame,
+    root: str,
+    stat_cols: list[str] | None = None,
+    partition_by: list[tuple] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot; returns the new snapshot id.
     Iceberg equivalent: ``df.writeTo(table).append()``.  With
     ``stat_cols``, per-file min/max bounds for those columns are
     recorded in the manifest (Iceberg's column bounds), enabling
-    file-skipping via ``read_snapshot(..., prune=...)``."""
+    file-skipping via ``read_snapshot(..., prune=...)``.  With
+    ``partition_by`` (e.g. ``[("doc_id", "bucket", 16), ("source",
+    "identity")]``), rows are routed into hidden-partition directories
+    and each file's partition tuple is recorded — ``prune`` then skips
+    whole partitions from the predicate alone, Iceberg's hidden
+    partitioning."""
     spark = df.sparkSession
     parent = current_snapshot_id(spark, root)
     sid = (parent or 0) + 1
     attempt = uuid.uuid4().hex[:8]
     # attempt-unique data dir: a killed previous attempt can never
     # collide, and unreferenced attempts are invisible to readers
-    files = _write_data_dir(df, root, sid, attempt)
+    partitions = None
+    if partition_by:
+        spec = _norm_spec(partition_by)
+        files, partitions = _write_data_dir_partitioned(
+            df, root, sid, attempt, spec
+        )
+    else:
+        files = _write_data_dir(df, root, sid, attempt)
     manifest = {
         "snapshot_id": sid,
         "parent_id": parent,
@@ -273,6 +478,9 @@ def append_snapshot(
         "operation": "append",
         "schema": df.schema.jsonValue(),
     }
+    if partitions is not None:
+        manifest["partition_spec"] = [list(e) for e in spec]
+        manifest["partitions"] = partitions
     if stat_cols:
         manifest["stats"] = _collect_stats(spark, files, df.schema, stat_cols)
     return _commit(spark, root, sid, attempt, manifest)
@@ -426,11 +634,16 @@ def read_snapshot(
         return _read_snaps(spark, snaps)
     entries = _state_files(spark, snaps)
     stats = _state_stats(snaps)
-    kept = [
-        e
-        for e in entries
-        if _stats_may_match(stats.get(_norm_uri(e[0]), {}), prune)
-    ]
+    parts = _state_partitions(snaps)
+    kept = []
+    for e in entries:
+        key = _norm_uri(e[0])
+        if not _stats_may_match(stats.get(key, {}), prune):
+            continue
+        part = parts.get(key)
+        if part is not None and not _partition_may_match(*part, prune):
+            continue
+        kept.append(e)
     if not kept:
         schema = (
             _schema_of(snaps[-1]) if snaps else DOCS_SCHEMA
@@ -641,12 +854,20 @@ def rewrite_data_files(
     parent = snaps[-1]["snapshot_id"]
     sid = parent + 1
     attempt = uuid.uuid4().hex[:8]
-    by_schema: dict[str, list[tuple[str, int]]] = {}
+    # group by (schema, partition tuple): compacting WITHIN a hidden
+    # partition keeps every surviving file single-partition, so
+    # partition pruning works identically after compaction (Iceberg's
+    # rewrite_data_files likewise rewrites per partition)
+    parts = _state_partitions(snaps)
+    by_group: dict[tuple[str, str], list[tuple[str, int]]] = {}
     for f, key, sz in candidates:
-        by_schema.setdefault(key, []).append((f, sz))
+        part = parts.get(_norm_uri(f))
+        pkey = json.dumps(part, default=list) if part is not None else ""
+        by_group.setdefault((key, pkey), []).append((f, sz))
     new_entries: list[tuple[str, str]] = []
     stats: dict = {}
-    for gi, (key, group) in enumerate(sorted(by_schema.items())):
+    partitions_k: dict = {}
+    for gi, ((key, pkey), group) in enumerate(sorted(by_group.items())):
         schema = StructType.fromJson(json.loads(key))
         total = sum(sz for _f, sz in group)
         n_out = max(1, -(-total // target_file_bytes))
@@ -659,6 +880,10 @@ def rewrite_data_files(
         # still matches the snap-* orphan-reclamation contract
         files = _write_data_dir(df, root, sid, f"{attempt}-g{gi}")
         new_entries.extend((f, key) for f in files)
+        if pkey:
+            spec_k, values = json.loads(pkey)
+            for f in files:
+                partitions_k[_norm_uri(f)] = [spec_k, values]
         if stat_cols:
             stats.update(_collect_stats(spark, files, schema, stat_cols))
     manifest = {
@@ -669,6 +894,8 @@ def rewrite_data_files(
         "operation": "replace",
         "schema": snaps[-1].get("schema", DOCS_SCHEMA.jsonValue()),
     }
+    if partitions_k:
+        manifest["partitions_k"] = partitions_k
     if stats:
         manifest["stats"] = stats
     _commit(spark, root, sid, attempt, manifest)
@@ -735,6 +962,15 @@ def expire_snapshots(
             "stats": {
                 k: v
                 for k, v in _state_stats(folded + [base]).items()
+                if k in fold_norm
+            },
+            # pre-resolved (spec+kind, values) so partition pruning
+            # survives the fold exactly like column stats do
+            "partitions_k": {
+                k: [list(map(list, spec_k)), values]
+                for k, (spec_k, values) in _state_partitions(
+                    folded + [base]
+                ).items()
                 if k in fold_norm
             },
             "operation": "fold",

@@ -646,3 +646,116 @@ def test_incremental_read_skips_compaction(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in S.incremental_read(spark, root, after=3).collect()
     ) == list(range(120, 150))
+
+
+def test_snapshot_hidden_partitioning(spark, tmp_path):
+    """Iceberg hidden partitioning: the table declares transforms
+    (bucket/identity/truncate), writers route rows into transform
+    directories, the manifest records each file's partition tuple, and
+    read_snapshot(prune=...) skips whole partitions from the predicate
+    alone — the query never mentions the bucket."""
+    import hashlib
+
+    from reading_the_unreadable_spark.sources import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("src"),
+        (F.col("id") * 2).alias("v"),
+    )
+    spec = [("doc_id", "bucket", 8), ("src", "identity")]
+    S.append_snapshot(df, root, partition_by=spec)
+    S.append_snapshot(
+        spark.range(300, 600).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("src"),
+            (F.col("id") * 2).alias("v"),
+        ),
+        root,
+        partition_by=spec,
+    )
+
+    # full read: user schema only (no _pt columns), all rows
+    full = S.read_snapshot(spark, root)
+    assert full.columns == ["doc_id", "src", "v"]
+    assert full.count() == 600
+    n_all = len(full.inputFiles())
+    assert n_all >= 16  # 8 buckets x >=2 src values, x2 snapshots
+
+    # point lookup on doc_id prunes to the one bucket per snapshot
+    point = S.read_snapshot(spark, root, prune={"doc_id": (42, 42)})
+    bucket42 = int(hashlib.md5(b"42").hexdigest()[:8], 16) % 8
+    assert [r["doc_id"] for r in point.collect()] == [42]
+    assert 0 < len(point.inputFiles()) <= n_all // 8 + 2
+    # every planned file sits in bucket42's directory
+    assert all(f"_pt0={bucket42}/" in f for f in point.inputFiles())
+
+    # identity prune on src: only that value's directories are planned
+    srcq = S.read_snapshot(spark, root, prune={"src": ("src1", "src1")})
+    assert srcq.count() == 200
+    assert all("_pt1=src1" in f for f in srcq.inputFiles())
+
+    # a RANGE on the bucketed column cannot bucket-prune (conservative:
+    # all files), but rows are still filtered correctly
+    rng = S.read_snapshot(spark, root, prune={"doc_id": (10, 20)})
+    assert sorted(r["doc_id"] for r in rng.collect()) == list(range(10, 21))
+
+    # compaction preserves partition pruning: files are bin-packed
+    # WITHIN a partition and the replace manifest re-records tuples
+    res = S.rewrite_data_files(spark, root)
+    assert res is not None
+    point2 = S.read_snapshot(spark, root, prune={"doc_id": (42, 42)})
+    assert [r["doc_id"] for r in point2.collect()] == [42]
+    assert len(point2.inputFiles()) < len(
+        S.read_snapshot(spark, root).inputFiles()
+    )
+
+    # ...and survives the expire fold
+    S.expire_snapshots(spark, root, keep_n=1, orphan_grace_s=0)
+    point3 = S.read_snapshot(spark, root, prune={"doc_id": (42, 42)})
+    assert [r["doc_id"] for r in point3.collect()] == [42]
+    assert len(point3.inputFiles()) < len(
+        S.read_snapshot(spark, root).inputFiles()
+    )
+
+
+def test_snapshot_truncate_transform(spark, tmp_path):
+    """truncate(W) partitioning: integer sources floor to W-multiples,
+    string sources cut to W-char prefixes; range prunes plan only the
+    overlapping truncation cells."""
+    from reading_the_unreadable_spark.sources import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("issue-"), F.lpad(F.col("id").cast("string"), 4, "0")).alias(
+            "name"
+        ),
+    )
+    S.append_snapshot(
+        df, root, partition_by=[("doc_id", "truncate", 100)]
+    )
+    rng = S.read_snapshot(spark, root, prune={"doc_id": (250, 349)})
+    assert sorted(r["doc_id"] for r in rng.collect()) == list(range(250, 350))
+    # only cells 200 and 300 overlap [250, 349]
+    cells = {f.split("_pt0=")[1].split("/")[0] for f in rng.inputFiles()}
+    assert cells == {"200", "300"}
+
+    # string truncate
+    root2 = str(tmp_path / "tbl2")
+    S.append_snapshot(df, root2, partition_by=[("name", "truncate", 7)])
+    one = S.read_snapshot(
+        spark, root2, prune={"name": ("issue-0500", "issue-0999")}
+    )
+    assert one.count() == 500
+    cells2 = {f.split("_pt0=")[1].split("/")[0] for f in one.inputFiles()}
+    assert cells2 == {"issue-0"}
+
+    # bad specs raise loudly
+    with pytest.raises(ValueError, match="transform"):
+        S.append_snapshot(df, root2, partition_by=[("name", "hash", 4)])
+    with pytest.raises(ValueError, match="integer or string"):
+        S.append_snapshot(
+            df.withColumn("f", F.lit(1.5)), root2, partition_by=[("f", "identity")]
+        )
