@@ -803,9 +803,15 @@ def q_pdf_extract(spark, sf):
     layouts by n_chars % 3 — classic raw, classic Flate-compressed, and
     post-2005 xref-stream + /ObjStm — then parsed back by the
     from-scratch PDF text/layout parser; both directions run inside
-    Arrow mapInPandas.  Parse output is container-invariant, so the
-    oracle states the run grid (x=72, y=720-14·run) and chunked text in
-    closed form regardless of layout."""
+    Arrow mapInPandas.  Docs with n_chars % 12 in {9, 10, 11} are
+    additionally ENCRYPTED (standard security handler, empty user
+    password: RC4-40, RC4-128, AES-128 /AESV2 respectively) and
+    decrypted transparently on parse (AES-256 /R 6 is pytest-covered;
+    its Algorithm-2.B KDF is a deliberate password-hardening cost not
+    paid per-doc here).  Parse output is container- and
+    encryption-invariant, so the oracle states the run grid (x=72,
+    y=720-14·run) and chunked text in closed form regardless of
+    layout."""
     import pandas as pd_local
 
     from reading_the_unreadable_spark.operators.pdf import (
@@ -827,12 +833,16 @@ def q_pdf_extract(spark, sf):
                 ]
                 out["doc_id"].append(f"doc-{doc_id}")
                 layout = int(n_chars) % 3
+                enc_sel = int(n_chars) % 12
                 out["payload"].append(
                     encode_pdf(
                         [lines],
                         compress=(layout != 0),
                         xref_stream=(layout == 2),
                         use_objstm=(layout == 2),
+                        encrypt={9: "rc4-40", 10: "rc4-128", 11: "aes-128"}.get(
+                            enc_sel
+                        ),
                     )
                 )
             yield pd_local.DataFrame(out)

@@ -21,12 +21,16 @@ a row-wise UDF).
 
 from __future__ import annotations
 
+import hashlib
 import re
+import struct
 import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from . import pdf_crypt
 
 PDF_SPAN_SCHEMA = "doc_id string, page int, run int, x double, y double, text string"
 
@@ -49,6 +53,93 @@ def _escape_pdf_string(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+_ENCRYPT_METHODS = ("rc4-40", "rc4-128", "aes-128", "aes-256")
+
+
+def _build_encrypt_dict(
+    method: str, id0: bytes
+) -> tuple[bytes, pdf_crypt.StandardSecurityHandler]:
+    """The /Encrypt dictionary body + handler for ``encode_pdf``
+    (standard security handler, empty user/owner password, P = -4 i.e.
+    all permissions granted)."""
+    p = -4
+    if method == "aes-256":
+        # V5/R6: the file key is free-standing (not password-derived);
+        # a fixture writer derives it and the salts from the file ID
+        file_key = hashlib.sha256(id0 + b"|rtu-file-key").digest()
+        vs = hashlib.md5(id0 + b"|vs").digest()[:8]
+        ks = hashlib.md5(id0 + b"|ks").digest()[:8]
+        u, ue = pdf_crypt.compute_r6_entries(b"", file_key, vs, ks)
+        ovs = hashlib.md5(id0 + b"|ovs").digest()[:8]
+        oks = hashlib.md5(id0 + b"|oks").digest()[:8]
+        # owner entries use the full 48-byte /U as extra hash data
+        o = pdf_crypt.hash_2b(b"", ovs, u) + ovs + oks
+        oe = pdf_crypt.aes_cbc_encrypt(
+            pdf_crypt.hash_2b(b"", oks, u), b"\x00" * 16, file_key, pad=False
+        )
+        perms = pdf_crypt.aes_ecb_encrypt_block(
+            file_key, struct.pack("<i", p) + b"\xff\xff\xff\xffTadb" + b"rtu!"
+        )
+        body = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+            b"/O <%s> /U <%s> /OE <%s> /UE <%s> /P %d /Perms <%s> >>"
+            % (
+                o.hex().encode(),
+                u.hex().encode(),
+                oe.hex().encode(),
+                ue.hex().encode(),
+                p,
+                perms.hex().encode(),
+            )
+        )
+        return body, pdf_crypt.StandardSecurityHandler(file_key, "aes256")
+    if method == "rc4-40":
+        r, nbytes, crypt_m = 2, 5, "rc4"
+        tail = b"/V 1 /R 2"
+    elif method == "rc4-128":
+        r, nbytes, crypt_m = 3, 16, "rc4"
+        tail = b"/V 2 /R 3 /Length 128"
+    elif method == "aes-128":
+        r, nbytes, crypt_m = 4, 16, "aes128"
+        tail = (
+            b"/V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF"
+        )
+    else:
+        raise ValueError(f"unknown encrypt method {method!r}: {_ENCRYPT_METHODS}")
+    o = pdf_crypt.compute_o(b"", b"", r, nbytes)
+    key = pdf_crypt.compute_key(b"", o, p, id0, r, nbytes)
+    u = pdf_crypt.compute_u(key, id0, r)
+    body = b"<< /Filter /Standard %s /O <%s> /U <%s> /P %d >>" % (
+        tail,
+        o.hex().encode(),
+        u.hex().encode(),
+        p,
+    )
+    return body, pdf_crypt.StandardSecurityHandler(key, crypt_m)
+
+
+def _encrypt_body_streams(
+    body: bytes, num: int, handler: pdf_crypt.StandardSecurityHandler
+) -> bytes:
+    """Encrypt the stream data inside one writer-built object body and
+    update its literal /Length (AES grows the data: IV + padding)."""
+    sm = re.search(rb"stream\r?\n", body)
+    if sm is None:
+        return body
+    head = body[: sm.start()]
+    lit = _LEN_LIT_RE.search(head)
+    if lit is None:
+        raise ValueError("writer stream without a literal /Length")
+    data = body[sm.end() : sm.end() + int(lit.group(1))]
+    enc = handler.encrypt(data, num)
+    head = head[: lit.start(1)] + b"%d" % len(enc) + head[lit.end(1) :]
+    return head + b"stream\n" + enc + b"\nendstream"
+
+
 def encode_pdf(
     pages: list[list[str]],
     compress: bool = False,
@@ -56,6 +147,7 @@ def encode_pdf(
     leading: float = 14.0,
     xref_stream: bool = False,
     use_objstm: bool = False,
+    encrypt: str | None = None,
 ) -> bytes:
     """Minimal PDF writer: one content stream per page, each line placed
     with an absolute ``Tm`` then shown with ``Tj``.  ``compress=True``
@@ -112,6 +204,27 @@ def encode_pdf(
         raise AssertionError(f"pages object id drifted: {pages_obj} != {pages_id}")
     catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
 
+    enc_id = 0
+    trailer_extra = b""
+    handler = None
+    if encrypt is not None:
+        # deterministic file ID (spec wants "unique"; a fixture writer
+        # wants reproducible) — derived from the document text
+        id0 = hashlib.md5(
+            b"\x00".join(ln.encode("latin-1") for pg in pages for ln in pg)
+            + b"|rtu-pdf-id"
+        ).digest()
+        enc_body, handler = _build_encrypt_dict(encrypt, id0)
+        enc_id = add(enc_body)
+        trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+            enc_id,
+            id0.hex().encode(),
+            id0.hex().encode(),
+        )
+        for i, body in enumerate(objects, start=1):
+            if i != enc_id:  # the encrypt dict itself is never encrypted
+                objects[i - 1] = _encrypt_body_streams(body, i, handler)
+
     if not xref_stream:
         out = bytearray(b"%PDF-1.4\n")
         offsets = [0]
@@ -124,8 +237,8 @@ def encode_pdf(
         for off in offsets[1:]:
             out += b"%010d 00000 n \n" % off
         out += (
-            b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF"
-            % (len(objects) + 1, catalog, xref_at)
+            b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF"
+            % (len(objects) + 1, catalog, trailer_extra, xref_at)
         )
         return bytes(out)
 
@@ -135,11 +248,15 @@ def encode_pdf(
     entries: dict[int, tuple[int, int, int]] = {}  # num -> (type, f2, f3)
     if use_objstm:
         objstm_num, xref_num = n + 1, n + 2
+        # the /Encrypt dict must stay a top-level object (the spec
+        # forbids packing it into an ObjStm)
         packed = [
-            (i, b) for i, b in enumerate(objects, start=1) if b"stream" not in b
+            (i, b)
+            for i, b in enumerate(objects, start=1)
+            if b"stream" not in b and i != enc_id
         ]
         for i, body in enumerate(objects, start=1):
-            if b"stream" in body:
+            if b"stream" in body or i == enc_id:
                 entries[i] = (1, len(out), 0)
                 out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
         header = b" ".join(b"%d %d" % (i, off) for (i, _), off in zip(
@@ -150,6 +267,11 @@ def encode_pdf(
         for idx, (i, _) in enumerate(packed):
             entries[i] = (2, objstm_num, idx)
         stm_data = zlib.compress(header + bodies)
+        if handler is not None:
+            # packed objects are protected by encrypting the ObjStm
+            # stream itself (spec: strings inside an ObjStm are NOT
+            # separately encrypted)
+            stm_data = handler.encrypt(stm_data, objstm_num)
         entries[objstm_num] = (1, len(out), 0)
         out += (
             b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
@@ -171,10 +293,10 @@ def encode_pdf(
         t, f2, f3 = entries.get(i, (0, 0, 65535))
         rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
     out += (
-        b"%d 0 obj\n<< /Type /XRef /Size %d /Root %d 0 R /W [1 4 2] "
+        b"%d 0 obj\n<< /Type /XRef /Size %d /Root %d 0 R%s /W [1 4 2] "
         b"/Index [0 %d] /Length %d >>\nstream\n"
-        % (xref_num, size, catalog, size, len(rows))
-        + bytes(rows)
+        % (xref_num, size, catalog, trailer_extra, size, len(rows))
+        + bytes(rows)  # cross-reference streams are never encrypted
         + b"\nendstream\nendobj\n"
     )
     out += b"startxref\n%d\n%%%%EOF" % xref_at
@@ -475,6 +597,149 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
     return ordered
 
 
+def _dict_string_bytes(body: bytes, name: bytes) -> bytes | None:
+    """The raw bytes of a hex ``<…>`` or literal ``(…)`` string value
+    for key ``name`` in a dictionary body (security-handler entries)."""
+    m = re.search(rb"/" + name + rb"\s*<([0-9A-Fa-f\s]*)>", body)
+    if m:
+        return bytes.fromhex(m.group(1).replace(b" ", b"").decode())
+    m = re.search(rb"/" + name + rb"\s*\(", body)
+    if not m:
+        return None
+    out = bytearray()
+    i = m.end()
+    depth = 1
+    while i < len(body):
+        c = body[i]
+        if c == 0x5C:  # backslash escape
+            i += 1
+            e = body[i]
+            if 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oct_s = bytearray([e])
+                while len(oct_s) < 3 and 0x30 <= body[i + 1] <= 0x37:
+                    i += 1
+                    oct_s.append(body[i])
+                out.append(int(oct_s.decode(), 8) & 0xFF)
+            else:
+                out.append(
+                    {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}.get(e, e)
+                )
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out)
+            out.append(c)
+        else:
+            out.append(c)
+        i += 1
+    raise ValueError(f"unterminated string for /{name.decode()}")
+
+
+def _open_encryption(
+    payload: bytes, objs: dict[int, bytes], enc_num: int
+) -> pdf_crypt.StandardSecurityHandler:
+    """Parse the /Encrypt dictionary and establish the file key with an
+    EMPTY user password (ISO 32000-1 §7.6).  ValueError when a real
+    password would be needed; NotImplementedError beyond the supported
+    profile (non-Standard handlers, /R 5, exotic crypt filters)."""
+    body = objs.get(enc_num)
+    if body is None:
+        raise ValueError(f"/Encrypt references missing object {enc_num}")
+    if not re.search(rb"/Filter\s*/Standard", body):
+        raise NotImplementedError("non-Standard security handler")
+    v_m = re.search(rb"/V\s+(\d+)", body)
+    r_m = re.search(rb"/R\s+(\d+)", body)
+    v = int(v_m.group(1)) if v_m else 0
+    r = int(r_m.group(1)) if r_m else 2
+    u_entry = _dict_string_bytes(body, b"U")
+    o_entry = _dict_string_bytes(body, b"O")
+    if u_entry is None or o_entry is None:
+        raise ValueError("/Encrypt dictionary missing /O or /U")
+    if v == 5:
+        if r != 6:
+            raise NotImplementedError(f"/V 5 revision {r} (only R6 supported)")
+        ue = _dict_string_bytes(body, b"UE")
+        if ue is None:
+            raise ValueError("/V 5 dictionary missing /UE")
+        key = pdf_crypt.verify_r6_user_password(b"", u_entry, ue)
+        if key is None:
+            raise ValueError("encrypted PDF: non-empty user password required")
+        return pdf_crypt.StandardSecurityHandler(key, "aes256")
+    len_m = re.search(rb"/Length\s+(\d+)", body)
+    nbits = int(len_m.group(1)) if len_m else 40
+    p_m = re.search(rb"/P\s+(-?\d+)", body)
+    p = int(p_m.group(1)) if p_m else -1
+    em = not re.search(rb"/EncryptMetadata\s+false", body)
+    if v == 1:
+        method, nbytes = "rc4", 5
+    elif v == 2:
+        method, nbytes = "rc4", nbits // 8
+    elif v == 4:
+        cf = re.search(rb"/CFM\s*/(\w+)", body)
+        cfm = cf.group(1) if cf else b""
+        if cfm == b"AESV2":
+            method, nbytes = "aes128", 16
+        elif cfm == b"V2":
+            method, nbytes = "rc4", nbits // 8
+        else:
+            raise NotImplementedError(f"crypt filter /CFM {cfm!r}")
+    else:
+        raise NotImplementedError(f"encryption /V {v}")
+    # first element of the trailer /ID array (hex form; the last
+    # occurrence wins — incremental updates append trailers)
+    id0 = b""
+    for im in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", payload):
+        id0 = bytes.fromhex(im.group(1).replace(b" ", b"").decode())
+    key = pdf_crypt.verify_user_password(
+        b"", o_entry, u_entry, p, id0, r, nbytes, em
+    )
+    if key is None:
+        raise ValueError("encrypted PDF: non-empty user password required")
+    return pdf_crypt.StandardSecurityHandler(key, method)
+
+
+def _decrypt_body_streams(
+    body: bytes,
+    num: int,
+    handler: pdf_crypt.StandardSecurityHandler,
+    int_objs: dict[int, int],
+) -> bytes:
+    """Decrypt the stream data inside one scanned object body, slicing
+    by /Length (literal, or indirect via the plaintext integer objects
+    — integers are never encrypted) and rewriting /Length to the
+    decrypted size (AES shrinks: IV + padding removed).  Generation
+    numbers are assumed 0 (the scan keys by object number; nonzero
+    generations only arise from incremental-update chains, outside this
+    parser's profile — a mismatch surfaces as a zlib/padding error, not
+    silent corruption)."""
+    sm = re.search(rb"stream\r?\n", body)
+    if sm is None:
+        return body
+    head = body[: sm.start()]
+    lit = _LEN_LIT_RE.search(head)
+    if lit is not None:
+        length = int(lit.group(1))
+    else:
+        ref = _LEN_REF_RE.search(head)
+        if ref is None or int(ref.group(1)) not in int_objs:
+            raise NotImplementedError(
+                "encrypted stream without resolvable /Length"
+            )
+        length = int_objs[int(ref.group(1))]
+    data = body[sm.end() : sm.end() + length]
+    dec = handler.decrypt(data, num)
+    head = re.sub(
+        rb"/Length\s+\d+(\s+\d+\s+R)?", b"/Length %d" % len(dec), head, count=1
+    )
+    return head + b"stream\n" + dec + b"\nendstream"
+
+
+_XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef")
+
+
 def decode_pdf(payload: bytes) -> list[list[tuple[float, float, str]]]:
     """PDF bytes → per-page text runs [(x, y, text), …] in /Kids order.
 
@@ -483,14 +748,42 @@ def decode_pdf(payload: bytes) -> list[list[tuple[float, float, str]]]:
     cross-reference tables AND cross-reference streams are metadata this
     parser never needs to consult, and objects packed into compressed
     /ObjStm streams are expanded by :func:`_expand_object_streams`.
-    Raises NotImplementedError on encryption, non-Flate filters, or
-    unresolvable stream lengths (the honest-subset contract, like PNG
-    in :mod:`multimodal`)."""
+
+    Encrypted documents (standard security handler, empty user
+    password — RC4 40/128, AES-128 ``/AESV2``, AES-256 ``/R 6``) are
+    decrypted transparently via :mod:`pdf_crypt`; a document needing a
+    real password raises ValueError.  Raises NotImplementedError on
+    non-Standard handlers, non-Flate filters, or unresolvable stream
+    lengths (the honest-subset contract, like PNG in
+    :mod:`multimodal`)."""
     if not payload.startswith(b"%PDF-"):
         raise ValueError(f"not a PDF: {payload[:8]!r}")
+    objs = _scan_objects(payload)
     if b"/Encrypt" in payload:
-        raise NotImplementedError("encrypted PDF not supported")
-    objs = _expand_object_streams(_scan_objects(payload))
+        enc_m = None
+        for enc_m in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", payload):
+            pass  # last occurrence wins (incremental updates)
+        if enc_m is None:
+            raise NotImplementedError(
+                "encrypted PDF: unresolvable /Encrypt reference"
+            )
+        enc_num = int(enc_m.group(1))
+        handler = _open_encryption(payload, objs, enc_num)
+        int_objs: dict[int, int] = {}
+        for n, b in objs.items():
+            if b"stream" not in b:
+                im = re.match(rb"\s*(\d+)\s*$", b)
+                if im:
+                    int_objs[n] = int(im.group(1))
+        objs = {
+            n: (
+                b
+                if n == enc_num or _XREF_TYPE_RE.search(b[:200])
+                else _decrypt_body_streams(b, n, handler, int_objs)
+            )
+            for n, b in objs.items()
+        }
+    objs = _expand_object_streams(objs)
     pages: list[list[tuple[float, float, str]]] = []
     for num in _page_order(objs):
         body = objs[num]
