@@ -1308,9 +1308,11 @@ def q_media_pipeline(spark, sf):
     """Multimodal families end-to-end under the driver: deterministic
     JPEG / WAV / AVI payloads derived per doc feed the image, audio, and
     video mapInPandas decode+feature paths built from scratch in
-    operators/{jpeg,audio,video}.py; output is the per-kind summary —
-    a pure function of the fixed doc_id sample, identical at every sf,
-    hash-checked against a closed-form VALUES oracle."""
+    operators/{jpeg,audio,video}.py — the WAV slice cycles all four
+    decodable families (int16 PCM, IMA ADPCM 0x11, MS-ADPCM 0x02, G.711
+    mu-law); output is the per-kind summary — a pure function of the
+    fixed doc_id sample, identical at every sf, hash-checked against a
+    closed-form VALUES oracle."""
     import numpy as np
     import pandas as pd_local
 
@@ -1372,7 +1374,14 @@ def q_media_pipeline(spark, sf):
                 rows["payload"].append(encode_tiff(page, compression="g4"))
                 rows["media_ref"].append(f"{ref}.wav")
                 rows["kind"].append("audio")
-                rows["payload"].append(synth_wav_bytes(f"{ref}.wav"))
+                # cycle all four decodable WAV families (doc_ids are
+                # multiples of 10, so %40 hits each variant 12-13 times)
+                wav_codec = {0: "pcm", 10: "ima", 20: "ms", 30: "ulaw"}[
+                    int(doc_id) % 40
+                ]
+                rows["payload"].append(
+                    synth_wav_bytes(f"{ref}.wav", codec=wav_codec)
+                )
                 rows["media_ref"].append(f"{ref}.avi")
                 rows["kind"].append("video")
                 rows["payload"].append(synth_avi_bytes(f"{ref}.avi", n_frames=4))
@@ -2600,7 +2609,7 @@ def oracle_sql() -> dict[str, str]:
         "media_pipeline": """
             SELECT kind, n_rows::BIGINT AS n_rows, avg_f0::DOUBLE AS avg_f0,
                    50::BIGINT AS n_docs_sampled, 10::BIGINT AS sample_modulus
-            FROM (VALUES ('audio', 50, 0.357),
+            FROM (VALUES ('audio', 50, 0.355),
                          ('image', 100, 112.914),
                          ('video', 100, 126.787)) AS t(kind, n_rows, avg_f0)
         """,

@@ -6,11 +6,12 @@ PCM (8/16/24/32-bit, any channel count), IEEE float (32/64-bit),
 G.711 mu-law/A-law (the telephone-era companded formats, ITU-T G.711
 LUT expansion), and WAVE_FORMAT_EXTENSIBLE wrapping any of them — are
 decoded for real, so the full pipeline (binary column → decode →
-feature-extract) runs end-to-end over Arrow batches.  IMA/DVI ADPCM
-(format 0x11) decodes too — block-vectorized numpy, every block's
-header restarts the predictor.  Truly compressed formats (MS-ADPCM,
-MP3/AAC) raise ``NotImplementedError`` loudly; swapping in
-soundfile/ffmpeg later changes only :func:`decode_wav`.
+feature-extract) runs end-to-end over Arrow batches.  Both RIFF ADPCM
+families decode too — IMA/DVI (format 0x11) and MS-ADPCM (format
+0x02, the 7-pair second-order predictor) — block-vectorized numpy,
+every block's header restarting predictor and delta.  Truly
+compressed formats (MP3/AAC) raise ``NotImplementedError`` loudly;
+swapping in soundfile/ffmpeg later changes only :func:`decode_wav`.
 
 Features are the classic cheap descriptors a corpus-curation pass
 filters on (silence/clipping/tone detection): duration, RMS level,
@@ -175,6 +176,173 @@ def _decode_ima_adpcm(
         chans.append(_ima_decode_blocks(nib, pred0[:, c], idx0[:, c]))
     stacked = np.stack(chans, axis=2)  # (blocks, samples, ch)
     return stacked.reshape(-1, ch).astype(np.float64) / 32768.0
+
+
+# MS-ADPCM (RIFF format 0x02) — the Microsoft WAVE ADPCM spec: 7 fixed
+# predictor pairs, a 16-entry delta adaptation table, two full samples
+# per block header seeding the second-order predictor.
+_MS_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], np.int64)
+_MS_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], np.int64)
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307,
+     230, 230, 230],
+    np.int64,
+)
+
+
+def _ms_decode_blocks(
+    nibbles: np.ndarray,
+    coef1: np.ndarray,
+    coef2: np.ndarray,
+    delta0: np.ndarray,
+    s1: np.ndarray,
+    s2: np.ndarray,
+) -> np.ndarray:
+    """Vectorized-across-blocks MS-ADPCM expansion (same trick as
+    :func:`_ima_decode_blocks`): the recurrence is sequential within a
+    block but every block header restarts predictor AND delta, so the
+    loop runs over positions while numpy works all blocks per step.
+    Output includes the two header samples (sample2 first — they ARE
+    the block's first two output samples per spec)."""
+    n_blocks, n_nib = nibbles.shape
+    out = np.empty((n_blocks, n_nib + 2), np.int64)
+    s1 = s1.astype(np.int64).copy()
+    s2 = s2.astype(np.int64).copy()
+    delta = delta0.astype(np.int64).copy()
+    out[:, 0] = s2
+    out[:, 1] = s1
+    for j in range(n_nib):
+        code = nibbles[:, j].astype(np.int64)
+        signed = np.where(code >= 8, code - 16, code)
+        pred = ((s1 * coef1 + s2 * coef2) >> 8) + signed * delta
+        pred = np.clip(pred, -32768, 32767)
+        s2 = s1
+        s1 = pred
+        # ceiling at int16 range: delta originates as an int16 header
+        # field and honest encoders keep it there; without the cap an
+        # adversarial all-8 nibble run grows it 3x per sample and
+        # overflows int64 (the scalar-reference test pins this clamp)
+        delta = np.clip((_MS_ADAPT[code] * delta) >> 8, 16, 32767)
+        out[:, j + 2] = pred
+    return out
+
+
+def _decode_ms_adpcm(
+    data: bytes, ch: int, block_align: int, samples_per_block: int
+) -> np.ndarray:
+    """RIFF format-0x02 data chunk → float64 (n, ch).  Block layout
+    (fields channel-interleaved): uint8 predictor index per channel,
+    int16 initial delta per channel, int16 sample1 per channel, int16
+    sample2 per channel, then 4-bit codes high-nibble-first with
+    channels alternating per nibble."""
+    if ch < 1 or block_align < 7 * ch + 1:
+        raise ValueError(f"malformed MS-ADPCM fmt: ch={ch} align={block_align}")
+    want = (block_align - 7 * ch) * 2 // ch + 2
+    if samples_per_block not in (0, want):
+        raise ValueError(
+            f"MS-ADPCM samples_per_block {samples_per_block} inconsistent "
+            f"with block_align {block_align} ({want} expected)"
+        )
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        return np.zeros((0, ch), np.float64)
+    raw = np.frombuffer(data[: n_blocks * block_align], np.uint8).reshape(
+        n_blocks, block_align
+    )
+    pred_idx = raw[:, :ch].astype(np.int64)
+    if np.any(pred_idx > 6):
+        raise ValueError("MS-ADPCM predictor index out of range")
+
+    def _i16(col: int) -> np.ndarray:
+        v = raw[:, col].astype(np.int64) | (raw[:, col + 1].astype(np.int64) << 8)
+        return np.where(v >= 32768, v - 65536, v)
+
+    delta0 = np.stack([_i16(ch + 2 * c) for c in range(ch)], axis=1)
+    s1 = np.stack([_i16(3 * ch + 2 * c) for c in range(ch)], axis=1)
+    s2 = np.stack([_i16(5 * ch + 2 * c) for c in range(ch)], axis=1)
+    body = raw[:, 7 * ch :]
+    nib = np.empty((n_blocks, body.shape[1] * 2), np.uint8)
+    nib[:, 0::2] = body >> 4  # high nibble first (opposite of IMA)
+    nib[:, 1::2] = body & 0x0F
+    chans = []
+    for c in range(ch):
+        chans.append(
+            _ms_decode_blocks(
+                nib[:, c::ch],
+                _MS_COEF1[pred_idx[:, c]],
+                _MS_COEF2[pred_idx[:, c]],
+                np.maximum(delta0[:, c], 16),
+                s1[:, c],
+                s2[:, c],
+            )
+        )
+    stacked = np.stack(chans, axis=2)  # (blocks, samples, ch)
+    return stacked.reshape(-1, ch).astype(np.float64) / 32768.0
+
+
+def encode_wav_ms_adpcm(
+    samples: np.ndarray, rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """mono int16 → RIFF/WAVE format 0x02 (MS-ADPCM).  Per-block the
+    encoder tries all 7 predictor pairs and keeps the one with the
+    lowest squared nibble-quantization error — the spec's recommended
+    strategy; the bitstream it emits is decodable by any MS-ADPCM
+    reader."""
+    x = np.asarray(samples, np.int64).ravel()
+    spb = (block_align - 7) * 2 + 2
+    n_blocks = max(1, -(-len(x) // spb))
+    x = np.pad(x, (0, n_blocks * spb - len(x)))
+    out = bytearray()
+    for b in range(n_blocks):
+        blk = x[b * spb : (b + 1) * spb]
+        best = None
+        for p in range(7):
+            c1, c2 = int(_MS_COEF1[p]), int(_MS_COEF2[p])
+            s2i, s1i = int(blk[0]), int(blk[1])
+            # spec's initial delta estimate from the first few errors
+            errs = [
+                abs(int(blk[k]) - ((s1i * c1 + s2i * c2) >> 8))
+                for k in range(2, min(10, spb))
+            ]
+            delta = max(16, (sum(errs) // max(1, len(errs))) >> 2)
+            s1v, s2v, dv = s1i, s2i, delta
+            nibs = []
+            err_sum = 0
+            for k in range(2, spb):
+                predicted = (s1v * c1 + s2v * c2) >> 8
+                diff = int(blk[k]) - predicted
+                code = max(-8, min(7, int(diff / dv)))  # truncate toward 0
+                rec = max(-32768, min(32767, predicted + code * dv))
+                err_sum += (int(blk[k]) - rec) ** 2
+                nibs.append(code & 0xF)
+                s2v, s1v = s1v, rec
+                # same int16 ceiling as the decoder (bit-exact parity)
+                dv = min(max((int(_MS_ADAPT[code & 0xF]) * dv) >> 8, 16), 32767)
+            if best is None or err_sum < best[0]:
+                best = (err_sum, p, delta, s1i, s2i, nibs)
+        _, p, delta, s1i, s2i, nibs = best
+        out.append(p)
+        out += struct.pack("<hhh", delta, s1i, s2i)
+        for i in range(0, len(nibs), 2):
+            out.append((nibs[i] << 4) | nibs[i + 1])
+    n_data = len(out)
+    # canonical extended fmt: cbSize=32 → wSamplesPerBlock, wNumCoef=7,
+    # the 7 published coefficient pairs
+    ext = struct.pack("<HH", spb, 7) + b"".join(
+        struct.pack("<hh", int(a), int(b_))
+        for a, b_ in zip(_MS_COEF1, _MS_COEF2)
+    )
+    fmt = struct.pack(
+        "<HHIIHHH",
+        0x02, 1, rate, rate * block_align // spb, block_align, 4, len(ext),
+    ) + ext
+    hdr = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + n_data, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", n_data)
+    )
+    return hdr + bytes(out)
 
 
 # ----------------------------------------------------------------- codec
@@ -366,10 +534,19 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             else 0
         )
         return rate, _decode_ima_adpcm(data, ch, fmt[4], spb)
+    elif audio_format == 0x02:  # MS-ADPCM (4-bit, 7 predictor pairs)
+        if bits != 4:
+            raise ValueError(f"MS-ADPCM WAV must be 4-bit, got {bits}")
+        spb = (
+            struct.unpack_from("<H", fmt_chunk, 18)[0]
+            if len(fmt_chunk) >= 20
+            else 0
+        )
+        return rate, _decode_ms_adpcm(data, ch, fmt[4], spb)
     else:
         raise NotImplementedError(
             f"unsupported WAV format {audio_format} "
-            "(MS-ADPCM/MP3/compressed need a codec lib)"
+            "(MP3/AAC/compressed need a codec lib)"
         )
     n = len(arr) // ch
     return rate, arr[: n * ch].reshape(n, ch)
@@ -451,13 +628,26 @@ def extract_audio_features(
 
 
 # ------------------------------------------------------------------ synth
-def synth_wav_bytes(ref: str, rate: int = 8000, dur_s: float = 0.25) -> bytes:
+def synth_wav_bytes(
+    ref: str, rate: int = 8000, dur_s: float = 0.25, codec: str = "pcm"
+) -> bytes:
     """Deterministic REAL WAV for a media_ref: a ref-seeded tone + noise
-    mix, so the decode path exercises an actual codec round-trip."""
+    mix, so the decode path exercises an actual codec round-trip.
+    ``codec`` picks the container encoding — ``pcm`` (int16), ``ima``
+    (format 0x11), ``ms`` (MS-ADPCM 0x02), ``ulaw``/``alaw`` (G.711)."""
     seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
     rng = np.random.Generator(np.random.PCG64(seed))
     n = int(rate * dur_s)
     t = np.arange(n) / rate
     freq = 200 + (seed % 1800)
     wave = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
-    return encode_wav((np.clip(wave, -1, 1) * 32767).astype(np.int16), rate)
+    pcm16 = (np.clip(wave, -1, 1) * 32767).astype(np.int16)
+    if codec == "pcm":
+        return encode_wav(pcm16, rate)
+    if codec == "ima":
+        return encode_wav_ima_adpcm(pcm16, rate)
+    if codec == "ms":
+        return encode_wav_ms_adpcm(pcm16, rate)
+    if codec in ("ulaw", "alaw"):
+        return encode_wav_g711(encode_g711(pcm16, codec), rate, codec)
+    raise ValueError(f"unknown synth codec {codec!r}")

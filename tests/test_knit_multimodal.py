@@ -414,11 +414,16 @@ def test_wav_roundtrip_and_loud_failures():
     )
     rate, got = decode_wav(b"RIFF" + _struct.pack("<I", len(body)) + body)
     assert np.allclose(got[:, 0], mono / 32768.0, atol=1e-4)
-    # genuinely compressed formats still raise loudly
+    # genuinely compressed formats still raise loudly (0x55 = MP3)
     pcm = encode_wav(mono, 8000)
-    adpcm = pcm.replace(b"fmt \x10\x00\x00\x00\x01\x00", b"fmt \x10\x00\x00\x00\x02\x00", 1)
+    mp3 = pcm.replace(b"fmt \x10\x00\x00\x00\x01\x00", b"fmt \x10\x00\x00\x00\x55\x00", 1)
     with _pytest.raises(NotImplementedError):
-        decode_wav(adpcm)
+        decode_wav(mp3)
+    # a format-0x02 label on a PCM-shaped fmt (16-bit) is malformed, not
+    # merely unsupported — MS-ADPCM decodes for real now
+    ms_bad = pcm.replace(b"fmt \x10\x00\x00\x00\x01\x00", b"fmt \x10\x00\x00\x00\x02\x00", 1)
+    with _pytest.raises(ValueError, match="4-bit"):
+        decode_wav(ms_bad)
     with _pytest.raises(ValueError):
         decode_wav(b"ID3\x04" + b"\x00" * 64)  # MP3
 
@@ -1116,3 +1121,109 @@ def test_ima_adpcm_through_spark_features(spark):
     # 2020 samples = exactly 4 blocks of 505, no padding
     assert row["duration_ms"] == round(1000 * 2020 / 8000)
     assert 400 < row["feat"][2] < 600  # centroid near 500 Hz
+
+
+def test_ms_adpcm_matches_scalar_reference_and_roundtrips():
+    """The block-vectorized MS-ADPCM expansion must equal a scalar
+    transcription of the Microsoft ADPCM algorithm nibble-for-nibble;
+    encode->decode on a tone stays within the 4-bit error envelope;
+    malformed headers raise ValueError (quarantine contract)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark.operators.audio import (
+        _MS_ADAPT,
+        _MS_COEF1,
+        _MS_COEF2,
+        _ms_decode_blocks,
+        decode_wav,
+        encode_wav_ms_adpcm,
+    )
+
+    def ref_decode(nibs, p, delta, s1, s2):
+        c1, c2 = int(_MS_COEF1[p]), int(_MS_COEF2[p])
+        out = [s2, s1]
+        for code in nibs:
+            signed = code - 16 if code >= 8 else code
+            pred = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+            pred = max(-32768, min(32767, pred))
+            s2, s1 = s1, pred
+            delta = min(max((int(_MS_ADAPT[code]) * delta) >> 8, 16), 32767)
+            out.append(pred)
+        return out
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    n_blk = 7
+    nib = rng.integers(0, 16, (n_blk, 96)).astype(np.uint8)
+    preds = rng.integers(0, 7, n_blk)
+    d0 = rng.integers(16, 4000, n_blk).astype(np.int64)
+    s1 = rng.integers(-32768, 32768, n_blk).astype(np.int64)
+    s2 = rng.integers(-32768, 32768, n_blk).astype(np.int64)
+    vec = _ms_decode_blocks(
+        nib, _MS_COEF1[preds], _MS_COEF2[preds], d0, s1, s2
+    )
+    for b in range(n_blk):
+        assert vec[b].tolist() == ref_decode(
+            nib[b], int(preds[b]), int(d0[b]), int(s1[b]), int(s2[b])
+        )
+
+    t = np.arange(4040) / 8000.0
+    sig = (0.6 * np.sin(2 * np.pi * 300 * t) * 32767).astype(np.int16)
+    rate, out = decode_wav(encode_wav_ms_adpcm(sig, 8000))
+    assert rate == 8000 and out.shape[1] == 1
+    err = out[: len(sig), 0] * 32768.0 - sig
+    assert float(np.sqrt(np.mean(err**2))) < 0.03 * 32768
+
+    # corrupt predictor index in the first block header must raise
+    wav = bytearray(encode_wav_ms_adpcm(sig[:506], 8000))
+    data_off = wav.index(b"data", 36) + 8
+    wav[data_off] = 9  # predictor index > 6
+    with _pytest.raises(ValueError, match="predictor index"):
+        decode_wav(bytes(wav))
+
+
+def test_ms_adpcm_stereo_block_layout():
+    """Hand-built 1-block stereo MS-ADPCM payload: channel-interleaved
+    header fields and alternating nibbles land in the right channels."""
+    import struct as _struct
+
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.audio import decode_wav
+
+    ch, block_align = 2, 18
+    spb = (block_align - 7 * ch) * 2 // ch + 2  # = 6
+    # block: pred L=0 (coef 256,0 -> pred = s1), pred R=2 (coef 0,0 -> 0)
+    body = bytes([0, 2])
+    body += _struct.pack("<hh", 16, 16)  # deltas
+    body += _struct.pack("<hh", 100, -50)  # sample1 L, R
+    body += _struct.pack("<hh", 200, -80)  # sample2 L, R
+    # nibbles: L,R alternate, high nibble first: codes L=[1,2,...], R=[0,15,...]
+    codes_l = [1, 2, 3, 7]
+    codes_r = [0, 15, 8, 1]
+    nib_stream = [v for pair in zip(codes_l, codes_r) for v in pair]
+    body += bytes(
+        (nib_stream[i] << 4) | nib_stream[i + 1]
+        for i in range(0, len(nib_stream), 2)
+    )
+    assert len(body) == block_align
+    fmt = _struct.pack("<HHIIHHHH", 2, ch, 8000, 8000, block_align, 4, 4, spb)
+    wav = (
+        b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(body)) + body
+    )
+    rate, out = decode_wav(wav)
+    got = np.round(out * 32768.0).astype(int)
+    # first two output samples per channel are (sample2, sample1)
+    assert got[0].tolist() == [200, -50 * 0 - 80]  # s2 L, s2 R
+    assert got[1].tolist() == [100, -50]  # s1 L, s1 R
+    # L chan, pred idx 0: pred = s1; code 1 -> 100 + 16 = 116
+    assert got[2][0] == 116
+    # R chan, pred idx 2: pred = 0; code 0 -> 0
+    assert got[2][1] == 0
+    # next L: s1=116, s2=100 -> pred 116; delta = max(230*16>>8,16)=16
+    # code 2 -> 116 + 32 = 148
+    assert got[3][0] == 148
+    # next R: code 15 -> signed -1; delta unchanged 16 -> 0 - 16 = -16
+    assert got[3][1] == -16
