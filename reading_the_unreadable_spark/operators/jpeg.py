@@ -561,14 +561,22 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
+                if pq > 1:
+                    raise ValueError(f"invalid DQT precision {pq}")
                 # kept in ZIGZAG order — dequantization multiplies the
-                # zigzag-ordered coefficient vector directly
+                # zigzag-ordered coefficient vector directly.  Pq=1 is
+                # the 16-bit big-endian layout (T.81 B.2.4.1, used by
+                # very-high-quality encoders)
+                width = 129 if pq else 65
+                raw = seg[i + 1 : i + width]
+                if len(raw) != width - 1:
+                    raise ValueError(
+                        f"truncated DQT: {len(raw)} of {width - 1} bytes"
+                    )
                 qtables[tq] = np.frombuffer(
-                    seg[i + 1 : i + 65], dtype=np.uint8
+                    raw, dtype=">u2" if pq else np.uint8
                 ).astype(np.int32)
-                i += 65
+                i += width
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):

@@ -622,6 +622,66 @@ def test_progressive_jpeg_exact_vs_baseline():
             assert np.array_equal(base, prog), (img.shape, kw, q)
 
 
+def test_jpeg_16bit_quant_tables():
+    """Pq=1 (16-bit big-endian DQT, T.81 B.2.4.1): promoting an 8-bit
+    stream's quant tables to the 16-bit layout is a pure container
+    change, so decode must be pixel-identical; truncated 16-bit tables
+    raise ValueError per the quarantine contract."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def promote_dqt(enc: bytes) -> bytes:
+        # rewrite every \xff\xdb segment: Pq 0->1, each byte -> >u2
+        out, pos = bytearray(), 0
+        while pos < len(enc):
+            at = enc.find(b"\xff\xdb", pos)
+            if at < 0:
+                out += enc[pos:]
+                break
+            seglen = struct.unpack_from(">H", enc, at + 2)[0]
+            assert seglen == 67, "encoder emits one 8-bit table per DQT"
+            tq = enc[at + 4] & 0x0F
+            vals = enc[at + 5 : at + 69]
+            out += enc[pos:at]
+            out += b"\xff\xdb" + struct.pack(">H", 131) + bytes([0x10 | tq])
+            out += b"".join(struct.pack(">H", v) for v in vals)
+            pos = at + 2 + seglen
+        return bytes(out)
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    img = rng.integers(0, 256, (33, 47, 3)).astype(np.uint8)
+    for kw in ({}, {"subsample": True}):
+        enc = encode_jpeg(img, quality=85, **kw)
+        enc16 = promote_dqt(enc)
+        assert enc16 != enc and len(enc16) > len(enc)
+        assert np.array_equal(decode_jpeg(enc16), decode_jpeg(enc)), kw
+
+    # truncated 16-bit table (cut mid-segment) -> ValueError, not a
+    # silent short table or raw numpy error
+    enc16 = promote_dqt(encode_jpeg(img, quality=85))
+    at = enc16.find(b"\xff\xdb")
+    cut = enc16[: at + 4] + enc16[at + 4 : at + 40]  # 36 of 130 body bytes
+    bad = cut + enc16[at + 135 :]
+    # re-stamp the declared length so the parser walks into the short body
+    bad = bytearray(bad)
+    bad[at + 2 : at + 4] = struct.pack(">H", 38)
+    with _pytest.raises(ValueError, match="truncated DQT"):
+        decode_jpeg(bytes(bad))
+    # Pq>1 is invalid per spec
+    bad2 = bytearray(promote_dqt(encode_jpeg(img, quality=85)))
+    at = bad2.find(b"\xff\xdb")
+    bad2[at + 4] = 0x20 | (bad2[at + 4] & 0x0F)
+    with _pytest.raises(ValueError, match="invalid DQT precision"):
+        decode_jpeg(bytes(bad2))
+
+
 def test_progressive_jpeg_malformed_contract():
     """Progressive decode obeys the same error contract: truncated or
     table-less streams raise ValueError, never raw IndexError/KeyError/
