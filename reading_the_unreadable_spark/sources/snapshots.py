@@ -32,6 +32,13 @@ discipline as :mod:`docs`:
 - ``rewrite_data_files(spark, root)`` → Iceberg ``rewrite_data_files``
   small-file compaction: live sub-threshold files are bin-packed into
   target-size files and committed as one ``replace`` snapshot
+- ``rewrite_data_files(spark, root, zorder_by=[...])`` → Iceberg's
+  ``rewrite_data_files(strategy => 'sort', sort_order => 'zorder(...)')``:
+  ALL live files are re-clustered along a Morton (bit-interleaved)
+  curve over the given columns, so the per-file column bounds become
+  tight in EVERY zorder dimension at once and multi-dimensional
+  ``prune`` reads skip most of the table — the standard layout fix
+  when range reads filter on two+ columns
 - schema evolution: each manifest records the schema of the files it
   added; reads union snapshots with ``unionByName(allowMissingColumns)``
   so an append with an added column coexists with older snapshots
@@ -81,7 +88,7 @@ from urllib.parse import urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import NumericType, StructType
 
 from .docs import DOCS_SCHEMA
 
@@ -817,12 +824,53 @@ def delete_where(
     return _commit(spark, root, sid, attempt, manifest)
 
 
+def _zorder_column(cols: list[str], bounds: dict, bits: int) -> Column:
+    """Morton code over ``cols``: each value is normalized to a
+    ``bits``-bit rank against its global [min, max] and the ranks'
+    bits are interleaved into one long.  Range-partitioning by this
+    key places rows that are close in EVERY dimension into the same
+    file, which is what makes multi-dimensional min/max pruning
+    effective (a single-column sort gives tight bounds on one column
+    and useless bounds on the rest).
+
+    Pure JVM bitwise expressions — ``bits * len(cols)`` shift/AND/OR
+    terms inside whole-stage codegen, no UDF.  NULL ranks as the top
+    value (clusters at the curve's end, the NULLS LAST convention)."""
+    n = len(cols)
+    top = (1 << bits) - 1
+    planes: list[Column] = []
+    for ci, c in enumerate(cols):
+        mn, mx = bounds[c]
+        span = float(mx - mn) if mx > mn else 1.0
+        rank = F.floor(
+            (F.col(c).cast("double") - F.lit(float(mn)))
+            / F.lit(span)
+            * F.lit(float(top))
+        ).cast("long")
+        rank = F.least(
+            F.lit(top).cast("long"),
+            F.greatest(F.lit(0).cast("long"), rank),
+        )
+        rank = F.coalesce(rank, F.lit(top).cast("long"))
+        for b in range(bits):
+            planes.append(
+                F.shiftleft(
+                    F.shiftright(rank, b).bitwiseAND(F.lit(1)), b * n + ci
+                )
+            )
+    z = planes[0]
+    for p in planes[1:]:
+        z = z.bitwiseOR(p)
+    return z
+
+
 def rewrite_data_files(
     spark: SparkSession,
     root: str,
     small_file_bytes: int = 32 << 20,
     target_file_bytes: int = 128 << 20,
     stat_cols: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict | None:
     """Bin-pack small data files into fewer, larger ones — Iceberg's
     ``rewrite_data_files`` compaction.  Streaming appends and
@@ -841,14 +889,30 @@ def rewrite_data_files(
     snapshots).  With ``stat_cols`` the rewritten files get fresh
     column bounds so pruning keeps working across compaction.  Returns
     ``None`` when fewer than two live files qualify (no gain — Iceberg
-    likewise skips no-op rewrites)."""
+    likewise skips no-op rewrites).
+
+    With ``zorder_by`` the rewrite is a CLUSTERING rewrite (Iceberg's
+    ``strategy => 'sort', sort_order => 'zorder(a, b)'``): ALL live
+    files — not just small ones — are range-partitioned along a Morton
+    curve over the given numeric columns and rewritten, and fresh
+    bounds for those columns are always recorded.  After the rewrite a
+    ``prune`` on any subset of the zorder columns skips every file
+    whose cluster is outside the range; on a randomly-loaded 100 TB
+    table that turns a 2-D range read from a full scan into a handful
+    of files.  Zorder columns must exist in every live schema group
+    (rewriting is state-wide) — a missing column raises rather than
+    silently producing an unclustered group."""
     snaps = _snapshots(spark, root)
     entries = _state_files(spark, snaps)
     sized: list[tuple[str, str, int]] = []
     for f, key in entries:
         fs, p, _ = _fs_path(spark, f)
         sized.append((f, key, int(fs.getFileStatus(p).getLen())))
-    candidates = [e for e in sized if e[2] < small_file_bytes]
+    if zorder_by:
+        candidates = sized
+        stat_cols = sorted(set(stat_cols or []) | set(zorder_by))
+    else:
+        candidates = [e for e in sized if e[2] < small_file_bytes]
     if len(candidates) < 2:
         return None
     parent = snaps[-1]["snapshot_id"]
@@ -871,11 +935,49 @@ def rewrite_data_files(
         schema = StructType.fromJson(json.loads(key))
         total = sum(sz for _f, sz in group)
         n_out = max(1, -(-total // target_file_bytes))
-        df = (
-            spark.read.schema(schema)
-            .parquet(*[f for f, _sz in group])
-            .repartition(n_out)
-        )
+        df = spark.read.schema(schema).parquet(*[f for f, _sz in group])
+        if zorder_by:
+            missing = [c for c in zorder_by if c not in schema.names]
+            if missing:
+                raise ValueError(
+                    f"zorder_by columns {missing} absent from live "
+                    f"schema group {gi}"
+                )
+            bad = [
+                c
+                for c in zorder_by
+                if not isinstance(schema[c].dataType, NumericType)
+            ]
+            if bad:
+                raise ValueError(
+                    f"zorder_by needs numeric columns; got "
+                    f"{[(c, schema[c].dataType.simpleString()) for c in bad]}"
+                )
+            row = df.agg(
+                *[
+                    fn(c).alias(f"{tag}_{c}")
+                    for c in zorder_by
+                    for tag, fn in (("mn", F.min), ("mx", F.max))
+                ]
+            ).first()
+            bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in zorder_by}
+            if any(v is None for b in bounds.values() for v in b):
+                # all-NULL column: no spatial information to cluster on
+                raise ValueError(
+                    f"zorder_by column with no non-NULL values in "
+                    f"group {gi}: {bounds}"
+                )
+            bits = min(16, 60 // len(zorder_by))
+            df = (
+                df.withColumn(
+                    "__z", _zorder_column(zorder_by, bounds, bits)
+                )
+                .repartitionByRange(n_out, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.repartition(n_out)
         # per-group suffix keeps one schema per physical dir; the dir
         # still matches the snap-* orphan-reclamation contract
         files = _write_data_dir(df, root, sid, f"{attempt}-g{gi}")

@@ -759,3 +759,63 @@ def test_snapshot_truncate_transform(spark, tmp_path):
         S.append_snapshot(
             df.withColumn("f", F.lit(1.5)), root2, partition_by=[("f", "identity")]
         )
+
+
+def test_snapshot_zorder_rewrite(spark, tmp_path):
+    """rewrite_data_files(zorder_by=[x, y]) re-clusters ALL live files
+    along a Morton curve: a 2-D box prune that touched every file on
+    the round-robin layout plans ~1 file afterwards, rows are
+    byte-identical, and non-numeric / missing zorder columns raise."""
+    import os
+
+    from reading_the_unreadable_spark.sources import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    # 64x64 grid; round-robin repartition scatters every file across
+    # the full range of BOTH dims, so per-file bounds prune nothing
+    grid = spark.range(4096).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    S.append_snapshot(grid.repartition(16), root, stat_cols=["x", "y"])
+    box = {"x": (0, 7), "y": (0, 7)}
+    assert len(S.read_snapshot(spark, root, prune=box).inputFiles()) == 16
+
+    # pick target bytes so the rewrite emits ~16 clustered files
+    total = sum(
+        e.stat().st_size
+        for e in Path(root, "data").rglob("*.parquet")
+    )
+    res = S.rewrite_data_files(
+        spark, root, target_file_bytes=-(-total // 16), zorder_by=["x", "y"]
+    )
+    assert res is not None and res["compacted"] == 16
+
+    after = S.read_snapshot(spark, root)
+    assert {r["doc_id"] for r in after.collect()} == set(range(4096))
+    n_files = len(after.inputFiles())
+    assert n_files >= 8  # clustering kept the file count, not one blob
+
+    # the aligned 8x8 box is 1/64 of the curve: at most a file or two
+    pruned = S.read_snapshot(spark, root, prune=box)
+    assert len(pruned.inputFiles()) <= 2
+    assert sorted((r["x"], r["y"]) for r in pruned.collect()) == [
+        (x, y) for x in range(8) for y in range(8)
+    ]
+    # a miss range plans zero files
+    assert (
+        len(S.read_snapshot(spark, root, prune={"x": (100, 200)}).inputFiles())
+        == 0
+    )
+
+    # loud failures: missing column, non-numeric column
+    with pytest.raises(ValueError, match="absent from live"):
+        S.rewrite_data_files(spark, root, zorder_by=["nope"])
+    root2 = str(tmp_path / "tbl2")
+    S.append_snapshot(
+        grid.withColumn("s", F.concat(F.lit("d"), F.col("doc_id"))).repartition(4),
+        root2,
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        S.rewrite_data_files(spark, root2, zorder_by=["s"])
