@@ -1051,10 +1051,12 @@ def q_snapshot_incremental(spark, sf):
     windows, the full scan, a time-travel read, and a
     manifest-bounds PRUNED range read are summarized; finally a
     copy-on-write MERGE INTO (update " [v2]" suffix + keyed inserts),
-    a DELETE FROM, and a small-file compaction are applied and
-    re-summarized (pruning and compaction are semantics-preserving,
-    so their sums must equal the plain-SQL replicas).  Aggregation
-    runs distributed; only the 9 summary rows are collected so the
+    a DELETE FROM, a z-order clustering rewrite (Morton curve over
+    doc_id × n_chars, incl. a 2-D pruned range read), and a
+    small-file compaction are applied and re-summarized (pruning,
+    clustering, and compaction are semantics-preserving, so their
+    sums must equal the plain-SQL replicas).  Aggregation runs
+    distributed; only the 11 summary rows are collected so the
     scratch table can be removed before returning.
     Oracle: the same counts/sums derived directly from documents."""
     import uuid as uuid_mod
@@ -1123,11 +1125,34 @@ def q_snapshot_incremental(spark, sf):
         rows.append(("post_merge", *_summary(read_snapshot(spark, root))))
         delete_where(spark, root, "doc_id % 11 = 3")
         rows.append(("post_delete", *_summary(read_snapshot(spark, root))))
-        # small-file compaction must be read-invisible: same sums after
         from reading_the_unreadable_spark.sources.snapshots import (
             rewrite_data_files,
         )
 
+        # z-order clustering rewrite (Morton curve over doc_id ×
+        # n_chars) must also be read-invisible, and a 2-D pruned read
+        # afterwards must equal the plain-SQL BETWEEN replica — file
+        # skipping may never change results
+        rewrite_data_files(
+            spark,
+            root,
+            target_file_bytes=1 << 20,
+            zorder_by=["doc_id", "n_chars"],
+        )
+        rows.append(("post_zorder", *_summary(read_snapshot(spark, root))))
+        rows.append(
+            (
+                "zorder_range",
+                *_summary(
+                    read_snapshot(
+                        spark,
+                        root,
+                        prune={"doc_id": (100, 299), "n_chars": (0, 300)},
+                    )
+                ),
+            )
+        )
+        # small-file compaction must be read-invisible: same sums after
         rewrite_data_files(
             spark, root, small_file_bytes=1 << 30, stat_cols=["doc_id"]
         )
@@ -2578,6 +2603,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id + 10000000 AS doc_id, text || ' [v2]'
                 FROM documents WHERE doc_id % 7 = 0
             ) WHERE doc_id % 11 <> 3
+            UNION ALL SELECT 'post_zorder', count(*),
+                   coalesce(sum(length(text)), 0)::BIGINT
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]'
+                            ELSE text END AS text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text || ' [v2]'
+                FROM documents WHERE doc_id % 7 = 0
+            ) WHERE doc_id % 11 <> 3
+            UNION ALL SELECT 'zorder_range', count(*),
+                   coalesce(sum(length(text)), 0)::BIGINT
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]'
+                            ELSE text END AS text,
+                       n_chars
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text || ' [v2]', n_chars
+                FROM documents WHERE doc_id % 7 = 0
+            ) WHERE doc_id % 11 <> 3
+              AND doc_id BETWEEN 100 AND 299
+              AND n_chars BETWEEN 0 AND 300
             UNION ALL SELECT 'post_compact', count(*),
                    coalesce(sum(length(text)), 0)::BIGINT
             FROM (
