@@ -169,67 +169,83 @@ def _next_mode(br: _Bits) -> tuple[str, int]:
     raise ValueError("EOFB or invalid G4 mode code")
 
 
-def g4_decode(data: bytes, width: int, n_rows: int) -> bytes:
-    """G4 code stream → row-byte-aligned packed bilevel raster
-    (MSB-first, bit 1 = black), ``n_rows`` rows of ``width`` px."""
+def _decode_2d_row(br: _Bits, ref: list[int], width: int) -> list[int]:
+    """One 2-D coded row against reference transitions ``ref`` (which
+    must end with two ``width`` sentinels) → this row's transitions."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # 0 = white
+    while a0 < width:
+        # a crafted stream of zero-length horizontal runs never
+        # advances a0 — bound the transition count (a real row has at
+        # most width+1) so malicious input cannot loop forever
+        if len(cur) > width + 2:
+            raise ValueError("G4 row emits more transitions than pixels")
+        # b1: first ref transition strictly > a0 (a0 = -1 admits a
+        # transition at 0) whose index parity == color
+        i = 0
+        while i < len(ref) and ref[i] <= a0:
+            i += 1
+        if i % 2 != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        kind, dv = _next_mode(br)
+        if kind == "p":
+            a0 = b2  # color runs through to b2; no transition emitted
+        elif kind == "v":
+            a1 = b1 + dv
+            if a1 < 0 or a1 > width:
+                raise ValueError("G4 vertical move out of row")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+        else:  # horizontal: two runs, color unchanged after
+            r1 = _read_run(br, _WHITE_DECODE if color == 0 else _BLACK_DECODE)
+            r2 = _read_run(br, _BLACK_DECODE if color == 0 else _WHITE_DECODE)
+            start = 0 if a0 < 0 else a0
+            t1 = start + r1
+            t2 = t1 + r2
+            if t2 > width:
+                raise ValueError("G4 horizontal runs overflow row")
+            cur.append(t1)
+            cur.append(t2)
+            a0 = t2
+    return cur
+
+
+def _paint_rows(all_trans: list[list[int]], width: int) -> bytes:
+    """Transition lists → row-byte-aligned packed raster (MSB-first,
+    bit 1 = black) via the flip + prefix-XOR trick."""
     import numpy as np
 
-    br = _Bits(data)
-    row_bytes = (width + 7) // 8
-    rows = np.zeros((n_rows, width), dtype=bool)
-    ref: list[int] = [width, width]  # imaginary all-white reference row
-    for y in range(n_rows):
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 = white
-        while a0 < width:
-            # b1: first ref transition strictly > a0 (a0 = -1 admits a
-            # transition at 0) whose index parity == color
-            i = 0
-            while i < len(ref) and ref[i] <= a0:
-                i += 1
-            if i % 2 != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            try:
-                kind, dv = _next_mode(br)
-            except ValueError:
-                if len(cur) == 0 and br.exhausted():
-                    raise ValueError("G4 stream ended before all rows") from None
-                raise
-            if kind == "p":
-                a0 = b2  # color runs through to b2; no transition emitted
-            elif kind == "v":
-                a1 = b1 + dv
-                if a1 < 0 or a1 > width:
-                    raise ValueError("G4 vertical move out of row")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-            else:  # horizontal: two runs, color unchanged after
-                r1 = _read_run(br, _WHITE_DECODE if color == 0 else _BLACK_DECODE)
-                r2 = _read_run(br, _BLACK_DECODE if color == 0 else _WHITE_DECODE)
-                start = 0 if a0 < 0 else a0
-                t1 = start + r1
-                t2 = t1 + r2
-                if t2 > width:
-                    raise ValueError("G4 horizontal runs overflow row")
-                cur.append(t1)
-                cur.append(t2)
-                a0 = t2
-        # paint black runs (transitions alternate starting white):
-        # cumulative-XOR trick — flip at each transition, prefix-xor
+    rows = np.zeros((len(all_trans), width), dtype=bool)
+    for y, cur in enumerate(all_trans):
         if cur:
             flips = np.zeros(width + 1, dtype=bool)
             for t in cur:
                 if t < width:
                     flips[t] ^= True
             rows[y] = np.logical_xor.accumulate(flips)[:width]
+    return np.packbits(rows, axis=1).tobytes()
+
+
+def g4_decode(data: bytes, width: int, n_rows: int) -> bytes:
+    """G4 code stream → row-byte-aligned packed bilevel raster
+    (MSB-first, bit 1 = black), ``n_rows`` rows of ``width`` px."""
+    br = _Bits(data)
+    ref: list[int] = [width, width]  # imaginary all-white reference row
+    all_trans: list[list[int]] = []
+    for y in range(n_rows):
+        try:
+            cur = _decode_2d_row(br, ref, width)
+        except ValueError:
+            if br.exhausted():
+                raise ValueError("G4 stream ended before all rows") from None
+            raise
+        all_trans.append(cur)
         ref = cur + [width, width]
-    packed = np.packbits(rows, axis=1)  # MSB-first, row byte-aligned
-    assert packed.shape[1] == row_bytes
-    return packed.tobytes()
+    return _paint_rows(all_trans, width)
 
 
 def _transitions(row) -> list[int]:
@@ -246,6 +262,53 @@ def _transitions(row) -> list[int]:
     return out
 
 
+def _encode_2d_row_bits(cur: list[int], ref: list[int], w: int) -> list[str]:
+    """2-D mode words for one row's transitions ``cur`` against
+    reference transitions ``ref`` (both WITHOUT sentinels)."""
+    bits: list[str] = []
+    refs = ref + [w, w]
+    curs = cur + [w, w]
+    a0 = -1
+    color = 0
+    while a0 < w:
+        # b1/b2 from ref, same parity rule as the decoder
+        i = 0
+        while i < len(refs) and refs[i] <= a0:
+            i += 1
+        if i % 2 != color:
+            i += 1
+        b1 = refs[i] if i < len(refs) else w
+        b2 = refs[i + 1] if i + 1 < len(refs) else w
+        # a1: next transition in cur > a0 with parity == color
+        j = 0
+        while j < len(curs) and curs[j] <= a0:
+            j += 1
+        if j % 2 != color:
+            j += 1
+        a1 = curs[j] if j < len(curs) else w
+        if b2 < a1:
+            bits.append(_MODE_PASS)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            bits.append(_MODE_V[a1 - b1])
+            a0 = a1
+            color ^= 1
+        else:
+            a2 = curs[j + 1] if j + 1 < len(curs) else w
+            start = 0 if a0 < 0 else a0
+            bits.append(_MODE_HORIZ)
+            bits.append(_encode_run(a1 - start, color))
+            bits.append(_encode_run(a2 - a1, color ^ 1))
+            a0 = a2
+    return bits
+
+
+def _bits_to_bytes(stream: str) -> bytes:
+    pad = (-len(stream)) % 8
+    stream += "0" * pad
+    return bytes(int(stream[i : i + 8], 2) for i in range(0, len(stream), 8))
+
+
 def g4_encode(page) -> bytes:
     """Bilevel raster (2-D array-like, truthy = BLACK) → G4 code stream
     terminated with EOFB."""
@@ -254,51 +317,13 @@ def g4_encode(page) -> bytes:
     arr = np.asarray(page).astype(bool)
     h, w = arr.shape
     bits: list[str] = []
-    ref: list[int] = [w, w]
+    ref: list[int] = []
     for y in range(h):
         cur = _transitions(arr[y])
-        curs = cur + [w, w]
-        a0 = -1
-        color = 0
-        ci = 0  # index of next cur transition candidate
-        while a0 < w:
-            # b1/b2 from ref, same parity rule as the decoder
-            i = 0
-            while i < len(ref) and ref[i] <= a0:
-                i += 1
-            if i % 2 != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else w
-            b2 = ref[i + 1] if i + 1 < len(ref) else w
-            # a1: next transition in cur > a0 with parity == color
-            j = 0
-            while j < len(curs) and curs[j] <= a0:
-                j += 1
-            if j % 2 != color:
-                j += 1
-            a1 = curs[j] if j < len(curs) else w
-            if b2 < a1:
-                bits.append(_MODE_PASS)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                bits.append(_MODE_V[a1 - b1])
-                a0 = a1
-                color ^= 1
-            else:
-                a2 = curs[j + 1] if j + 1 < len(curs) else w
-                start = 0 if a0 < 0 else a0
-                bits.append(_MODE_HORIZ)
-                bits.append(_encode_run(a1 - start, color))
-                bits.append(_encode_run(a2 - a1, color ^ 1))
-                a0 = a2
-        ref = cur + [w, w]
+        bits.extend(_encode_2d_row_bits(cur, ref, w))
+        ref = cur
     bits.append(_EOFB)
-    stream = "".join(bits)
-    pad = (-len(stream)) % 8
-    stream += "0" * pad
-    return bytes(
-        int(stream[i : i + 8], 2) for i in range(0, len(stream), 8)
-    )
+    return _bits_to_bytes("".join(bits))
 
 
 def _encode_run(run: int, color: int) -> str:
@@ -315,3 +340,144 @@ def _encode_run(run: int, color: int) -> str:
         run -= m
     out.append(table[run])
     return "".join(out)
+
+
+# --------------------------------------------------- Group 3 / MH (T.4)
+# TIFF Compression=2 ("CCITT RLE" / Modified Huffman): every row is
+# 1-D coded independently with the T.4 run tables above, no EOL codes,
+# and each row's code starts on a BYTE boundary (TIFF 6.0 §Compression
+# field, value 2).  TIFF Compression=3 (true T.4 / fax Group 3): every
+# row is preceded by an EOL (eleven 0s + 1, optionally fill-padded);
+# with T4Options bit 0 set each EOL carries a tag bit selecting 1-D
+# (1) or 2-D (0) coding for the row that follows — 2-D rows reuse the
+# T.6 vertical/pass/horizontal modes against the previous row.
+
+_EOL = "000000000001"
+
+
+def _mh_decode_row(br: _Bits, width: int) -> list[int]:
+    """One 1-D (Modified Huffman) row → transition positions.  Rows
+    start white; a leading black pixel is coded as a zero-length white
+    run, which lands a transition at 0 naturally."""
+    cur: list[int] = []
+    pos = 0
+    color = 0
+    while pos < width:
+        # alternating zero-length runs never advance pos — bound the
+        # transition count so malicious input cannot loop forever
+        if len(cur) > width + 2:
+            raise ValueError("MH row emits more transitions than pixels")
+        run = _read_run(br, _WHITE_DECODE if color == 0 else _BLACK_DECODE)
+        pos += run
+        if pos > width:
+            raise ValueError("MH run overflows row")
+        cur.append(pos)
+        color ^= 1
+    return cur
+
+
+def _mh_row_bits(trans: list[int], width: int) -> list[str]:
+    """1-D code words for one row given its transitions."""
+    bits: list[str] = []
+    prev = 0
+    color = 0
+    for t in trans + [width]:
+        bits.append(_encode_run(t - prev, color))
+        prev = t
+        color ^= 1
+    return bits
+
+
+def mh_decode(data: bytes, width: int, n_rows: int) -> bytes:
+    """TIFF Compression=2 stream → packed raster (bit 1 = black).
+    Each row's code begins on a byte boundary per the TIFF spec."""
+    br = _Bits(data)
+    all_trans: list[list[int]] = []
+    for _y in range(n_rows):
+        br.pos = (br.pos + 7) & ~7  # rows are byte-aligned
+        all_trans.append(_mh_decode_row(br, width))
+    return _paint_rows(all_trans, width)
+
+
+def mh_encode(page) -> bytes:
+    """Bilevel raster (truthy = BLACK) → TIFF Compression=2 stream
+    (each row 1-D coded, byte-aligned)."""
+    import numpy as np
+
+    arr = np.asarray(page).astype(bool)
+    _h, w = arr.shape
+    out: list[bytes] = []
+    for row in arr:
+        out.append(_bits_to_bytes("".join(_mh_row_bits(_transitions(row), w))))
+    return b"".join(out)
+
+
+def _expect_eol(br: _Bits, two_d: bool) -> bool:
+    """Consume one EOL (≥11 zeros then a 1, tolerating fill bits) and,
+    in 2-D mode, the tag bit.  Returns True when the following row is
+    1-D coded."""
+    zeros = 0
+    while True:
+        bit = br.read()
+        if bit:
+            break
+        zeros += 1
+        if zeros > 64 + 11:
+            raise ValueError("G3 fill run exceeds one row's worth of EOL")
+    if zeros < 11:
+        raise ValueError(f"expected G3 EOL, saw {zeros} zero bits before 1")
+    if not two_d:
+        return True
+    return bool(br.read())
+
+
+def g3_decode(data: bytes, width: int, n_rows: int, two_d: bool = False) -> bytes:
+    """TIFF Compression=3 (T.4 Group 3) stream → packed raster (bit 1
+    = black).  ``two_d``: T4Options bit 0 — EOLs carry a 1-D/2-D tag
+    bit and 2-D rows code against the previous row.  Fill bits before
+    EOLs (T4Options bit 2) are consumed transparently; a trailing RTC
+    is ignored because decoding stops after ``n_rows``."""
+    br = _Bits(data)
+    ref: list[int] = []
+    all_trans: list[list[int]] = []
+    for _y in range(n_rows):
+        try:
+            if _expect_eol(br, two_d):
+                cur = _mh_decode_row(br, width)
+            else:
+                cur = _decode_2d_row(br, ref + [width, width], width)
+        except ValueError:
+            if br.exhausted():
+                raise ValueError("G3 stream ended before all rows") from None
+            raise
+        all_trans.append(cur)
+        ref = cur
+    return _paint_rows(all_trans, width)
+
+
+def g3_encode(page, two_d: bool = False, k: int = 4) -> bytes:
+    """Bilevel raster (truthy = BLACK) → T.4 Group 3 stream.  With
+    ``two_d`` every ``k``-th row is 1-D coded and the rows between are
+    2-D coded against their predecessor (the fax K-factor, error
+    resilience on real lines); ends with RTC (six EOLs)."""
+    import numpy as np
+
+    arr = np.asarray(page).astype(bool)
+    h, w = arr.shape
+    bits: list[str] = []
+    ref: list[int] = []
+    for y in range(h):
+        cur = _transitions(arr[y])
+        if not two_d:
+            bits.append(_EOL)
+            bits.extend(_mh_row_bits(cur, w))
+        elif y % k == 0:
+            bits.append(_EOL + "1")
+            bits.extend(_mh_row_bits(cur, w))
+        else:
+            bits.append(_EOL + "0")
+            bits.extend(_encode_2d_row_bits(cur, ref, w))
+        ref = cur
+    for _ in range(6):  # RTC
+        bits.append(_EOL + "1" if two_d else _EOL)
+    return _bits_to_bytes("".join(bits))

@@ -7,16 +7,18 @@ PackBits-compressed.  Same policy as the other codecs in this repo
 (:mod:`jpeg`, :mod:`multimodal`, :mod:`audio`): the profiles real
 archives use are decoded for real — strip-based baseline TIFF, 1-bit
 bilevel (both photometric polarities) and 8-bit gray/RGB/palette, with
-Compression = none (1), CCITT Group 4 / T.6 (4), LZW (5, incl. the
-spec's early-change convention and horizontal-differencing predictor),
-and PackBits (32773).  Tiled layout, 16-bit samples, and planar
-configuration 2 raise ``NotImplementedError`` loudly; truncation and
-malformed structures raise ``ValueError`` (the quarantining-caller
-contract shared by every codec here).
+Compression = none (1), CCITT RLE / Modified Huffman (2), CCITT Group
+3 / T.4 (3, 1-D and 2-D rows per T4Options), CCITT Group 4 / T.6 (4),
+LZW (5, incl. the spec's early-change convention and
+horizontal-differencing predictor), and PackBits (32773).  Tiled
+layout, 16-bit samples, and planar configuration 2 raise
+``NotImplementedError`` loudly; truncation and malformed structures
+raise ``ValueError`` (the quarantining-caller contract shared by every
+codec here).
 
 The writer emits uncompressed / PackBits / LZW strips for round-trip
-tests; Group-4 pages are exercised against the from-scratch T.6 coder
-in :mod:`g4`.
+tests; the CCITT family is exercised against the from-scratch T.4/T.6
+coders in :mod:`g4`.
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ _T_STRIP_OFFSETS = 273
 _T_SAMPLES = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
+_T_T4OPTIONS = 292
 _T_PREDICTOR = 317
 _T_COLORMAP = 320
 _T_PLANAR = 284
@@ -135,10 +138,15 @@ def _decode_tiff_impl(payload: bytes) -> np.ndarray:
 
             # G4 strips decode straight to row-padded bilevel bytes
             raw = g4_decode(strip, w, n_rows)
-        elif comp in (2, 3):
-            raise NotImplementedError(
-                f"CCITT 1-D / Group 3 compression ({comp}); Group 4 is supported"
-            )
+        elif comp == 2:  # CCITT RLE: MH rows, byte-aligned, no EOLs
+            from .g4 import mh_decode
+
+            raw = mh_decode(strip, w, n_rows)
+        elif comp == 3:  # T.4 Group 3; T4Options bit 0 = 2-D rows
+            from .g4 import g3_decode
+
+            t4 = tags.get(_T_T4OPTIONS, [0])[0]
+            raw = g3_decode(strip, w, n_rows, two_d=bool(t4 & 1))
         else:
             raise NotImplementedError(f"TIFF compression {comp}")
         if len(raw) < n_rows * row_bytes:
@@ -338,7 +346,9 @@ def encode_tiff(
 ) -> bytes:
     """HxWx3 uint8 RGB (or HxW grayscale, or HxW bool bilevel) →
     little-endian baseline TIFF.  ``compression``: ``"none"``,
-    ``"packbits"``, ``"lzw"``, or (bilevel input only) ``"g4"``."""
+    ``"packbits"``, ``"lzw"``, or (bilevel input only) ``"g4"``,
+    ``"mh"`` (CCITT RLE), ``"g3"`` (T.4 1-D), ``"g3-2d"`` (T.4 2-D,
+    T4Options=1)."""
     bilevel = arr.dtype == bool
     gray = arr.ndim == 2 and not bilevel
     h, w = arr.shape[:2]
@@ -362,22 +372,36 @@ def encode_tiff(
             strips.append(b"".join(_packbits_encode(r) for r in block_rows))
         elif compression == "lzw":
             strips.append(_tiff_lzw_encode(raw))
-        elif compression == "g4":
+        elif compression in ("g4", "mh", "g3", "g3-2d"):
             if not bilevel:
-                raise ValueError("g4 compression needs bool bilevel input")
-            from .g4 import g4_encode
+                raise ValueError(
+                    f"{compression} compression needs bool bilevel input"
+                )
+            from .g4 import g3_encode, g4_encode, mh_encode
 
-            # bool convention is True = white; G4 codes black runs and
-            # G4-in-TIFF uses Photometric=0 (WhiteIsZero)
-            strips.append(g4_encode(~arr[s0 : s0 + rps]))
+            # bool convention is True = white; the CCITT coders code
+            # black runs and CCITT-in-TIFF uses Photometric=0
+            # (WhiteIsZero)
+            page = ~arr[s0 : s0 + rps]
+            if compression == "g4":
+                strips.append(g4_encode(page))
+            elif compression == "mh":
+                strips.append(mh_encode(page))
+            else:
+                strips.append(g3_encode(page, two_d=compression == "g3-2d"))
         else:
             raise ValueError(f"unknown compression {compression!r}")
-    comp_id = {"none": 1, "packbits": 32773, "lzw": 5, "g4": 4}[compression]
-    # BlackIsZero for gray/bilevel (bit 1 = white), except G4 which is
-    # conventionally WhiteIsZero (decoded bit 1 = black); RGB otherwise
-    photo = 0 if compression == "g4" else (1 if (gray or bilevel) else 2)
+    comp_id = {
+        "none": 1, "packbits": 32773, "lzw": 5,
+        "g4": 4, "mh": 2, "g3": 3, "g3-2d": 3,
+    }[compression]
+    ccitt = compression in ("g4", "mh", "g3", "g3-2d")
+    # BlackIsZero for gray/bilevel (bit 1 = white), except the CCITT
+    # family which is conventionally WhiteIsZero (decoded bit 1 =
+    # black); RGB otherwise
+    photo = 0 if ccitt else (1 if (gray or bilevel) else 2)
 
-    n_tags = 10
+    n_tags = 10 + (1 if compression == "g3-2d" else 0)
     header = struct.pack("<2sHI", b"II", 42, 8)
     ifd_size = 2 + n_tags * 12 + 4
     data_off = 8 + ifd_size
@@ -421,5 +445,8 @@ def encode_tiff(
         ),
         tag(_T_PLANAR, 3, 1, 1),
     ]
+    if compression == "g3-2d":
+        # tag ids must stay ascending: 292 sorts after 284
+        tags.append(tag(_T_T4OPTIONS, 4, 1, 1))
     ifd = struct.pack("<H", n_tags) + b"".join(tags) + struct.pack("<I", 0)
     return header + ifd + arrays + b"".join(strips)

@@ -237,6 +237,8 @@ def test_archive_codec_fuzz_contract(seed, cut, flip_val, flip_pos):
         encode_tiff(img, "lzw"),
         encode_tiff(img, "packbits"),
         encode_tiff(bil, "g4"),
+        encode_tiff(bil, "mh"),
+        encode_tiff(bil, "g3-2d"),
         encode_jpeg(img, subsample="422"),
         encode_jpeg_progressive(img),
     ]

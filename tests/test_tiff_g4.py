@@ -156,3 +156,93 @@ def test_tiff_via_decode_image_dispatch():
     page = rng.random((20, 50)) > 0.7
     got = decode_image(encode_tiff(page, "g4"))
     assert np.array_equal(got[:, :, 0] > 0, page)
+
+
+def test_g3_mh_roundtrip_and_known_answer():
+    """CCITT RLE (comp 2) and Group 3 (comp 3, 1-D and 2-D rows):
+    round-trips through the TIFF container across strip splits, plus a
+    spec known-answer — an all-white 8 px MH row is the white run-8
+    code '10011' byte-padded to 0x98 (T.4 table 2)."""
+    from reading_the_unreadable_spark.operators.g4 import (
+        g3_decode,
+        g3_encode,
+        mh_decode,
+        mh_encode,
+    )
+
+    enc = mh_encode(np.zeros((1, 8), dtype=bool))
+    assert enc == b"\x98", enc.hex()
+    assert not _unpack(mh_decode(enc, 8, 1), 8, 1).any()
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    pages = [
+        rng.random((23, 100)) < 0.3,
+        np.zeros((5, 64), bool),          # all white
+        np.ones((5, 64), bool),           # all black: zero-length white run
+        rng.random((40, 17)) < 0.8,       # dense black, odd width
+    ]
+    for p in pages:
+        h, w = p.shape
+        assert np.array_equal(_unpack(mh_decode(mh_encode(p), w, h), w, h), p)
+        assert np.array_equal(
+            _unpack(g3_decode(g3_encode(p), w, h), w, h), p
+        )
+        assert np.array_equal(
+            _unpack(g3_decode(g3_encode(p, two_d=True), w, h, two_d=True), w, h),
+            p,
+        )
+    # TIFF integration: all CCITT compressions agree with uncompressed,
+    # including multi-strip layouts (T4Options tag drives 2-D decode)
+    page = pages[0]
+    ref = decode_tiff(encode_tiff(page, "none"))
+    for comp in ("mh", "g3", "g3-2d"):
+        for rps in (None, 7):
+            assert np.array_equal(
+                decode_tiff(encode_tiff(page, comp, rps)), ref
+            ), (comp, rps)
+
+
+def test_g3_error_contract():
+    """Truncated / corrupt G3 streams raise ValueError, never raw
+    IndexError; a stream without EOLs is rejected as G3."""
+    from reading_the_unreadable_spark.operators.g4 import (
+        g3_decode,
+        g3_encode,
+        mh_decode,
+        mh_encode,
+    )
+
+    page = (np.arange(40 * 64).reshape(40, 64) % 9) < 3
+    enc = g3_encode(page, two_d=True)
+    # (RTC is ~10 trailing bytes of ignorable EOLs — cut past it)
+    for cut in (1, len(enc) // 3, len(enc) - 16):
+        with pytest.raises(ValueError):
+            g3_decode(enc[:cut], 64, 40, two_d=True)
+    # MH data fed to the G3 decoder has no EOLs -> loud rejection
+    with pytest.raises(ValueError, match="EOL"):
+        g3_decode(mh_encode(page), 64, 40)
+    with pytest.raises(ValueError):
+        mh_decode(mh_encode(page)[: 10], 64, 40)
+
+
+def test_ccitt_zero_run_loop_bound():
+    """A crafted stream of alternating ZERO-length runs never advances
+    the row position — both row decoders must bound the transition
+    count and raise instead of looping forever (DoS contract)."""
+    from reading_the_unreadable_spark.operators.g4 import (
+        _BLACK_CODES,
+        _MODE_HORIZ,
+        _WHITE_CODES,
+        _bits_to_bytes,
+        g4_decode,
+        mh_decode,
+    )
+
+    evil_mh = _bits_to_bytes((_WHITE_CODES[0] + _BLACK_CODES[0]) * 200)
+    with pytest.raises(ValueError, match="more transitions"):
+        mh_decode(evil_mh, 16, 1)
+    evil_g4 = _bits_to_bytes(
+        (_MODE_HORIZ + _WHITE_CODES[0] + _BLACK_CODES[0]) * 200
+    )
+    with pytest.raises(ValueError, match="more transitions"):
+        g4_decode(evil_g4, 16, 1)
