@@ -10,8 +10,9 @@ bilevel (both photometric polarities) and 8-bit gray/RGB/palette, with
 Compression = none (1), CCITT RLE / Modified Huffman (2), CCITT Group
 3 / T.4 (3, 1-D and 2-D rows per T4Options), CCITT Group 4 / T.6 (4),
 LZW (5, incl. the spec's early-change convention and
-horizontal-differencing predictor), and PackBits (32773).  Tiled
-layout, 16-bit samples, and planar configuration 2 raise
+horizontal-differencing predictor), and PackBits (32773) — in BOTH
+the strip-based and the tiled layout (spec §15; large-plate scans are
+routinely tiled).  16-bit samples and planar configuration 2 raise
 ``NotImplementedError`` loudly; truncation and malformed structures
 raise ``ValueError`` (the quarantining-caller contract shared by every
 codec here).
@@ -42,6 +43,9 @@ _T_PREDICTOR = 317
 _T_COLORMAP = 320
 _T_PLANAR = 284
 _T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
 
@@ -92,8 +96,6 @@ def _decode_tiff_impl(payload: bytes) -> np.ndarray:
     if magic != 42:
         raise ValueError(f"bad TIFF magic {magic}")
     tags = _read_ifd(payload, ifd_off, bo)
-    if _T_TILE_WIDTH in tags:
-        raise NotImplementedError("tiled TIFF layout")
     if tags.get(_T_PLANAR, [1])[0] != 1:
         raise NotImplementedError("planar configuration 2")
     w = tags[_T_WIDTH][0]
@@ -105,11 +107,6 @@ def _decode_tiff_impl(payload: bytes) -> np.ndarray:
     bits_l = tags.get(_T_BITS, [1])
     comp = tags.get(_T_COMPRESSION, [1])[0]
     photo = tags.get(_T_PHOTOMETRIC, [1])[0]
-    offsets = tags[_T_STRIP_OFFSETS]
-    counts = tags.get(_T_STRIP_COUNTS)
-    rps = tags.get(_T_ROWS_PER_STRIP, [h])[0] or h
-    if counts is None or len(counts) != len(offsets):
-        raise ValueError("TIFF strip offsets/counts mismatch")
     bits = bits_l[0]
     if any(b != bits for b in bits_l):
         raise NotImplementedError(f"mixed bits-per-sample {bits_l}")
@@ -118,50 +115,10 @@ def _decode_tiff_impl(payload: bytes) -> np.ndarray:
     if bits == 1 and spp != 1:
         raise NotImplementedError("multi-sample bilevel")
 
-    row_bytes = (w * spp * bits + 7) // 8
-    rows = []
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        strip = payload[off : off + cnt]
-        if len(strip) < cnt:
-            raise ValueError(f"TIFF strip {si} truncated")
-        n_rows = min(rps, h - si * rps)
-        if n_rows <= 0:
-            continue
-        if comp == 1:
-            raw = strip
-        elif comp == 32773:
-            raw = _packbits_decode(strip, n_rows * row_bytes)
-        elif comp == 5:
-            raw = _tiff_lzw_decode(strip, n_rows * row_bytes)
-        elif comp == 4:
-            from .g4 import g4_decode
-
-            # G4 strips decode straight to row-padded bilevel bytes
-            raw = g4_decode(strip, w, n_rows)
-        elif comp == 2:  # CCITT RLE: MH rows, byte-aligned, no EOLs
-            from .g4 import mh_decode
-
-            raw = mh_decode(strip, w, n_rows)
-        elif comp == 3:  # T.4 Group 3; T4Options bit 0 = 2-D rows
-            from .g4 import g3_decode
-
-            t4 = tags.get(_T_T4OPTIONS, [0])[0]
-            raw = g3_decode(strip, w, n_rows, two_d=bool(t4 & 1))
-        else:
-            raise NotImplementedError(f"TIFF compression {comp}")
-        if len(raw) < n_rows * row_bytes:
-            raise ValueError(f"TIFF strip {si} decodes short")
-        rows.append(
-            np.frombuffer(raw, np.uint8, n_rows * row_bytes).reshape(
-                n_rows, row_bytes
-            )
-        )
-    if not rows:
-        raise ValueError("TIFF has no strip data")
-    grid = np.vstack(rows)
-    if grid.shape[0] < h:
-        raise ValueError("TIFF rows short of ImageLength")
-    grid = grid[:h]
+    if _T_TILE_WIDTH in tags:
+        grid = _decode_tiles(payload, tags, w, h, spp, bits, comp)
+    else:
+        grid = _decode_strips(payload, tags, w, h, spp, bits, comp)
 
     if bits == 1:
         px = np.unpackbits(grid, axis=1)[:, :w]  # MSB-first, row byte-aligned
@@ -196,6 +153,134 @@ def _decode_tiff_impl(payload: bytes) -> np.ndarray:
     if spp >= 3:
         return grid.reshape(h, w, spp)[:, :, :3].copy()
     raise NotImplementedError(f"samples-per-pixel {spp}")
+
+
+def _decompress_chunk(
+    chunk: bytes,
+    comp: int,
+    tags: dict,
+    width: int,
+    n_rows: int,
+    expected: int,
+    label: str,
+) -> bytes:
+    """One strip or tile → raw row-padded bytes (``expected`` of them;
+    CCITT chunks decode against their own ``width``/``n_rows``)."""
+    if comp == 1:
+        raw = chunk
+    elif comp == 32773:
+        raw = _packbits_decode(chunk, expected)
+    elif comp == 5:
+        raw = _tiff_lzw_decode(chunk, expected)
+    elif comp == 4:
+        from .g4 import g4_decode
+
+        raw = g4_decode(chunk, width, n_rows)
+    elif comp == 2:  # CCITT RLE: MH rows, byte-aligned, no EOLs
+        from .g4 import mh_decode
+
+        raw = mh_decode(chunk, width, n_rows)
+    elif comp == 3:  # T.4 Group 3; T4Options bit 0 = 2-D rows
+        from .g4 import g3_decode
+
+        t4 = tags.get(_T_T4OPTIONS, [0])[0]
+        raw = g3_decode(chunk, width, n_rows, two_d=bool(t4 & 1))
+    else:
+        raise NotImplementedError(f"TIFF compression {comp}")
+    if len(raw) < expected:
+        raise ValueError(f"TIFF {label} decodes short")
+    return raw
+
+
+def _decode_strips(
+    payload: bytes, tags: dict, w: int, h: int, spp: int, bits: int, comp: int
+) -> np.ndarray:
+    """Strip-based layout → (h, row_bytes) uint8 grid."""
+    offsets = tags[_T_STRIP_OFFSETS]
+    counts = tags.get(_T_STRIP_COUNTS)
+    rps = tags.get(_T_ROWS_PER_STRIP, [h])[0] or h
+    if counts is None or len(counts) != len(offsets):
+        raise ValueError("TIFF strip offsets/counts mismatch")
+    row_bytes = (w * spp * bits + 7) // 8
+    rows = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = payload[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError(f"TIFF strip {si} truncated")
+        n_rows = min(rps, h - si * rps)
+        if n_rows <= 0:
+            continue
+        raw = _decompress_chunk(
+            strip, comp, tags, w, n_rows, n_rows * row_bytes, f"strip {si}"
+        )
+        rows.append(
+            np.frombuffer(raw, np.uint8, n_rows * row_bytes).reshape(
+                n_rows, row_bytes
+            )
+        )
+    if not rows:
+        raise ValueError("TIFF has no strip data")
+    grid = np.vstack(rows)
+    if grid.shape[0] < h:
+        raise ValueError("TIFF rows short of ImageLength")
+    return grid[:h]
+
+
+def _decode_tiles(
+    payload: bytes, tags: dict, w: int, h: int, spp: int, bits: int, comp: int
+) -> np.ndarray:
+    """Tiled layout (TIFF 6.0 §15) → (h, row_bytes) uint8 grid, same
+    shape the strip path yields.  Every tile decompresses to a full
+    TileWidth×TileLength block (edge tiles are padded in the file);
+    the canvas is assembled in pixel space, cropped, and repacked.
+    Predictor-2 applies WITHIN each tile, so it is handled here and
+    the tag neutralized for the caller."""
+    tw = tags[_T_TILE_WIDTH][0]
+    tl = tags[_T_TILE_LENGTH][0]
+    if not (0 < tw <= 1 << 16 and 0 < tl <= 1 << 16) or tw * tl > 1 << 26:
+        raise ValueError(f"implausible TIFF tile {tw}x{tl}")
+    offsets = tags[_T_TILE_OFFSETS]
+    counts = tags.get(_T_TILE_COUNTS)
+    across = -(-w // tw)
+    down = -(-h // tl)
+    if (
+        counts is None
+        or len(counts) != len(offsets)
+        or len(offsets) != across * down
+    ):
+        raise ValueError("TIFF tile offsets/counts mismatch")
+    tile_row_bytes = (tw * spp * bits + 7) // 8
+    expected = tl * tile_row_bytes
+    pred = tags.get(_T_PREDICTOR, [1])[0] == 2
+    if bits == 1:
+        canvas = np.zeros((down * tl, across * tw), np.uint8)
+    else:
+        canvas = np.zeros((down * tl, across * tw, spp), np.uint8)
+    for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+        chunk = payload[off : off + cnt]
+        if len(chunk) < cnt:
+            raise ValueError(f"TIFF tile {ti} truncated")
+        raw = _decompress_chunk(
+            chunk, comp, tags, tw, tl, expected, f"tile {ti}"
+        )
+        block = np.frombuffer(raw, np.uint8, expected).reshape(
+            tl, tile_row_bytes
+        )
+        ty, tx = divmod(ti, across)
+        if bits == 1:
+            canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = (
+                np.unpackbits(block, axis=1)[:, :tw]
+            )
+        else:
+            px = block.reshape(tl, tw, spp)
+            if pred:
+                px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+            canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = px
+    if pred:
+        tags[_T_PREDICTOR] = [1]  # already applied per tile
+    if bits == 1:
+        return np.packbits(canvas[:h, :w], axis=1)
+    return canvas[:h, :w].reshape(h, -1)
 
 
 # ----------------------------------------------------------- compressions
@@ -339,16 +424,132 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
 
 
 # ----------------------------------------------------------------- writer
+def _compress_block(block: np.ndarray, compression: str, bilevel: bool) -> bytes:
+    """One strip/tile pixel block → compressed bytes."""
+    if bilevel:
+        rows = [
+            np.packbits(block[y].astype(np.uint8)).tobytes()
+            for y in range(block.shape[0])
+        ]
+    else:
+        rows = [block[y].tobytes() for y in range(block.shape[0])]
+    raw = b"".join(rows)
+    if compression == "none":
+        return raw
+    if compression == "packbits":
+        return b"".join(_packbits_encode(r) for r in rows)
+    if compression == "lzw":
+        return _tiff_lzw_encode(raw)
+    if compression in ("g4", "mh", "g3", "g3-2d"):
+        if not bilevel:
+            raise ValueError(f"{compression} compression needs bool bilevel input")
+        from .g4 import g3_encode, g4_encode, mh_encode
+
+        # bool convention is True = white; the CCITT coders code black
+        # runs and CCITT-in-TIFF uses Photometric=0 (WhiteIsZero)
+        page = ~block
+        if compression == "g4":
+            return g4_encode(page)
+        if compression == "mh":
+            return mh_encode(page)
+        return g3_encode(page, two_d=compression == "g3-2d")
+    raise ValueError(f"unknown compression {compression!r}")
+
+
+def _encode_tiff_tiled(
+    arr: np.ndarray, compression: str, tw: int, tl: int
+) -> bytes:
+    """Tiled-layout writer (TIFF 6.0 §15): edge tiles padded to the
+    full tile size, one compressed chunk per tile, TileOffsets/Counts
+    arrays after the IFD."""
+    bilevel = arr.dtype == bool
+    gray = arr.ndim == 2 and not bilevel
+    h, w = arr.shape[:2]
+    spp = 1 if (gray or bilevel) else 3
+    bits = 1 if bilevel else 8
+    across, down = -(-w // tw), -(-h // tl)
+    tiles: list[bytes] = []
+    for ty in range(down):
+        for tx in range(across):
+            block = arr[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+            pad_h, pad_w = tl - block.shape[0], tw - block.shape[1]
+            if pad_h or pad_w:
+                pad = ((0, pad_h), (0, pad_w)) + (
+                    ((0, 0),) if arr.ndim == 3 else ()
+                )
+                block = np.pad(block, pad)
+            tiles.append(_compress_block(block, compression, bilevel))
+    comp_id = {
+        "none": 1, "packbits": 32773, "lzw": 5,
+        "g4": 4, "mh": 2, "g3": 3, "g3-2d": 3,
+    }[compression]
+    ccitt = compression in ("g4", "mh", "g3", "g3-2d")
+    photo = 0 if ccitt else (1 if (gray or bilevel) else 2)
+
+    n_tags = 11 + (1 if compression == "g3-2d" else 0)
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    ifd_size = 2 + n_tags * 12 + 4
+    data_off = 8 + ifd_size
+    n_tiles = len(tiles)
+    arrays = b""
+    if n_tiles > 1:
+        tile_data_off = data_off + 8 * n_tiles
+    else:
+        tile_data_off = data_off
+    offs = []
+    cur = tile_data_off
+    for t in tiles:
+        offs.append(cur)
+        cur += len(t)
+    if n_tiles > 1:
+        arrays = struct.pack(f"<{n_tiles}I", *offs) + struct.pack(
+            f"<{n_tiles}I", *[len(t) for t in tiles]
+        )
+
+    def tag(tid: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tid, typ, count, value)
+
+    tags = [
+        tag(_T_WIDTH, 4, 1, w),
+        tag(_T_LENGTH, 4, 1, h),
+        tag(_T_BITS, 3, 1, bits),
+        tag(_T_COMPRESSION, 3, 1, comp_id),
+        tag(_T_PHOTOMETRIC, 3, 1, photo),
+        tag(_T_SAMPLES, 3, 1, spp),
+        tag(_T_PLANAR, 3, 1, 1),
+    ]
+    if compression == "g3-2d":
+        tags.append(tag(_T_T4OPTIONS, 4, 1, 1))
+    tags += [
+        tag(_T_TILE_WIDTH, 4, 1, tw),
+        tag(_T_TILE_LENGTH, 4, 1, tl),
+        tag(
+            _T_TILE_OFFSETS, 4, n_tiles,
+            offs[0] if n_tiles == 1 else data_off,
+        ),
+        tag(
+            _T_TILE_COUNTS, 4, n_tiles,
+            len(tiles[0]) if n_tiles == 1 else data_off + 4 * n_tiles,
+        ),
+    ]
+    ifd = struct.pack("<H", n_tags) + b"".join(tags) + struct.pack("<I", 0)
+    return header + ifd + arrays + b"".join(tiles)
+
+
 def encode_tiff(
     arr: np.ndarray,
     compression: str = "none",
     rows_per_strip: int | None = None,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """HxWx3 uint8 RGB (or HxW grayscale, or HxW bool bilevel) →
     little-endian baseline TIFF.  ``compression``: ``"none"``,
     ``"packbits"``, ``"lzw"``, or (bilevel input only) ``"g4"``,
     ``"mh"`` (CCITT RLE), ``"g3"`` (T.4 1-D), ``"g3-2d"`` (T.4 2-D,
-    T4Options=1)."""
+    T4Options=1).  ``tile=(tw, tl)`` emits the tiled layout instead
+    of strips."""
+    if tile is not None:
+        return _encode_tiff_tiled(arr, compression, *tile)
     bilevel = arr.dtype == bool
     gray = arr.ndim == 2 and not bilevel
     h, w = arr.shape[:2]

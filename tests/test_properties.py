@@ -239,6 +239,7 @@ def test_archive_codec_fuzz_contract(seed, cut, flip_val, flip_pos):
         encode_tiff(bil, "g4"),
         encode_tiff(bil, "mh"),
         encode_tiff(bil, "g3-2d"),
+        encode_tiff(img, "lzw", tile=(8, 8)),
         encode_jpeg(img, subsample="422"),
         encode_jpeg_progressive(img),
     ]

@@ -246,3 +246,59 @@ def test_ccitt_zero_run_loop_bound():
     )
     with pytest.raises(ValueError, match="more transitions"):
         g4_decode(evil_g4, 16, 1)
+
+
+def test_tiff_tiled_layout():
+    """Tiled TIFF (spec §15): round-trips across tile sizes and every
+    compression, edge tiles padded/cropped correctly, truncated tiles
+    raise, and predictor-2 applies WITHIN each tile."""
+    from reading_the_unreadable_spark.operators.tiff import _tiff_lzw_encode
+
+    rng = np.random.Generator(np.random.PCG64(47))
+    img = rng.integers(0, 256, (37, 53, 3)).astype(np.uint8)
+    bil = rng.random((50, 70)) < 0.3
+    for t in ((16, 16), (32, 16)):
+        for c in ("none", "packbits", "lzw"):
+            assert np.array_equal(
+                decode_tiff(encode_tiff(img, c, tile=t)), img
+            ), (t, c)
+        for c in ("g4", "mh", "g3", "g3-2d"):
+            assert np.array_equal(
+                decode_tiff(encode_tiff(bil, c, tile=t))[:, :, 0] > 0, bil
+            ), (t, c)
+    # truncated tile data -> ValueError
+    enc = encode_tiff(img, "lzw", tile=(16, 16))
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_tiff(enc[: len(enc) - 40])
+
+    # predictor-2 resets per TILE row segment, not per image row:
+    # hand-build a 2-tile-wide fixture with per-tile differencing
+    img2 = rng.integers(0, 256, (8, 32, 3)).astype(np.uint8)
+    tiles = []
+    for tx in range(2):
+        block = img2[:, tx * 16 : (tx + 1) * 16].astype(np.int16)
+        diff = block.copy()
+        diff[:, 1:] -= block[:, :-1]
+        tiles.append(_tiff_lzw_encode((diff % 256).astype(np.uint8).tobytes()))
+    tags = [
+        (256, 4, 1, 32), (257, 4, 1, 8), (258, 3, 1, 8), (259, 3, 1, 5),
+        (262, 3, 1, 2), (277, 3, 1, 3), (284, 3, 1, 1), (317, 3, 1, 2),
+        (322, 4, 1, 16), (323, 4, 1, 8), (324, 4, 2, 0), (325, 4, 2, 0),
+    ]
+    data_off = 8 + 2 + len(tags) * 12 + 4
+    offs = [data_off + 16, data_off + 16 + len(tiles[0])]
+    ifd = struct.pack("<H", len(tags))
+    for tid, typ, cnt, val in tags:
+        if tid == 324:
+            val = data_off
+        elif tid == 325:
+            val = data_off + 8
+        ifd += struct.pack("<HHII", tid, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    arrays = struct.pack("<2I", *offs) + struct.pack(
+        "<2I", len(tiles[0]), len(tiles[1])
+    )
+    payload = (
+        struct.pack("<2sHI", b"II", 42, 8) + ifd + arrays + b"".join(tiles)
+    )
+    assert np.array_equal(decode_tiff(payload), img2)
