@@ -24,6 +24,10 @@ discipline as :mod:`docs`:
   by manifest reference (file-granular rewrite, Iceberg's COW unit)
 - ``delete_where(spark, root, condition)`` → Iceberg ``DELETE FROM``
   under copy-on-write, same file-granular rewrite
+- ``rollback_to_snapshot(spark, root, sid)`` → Iceberg
+  ``rollback_to_snapshot``: one metadata-only snapshot restores an
+  earlier state (bad append/merge undone without touching data files;
+  intermediate snapshots stay time-travelable until expired)
 - ``append_snapshot(df, root, stat_cols=[...])`` records per-file
   min/max column bounds in the manifest (Iceberg's column bounds);
   ``read_snapshot(..., prune={col: (lo, hi)})`` then skips data files
@@ -682,12 +686,13 @@ def incremental_read(
     - ``replace`` (compaction) and ``fold`` (expire) snapshots
       contribute NOTHING — they rewrite rows the consumer has already
       seen, so including them would re-deliver the whole compacted set;
-    - ``merge`` / ``delete`` snapshots CHANGE rows, which an
-      append-only feed cannot represent — they raise ``ValueError``
-      (Iceberg's incremental scan refuses non-append snapshots) unless
-      ``on_row_changes="include"``, which folds their rewritten files
-      in (the updated rows plus re-delivered survivors from partially
-      rewritten files: at-least-once semantics the caller must dedup).
+    - ``merge`` / ``delete`` / ``rollback`` snapshots CHANGE rows,
+      which an append-only feed cannot represent — they raise
+      ``ValueError`` (Iceberg's incremental scan refuses non-append
+      snapshots) unless ``on_row_changes="include"``, which folds
+      their (re)written files in (the updated rows plus re-delivered
+      survivors from partially rewritten files: at-least-once
+      semantics the caller must dedup).
 
     Pairs with the checkpointed extract job: process the diff, record
     ``until`` as the new high-water mark — and a maintenance compaction
@@ -706,7 +711,7 @@ def incremental_read(
         op = s.get("operation", "append")
         if op in ("replace", "fold"):
             continue
-        if op in ("merge", "delete") and on_row_changes == "error":
+        if op in ("merge", "delete", "rollback") and on_row_changes == "error":
             raise ValueError(
                 f"snapshot {s['snapshot_id']} is a {op}: an incremental "
                 "append scan cannot represent row changes (pass "
@@ -1006,6 +1011,66 @@ def rewrite_data_files(
         "compacted": len(candidates),
         "new_files": len(new_entries),
     }
+
+
+def rollback_to_snapshot(spark: SparkSession, root: str, snapshot_id: int) -> int:
+    """Iceberg ``rollback_to_snapshot``: make the CURRENT table state
+    equal snapshot ``snapshot_id``'s state by committing one NEW
+    snapshot — metadata-only, no data file is read, copied, or
+    deleted, so a bad append/merge/delete on a 100 TB table is undone
+    in O(manifest).  History is preserved exactly as Iceberg does it:
+    the rolled-back snapshots remain time-travel targets until
+    ``expire_snapshots`` drops them, and the rollback itself is one
+    more auditable snapshot in the chain.
+
+    The rollback manifest re-adds the files later snapshots removed —
+    carrying their recorded schema, column bounds, and partition info
+    forward so pruning keeps working — and removes the files they
+    added (those stay on disk for time travel; expire reclaims them
+    once their snapshots age out).  Returns the new snapshot id, or
+    the current one unchanged when the state already matches (no-op,
+    like a no-gain ``rewrite_data_files``)."""
+    snaps = _snapshots(spark, root)
+    known = {s["snapshot_id"] for s in snaps}
+    if snapshot_id not in known:
+        raise ValueError(
+            f"unknown snapshot id {snapshot_id} (known: {sorted(known)})"
+        )
+    target = [s for s in snaps if s["snapshot_id"] <= snapshot_id]
+    want = _state_files(spark, target)
+    cur = _state_files(spark, snaps)
+    cur_set = {_norm_uri(f) for f, _k in cur}
+    want_set = {_norm_uri(f) for f, _k in want}
+    entries = [e for e in want if _norm_uri(e[0]) not in cur_set]
+    removed = [f for f, _k in cur if _norm_uri(f) not in want_set]
+    if not entries and not removed:
+        return snaps[-1]["snapshot_id"]
+    t_stats = _state_stats(target)
+    t_parts = _state_partitions(target)
+    stats: dict = {}
+    partitions_k: dict = {}
+    for f, _k in entries:
+        u = _norm_uri(f)
+        if u in t_stats:
+            stats[u] = t_stats[u]
+        if u in t_parts:
+            partitions_k[u] = list(t_parts[u])
+    parent = snaps[-1]["snapshot_id"]
+    sid = parent + 1
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "entries": entries,
+        "removed_files": removed,
+        "operation": "rollback",
+        "schema": target[-1].get("schema", DOCS_SCHEMA.jsonValue()),
+    }
+    if stats:
+        manifest["stats"] = stats
+    if partitions_k:
+        manifest["partitions_k"] = partitions_k
+    _commit(spark, root, sid, uuid.uuid4().hex[:8], manifest)
+    return sid
 
 
 def expire_snapshots(

@@ -819,3 +819,54 @@ def test_snapshot_zorder_rewrite(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="numeric"):
         S.rewrite_data_files(spark, root2, zorder_by=["s"])
+
+
+def test_snapshot_rollback(spark, tmp_path):
+    """rollback_to_snapshot restores an earlier state metadata-only:
+    reads equal the target snapshot byte-for-byte, intermediate
+    snapshots stay time-travelable, carried-forward bounds keep
+    pruning, the incremental feed refuses to cross a rollback, and
+    expire after rollback keeps the re-added files alive."""
+    from reading_the_unreadable_spark.sources import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    ).repartition(3)
+    S.append_snapshot(mk(0, 100), root, stat_cols=["doc_id"])     # snap 1
+    S.append_snapshot(mk(100, 200), root, stat_cols=["doc_id"])   # snap 2
+    S.delete_where(spark, root, "doc_id % 5 = 0")                 # snap 3
+    S.append_snapshot(mk(200, 260), root, stat_cols=["doc_id"])   # snap 4
+
+    want = {r["doc_id"] for r in S.read_snapshot(spark, root, snapshot_id=2).collect()}
+    sid = S.rollback_to_snapshot(spark, root, 2)                  # snap 5
+    assert sid == 5
+    got = {r["doc_id"] for r in S.read_snapshot(spark, root).collect()}
+    assert got == want == set(range(200))
+    # the rolled-back snapshots remain time-travel targets
+    assert (
+        len({r["doc_id"] for r in S.read_snapshot(spark, root, snapshot_id=4).collect()})
+        == 200 - 40 + 60
+    )
+    # carried-forward bounds: a miss range plans zero files
+    assert (
+        len(S.read_snapshot(spark, root, prune={"doc_id": (900, 999)}).inputFiles())
+        == 0
+    )
+    # rolling back to the state you are already at is a no-op
+    assert S.rollback_to_snapshot(spark, root, 2) == 5
+    # unknown target raises
+    with pytest.raises(ValueError, match="unknown snapshot id"):
+        S.rollback_to_snapshot(spark, root, 99)
+    # an append-only feed cannot represent the rollback's row changes
+    with pytest.raises(ValueError, match="rollback"):
+        S.incremental_read(spark, root, after=4)
+    # ...but appends after it flow normally
+    S.append_snapshot(mk(300, 320), root)                         # snap 6
+    assert sorted(
+        r["doc_id"] for r in S.incremental_read(spark, root, after=5).collect()
+    ) == list(range(300, 320))
+    # expire down to the last 2 snapshots: the re-added files survive
+    S.expire_snapshots(spark, root, keep_n=2, orphan_grace_s=0)
+    got2 = {r["doc_id"] for r in S.read_snapshot(spark, root).collect()}
+    assert got2 == want | set(range(300, 320))
