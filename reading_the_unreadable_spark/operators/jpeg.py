@@ -7,9 +7,11 @@ this repo — the profile real corpora actually use is implemented from
 the public JPEG spec (ITU-T T.81): baseline sequential DCT and
 progressive DCT (SOF2 — spectral selection + successive approximation,
 DC/AC first and refinement scans, EOB runs), 8-bit, Huffman-coded,
-grayscale or YCbCr with 1x1/2x1/1x2/2x2 sampling factors
-(4:4:4 / 4:2:2 / 4:2:0), restart markers.  Arithmetic coding, 12-bit
-precision, and hierarchical/lossless modes raise
+grayscale or YCbCr with the full T.81 sampling-factor range (Hi/Vi in
+[1, 4], Σ Hi×Vi ≤ 10 — 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 / 4:4:0 and any
+other integer-ratio layout), restart markers.  Arithmetic coding,
+12-bit precision, hierarchical/lossless modes, and fractional
+upsampling ratios (no real encoder emits them) raise
 ``NotImplementedError`` loudly.  All constant tables below are the
 spec's public Annex K examples (quantization) and K.3.3 typical
 Huffman tables; the progressive encoder builds per-scan optimized
@@ -264,7 +266,8 @@ def encode_jpeg(
     ``subsample=True`` (or ``"420"``) writes 4:2:0 (2x2 Y sampling),
     the common camera layout; ``"422"`` writes 4:2:2 (2x1 Y sampling,
     the broadcast/scanner layout — exercises the decoder's asymmetric
-    upsample); default is 4:4:4.  ``restart_interval`` emits a DRI
+    upsample); ``"411"`` writes 4:1:1 (4x1 Y sampling, the DV/camera
+    layout — exercises 4-wide MCUs); default is 4:4:4.  ``restart_interval`` emits a DRI
     segment and RSTn markers every N MCUs (the error-resilience layout
     real scanners produce)."""
     gray = arr.ndim == 2
@@ -274,6 +277,8 @@ def encode_jpeg(
         mode = "420"
     elif subsample == "422":
         mode = "422"
+    elif subsample == "411":
+        mode = "411"
     else:
         raise ValueError(f"unknown subsample mode {subsample!r}")
     h, w = arr.shape[:2]
@@ -289,7 +294,7 @@ def encode_jpeg(
     # SOF0
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    y_samp = {"444": 0x11, "420": 0x22, "422": 0x21}[mode]
+    y_samp = {"444": 0x11, "420": 0x22, "422": 0x21, "411": 0x41}[mode]
     sof += bytes([1, y_samp, 0])
     if not gray:
         sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
@@ -384,7 +389,7 @@ def encode_jpeg(
                     crg[my, mx], qc, preds[2], dc_c, ac_c, bw
                 )
                 mcu_n += 1
-    else:
+    elif mode == "420":
         # 4:2:0 MCU = 4 Y blocks + 1 Cb + 1 Cr (chroma = 2x2 box mean)
         ypl, cb, cr = planes
         ph, pw = -h % 2, -w % 2
@@ -411,6 +416,38 @@ def encode_jpeg(
                             ygrid[my * 2 + dy, mx * 2 + dx], ql, preds[0],
                             dc_l, ac_l, bw,
                         )
+                preds[1] = _encode_plane_block(
+                    cbg[my, mx], qc, preds[1], dc_c, ac_c, bw
+                )
+                preds[2] = _encode_plane_block(
+                    crg[my, mx], qc, preds[2], dc_c, ac_c, bw
+                )
+                mcu_n += 1
+    elif mode == "411":
+        # 4:1:1 MCU = 4 Y blocks side by side + 1 Cb + 1 Cr (chroma =
+        # horizontal 4-mean; the DV/camera layout)
+        ypl, cb, cr = planes
+        pw = -w % 4
+        cbp = np.pad(cb, ((0, 0), (0, pw)), mode="edge")
+        crp = np.pad(cr, ((0, 0), (0, pw)), mode="edge")
+        cb4 = cbp.reshape(cbp.shape[0], cbp.shape[1] // 4, 4).mean(2)
+        cr4 = crp.reshape(crp.shape[0], crp.shape[1] // 4, 4).mean(2)
+        ygrid = _block_grid(ypl)
+        by, bx = ygrid.shape[:2]
+        if bx % 4:  # pad to block COLUMNS % 4 == 0 so MCUs tile fully
+            ygrid = np.pad(
+                ygrid, ((0, 0), (0, -bx % 4), (0, 0), (0, 0)), mode="edge"
+            )
+            bx = ygrid.shape[1]
+        cbg, crg = _block_grid(cb4), _block_grid(cr4)
+        preds = [0, 0, 0]
+        for my in range(by):
+            for mx in range(bx // 4):
+                maybe_restart(preds)
+                for dx in range(4):
+                    preds[0] = _encode_plane_block(
+                        ygrid[my, mx * 4 + dx], ql, preds[0], dc_l, ac_l, bw
+                    )
                 preds[1] = _encode_plane_block(
                     cbg[my, mx], qc, preds[1], dc_c, ac_c, bw
                 )
@@ -638,6 +675,27 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     raise ValueError("no SOS marker found")
 
 
+def _check_sampling(comps: list) -> None:
+    """T.81 sampling-factor profile: factors 1-4 (B.2.2, Hi/Vi in
+    [1, 4]) with Σ Hi×Vi ≤ 10 in an interleaved scan (B.2.3), and —
+    this decoder's one restriction — integer upsampling ratios
+    (hmax % ch == 0), which every layout real encoders emit satisfies
+    (4:4:4, 4:2:2, 4:2:0, 4:1:1, 4:4:0).  A crafted factor of 0 is
+    rejected before it reaches the geometry divisions."""
+    for _cid, ch, cv, _tq in comps:
+        if not (1 <= ch <= 4 and 1 <= cv <= 4):
+            raise ValueError(f"invalid sampling factor {ch}x{cv}")
+    if sum(c[1] * c[2] for c in comps) > 10:
+        raise ValueError("interleaved sampling factors exceed T.81's 10")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _cid, ch, cv, _tq in comps:
+        if hmax % ch or vmax % cv:
+            raise NotImplementedError(
+                f"fractional chroma upsampling {ch}x{cv} vs {hmax}x{vmax}"
+            )
+
+
 def _decode_scan(
     payload: bytes,
     pos: int,
@@ -648,11 +706,9 @@ def _decode_scan(
     restart_interval: int,
 ) -> np.ndarray:
     fh, fw, comps = frame
+    _check_sampling(comps)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    for _, ch, cv, _ in comps:
-        if ch not in (1, 2) or cv not in (1, 2):
-            raise NotImplementedError(f"sampling factor {ch}x{cv}")
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = -(-fw // mcu_w)
     mcus_y = -(-fh // mcu_h)
@@ -710,11 +766,9 @@ def _comp_geometry(frame: tuple):
     """Per-component block geometry: MCU-grid dims (what interleaved DC
     scans cover) and true dims (what non-interleaved AC scans cover)."""
     fh, fw, comps = frame
-    for _cid, ch, cv, _tq in comps:
-        if ch not in (1, 2) or cv not in (1, 2):
-            # same profile gate as the baseline path — also keeps a
-            # crafted sampling factor of 0 out of the divisions below
-            raise NotImplementedError(f"sampling factor {ch}x{cv}")
+    # same profile gate as the baseline path — also keeps a crafted
+    # sampling factor of 0 out of the divisions below
+    _check_sampling(comps)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     geo = {}

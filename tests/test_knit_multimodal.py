@@ -290,9 +290,11 @@ def test_jpeg_roundtrip_profiles():
         {},
         {"subsample": True},
         {"subsample": "422"},  # 2x1 sampling: asymmetric upsample path
+        {"subsample": "411"},  # 4x1 sampling: 4-wide MCUs (DV layout)
         {"restart_interval": 3},
         {"subsample": True, "restart_interval": 2},
         {"subsample": "422", "restart_interval": 2},
+        {"subsample": "411", "restart_interval": 2},
     ):
         dec = decode_jpeg(encode_jpeg(img, quality=90, **kwargs))
         assert dec.shape == img.shape

@@ -154,7 +154,7 @@ def test_html_visible_text_never_leaks_tags(s):
     w=st.integers(1, 24),
     h=st.integers(1, 20),
     seed=st.integers(0, 2**31 - 1),
-    subsample=st.booleans(),
+    subsample=st.sampled_from([False, True, "422", "411"]),
     rst=st.integers(0, 3),
 )
 def test_jpeg_roundtrip_property(w, h, seed, subsample, rst):
