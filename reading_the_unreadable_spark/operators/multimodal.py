@@ -68,20 +68,42 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
     off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
     w = struct.unpack_from("<i", payload, 18)[0]
     h = struct.unpack_from("<i", payload, 22)[0]
     bpp = struct.unpack_from("<H", payload, 28)[0]
     comp = struct.unpack_from("<I", payload, 30)[0]
-    if bpp != 24 or comp != 0:
-        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    if comp != 0:
+        raise NotImplementedError(f"compressed BMP (compression={comp})")
     bottom_up = h > 0
     h = abs(h)
-    row_size = (w * 3 + 3) // 4 * 4
-    data = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=off)
-    rows = data.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
-    if bottom_up:
-        rows = rows[::-1]
-    return rows[:, :, ::-1].copy()  # BGR → RGB
+    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20) or w * h > 1 << 28:
+        raise ValueError(f"implausible BMP dimensions {w}x{h}")
+    if bpp == 24:
+        row_size = (w * 3 + 3) // 4 * 4
+        data = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=off)
+        rows = data.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR → RGB
+    if bpp == 8:  # palette (or gray ramp) — the old-scan archive layout
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        if n_colors > 256:
+            raise ValueError(f"BMP claims {n_colors} palette colors")
+        pal_raw = np.frombuffer(
+            payload, np.uint8, count=n_colors * 4, offset=14 + dib_size
+        ).reshape(n_colors, 4)
+        pal = pal_raw[:, :3][:, ::-1].copy()  # BGRX → RGB
+        row_size = (w + 3) // 4 * 4
+        idx = np.frombuffer(
+            payload, np.uint8, count=row_size * h, offset=off
+        ).reshape(h, row_size)[:, :w]
+        if bottom_up:
+            idx = idx[::-1]
+        if int(idx.max()) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        return pal[idx]
+    raise NotImplementedError(f"BMP bpp={bpp} (24-bit and 8-bit palette decode)")
 
 
 def _decode_pnm(payload: bytes) -> np.ndarray:
@@ -102,12 +124,23 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
         i = j
     i += 1  # single whitespace after maxval
     w, h, maxval = (int(t) for t in tokens)
-    if maxval > 255:
-        # two-byte samples; fail loudly rather than decode garbage
-        raise NotImplementedError(f"16-bit PNM (maxval={maxval}) not supported")
+    if not (0 < maxval < 65536):
+        raise ValueError(f"PNM maxval {maxval} out of spec range")
     channels = 3 if payload[:2] == b"P6" else 1
-    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=i)
-    arr = data.reshape(h, w, channels)
+    if maxval > 255:
+        # two-byte big-endian samples (PNM spec: MSB first); rescaled
+        # to 8-bit against the declared maxval
+        raw = np.frombuffer(
+            payload, dtype=">u2", count=w * h * channels, offset=i
+        ).reshape(h, w, channels)
+        arr = np.round(raw.astype(np.float64) * (255.0 / maxval)).astype(
+            np.uint8
+        )
+    else:
+        data = np.frombuffer(
+            payload, dtype=np.uint8, count=w * h * channels, offset=i
+        )
+        arr = data.reshape(h, w, channels)
     return np.repeat(arr, 3, axis=2) if channels == 1 else arr.copy()
 
 
@@ -191,8 +224,8 @@ def _adam7_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
 def _decode_png(payload: bytes) -> np.ndarray:
     """Pure-stdlib PNG decode (zlib inflate + numpy unfilter): 8-bit
     gray / gray+alpha / RGB / RGBA / palette, non-interlaced or Adam7
-    interlaced — the web/page formats.  16-bit and sub-byte depths
-    raise loudly."""
+    interlaced — the web/page formats — plus 16-bit non-interlaced
+    (high byte = the 8-bit rescale).  Sub-byte depths raise loudly."""
     import zlib
 
     ihdr = None
@@ -208,19 +241,33 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not parts:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace not in (0, 1) or color_type not in _PNG_CHANNELS:
+    if (
+        depth not in (8, 16)
+        or interlace not in (0, 1)
+        or color_type not in _PNG_CHANNELS
+    ):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color_type} interlace={interlace}: "
-            "only 8-bit gray/GA/RGB/RGBA/palette supported"
+            "only 8/16-bit gray/GA/RGB/RGBA/palette supported"
+        )
+    if depth == 16 and (interlace == 1 or color_type == 3):
+        raise NotImplementedError(
+            "16-bit PNG decodes non-interlaced, non-palette only"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
+    # PNG filters run BYTE-wise at a distance of one pixel's bytes, so
+    # the 8-bit unfilter generalizes to 16-bit by doubling the channel
+    # count and taking each big-endian sample's high byte afterwards
+    bch = ch * (depth // 8)
     raw = zlib.decompress(b"".join(parts))
     if interlace == 0:
-        if len(raw) != h * (w * ch + 1):
+        if len(raw) != h * (w * bch + 1):
             raise ValueError("PNG IDAT size mismatch")
-        arr = _png_unfilter(raw, h, w, ch)
+        arr = _png_unfilter(raw, h, w, bch)
+        if depth == 16:
+            arr = arr[:, :, 0::2].copy()  # MSB = the 65535→255 rescale
     else:  # Adam7: 7 independently-filtered reduced images, scattered
         arr = np.zeros((h, w, ch), dtype=np.uint8)
         off = 0

@@ -110,15 +110,32 @@ def _decode_tiff_impl(payload: bytes) -> np.ndarray:
     bits = bits_l[0]
     if any(b != bits for b in bits_l):
         raise NotImplementedError(f"mixed bits-per-sample {bits_l}")
-    if bits not in (1, 8):
+    if bits not in (1, 8, 16):
         raise NotImplementedError(f"{bits}-bit samples")
     if bits == 1 and spp != 1:
         raise NotImplementedError("multi-sample bilevel")
+    if bits == 16 and spp != 1:
+        raise NotImplementedError("16-bit TIFF decodes grayscale only")
 
     if _T_TILE_WIDTH in tags:
+        if bits == 16:
+            raise NotImplementedError("16-bit tiled TIFF")
         grid = _decode_tiles(payload, tags, w, h, spp, bits, comp)
     else:
         grid = _decode_strips(payload, tags, w, h, spp, bits, comp)
+
+    if bits == 16:
+        # archival/microscopy masters: decode honestly at 16 bit, then
+        # rescale to the pipeline's 8-bit feature space (65535 → 255)
+        g16 = np.frombuffer(grid.tobytes(), dtype=bo + "u2").reshape(h, w)
+        if tags.get(_T_PREDICTOR, [1])[0] == 2:
+            g16 = (np.cumsum(g16.astype(np.int64), axis=1) % 65536).astype(
+                np.uint16
+            )
+        g8 = np.round(g16 / 257.0).astype(np.uint8)
+        if photo == 0:
+            g8 = 255 - g8
+        return np.stack([g8, g8, g8], axis=-1)
 
     if bits == 1:
         px = np.unpackbits(grid, axis=1)[:, :w]  # MSB-first, row byte-aligned

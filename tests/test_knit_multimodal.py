@@ -110,8 +110,8 @@ def test_codec_roundtrip_and_resize():
         decode_image(
             b"\xff\xd8\xff\xc9\x00\x0b" + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
         )
-    with _pytest.raises(NotImplementedError):
-        decode_image(b"P5\n2 2\n65535\n" + bytes(8))  # 16-bit PNM
+    # 16-bit PNM decodes now (round-5 profile closure: maxval rescale)
+    assert decode_image(b"P5\n2 2\n65535\n" + bytes(8)).shape == (2, 2, 3)
 
 
 def test_png_roundtrip_all_filters():
@@ -160,15 +160,23 @@ def test_png_grayscale_and_unsupported():
     arr = decode_image(png)
     assert arr.shape == (2, 3, 3)
     assert np.array_equal(arr[:, :, 0], gray)
-    # 16-bit PNG raises loudly
+    # 16-bit PNG decodes (round-5 profile closure: MSB rescale)...
     png16 = (
         PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
         + chunk(b"IEND", b"")
     )
+    assert decode_image(png16).shape == (2, 3, 3)
+    # ...while a sub-byte depth still raises loudly
+    png4 = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 4, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + chunk(b"IEND", b"")
+    )
     with _pytest.raises(NotImplementedError):
-        decode_image(png16)
+        decode_image(png4)
 
 
 def test_media_features_png_end_to_end(spark):
@@ -1289,3 +1297,134 @@ def test_ms_adpcm_stereo_block_layout():
     assert got[3][0] == 148
     # next R: code 15 -> signed -1; delta unchanged 16 -> 0 - 16 = -16
     assert got[3][1] == -16
+
+
+def test_small_codec_extended_profiles():
+    """Round-5 profile closures: 8-bit palette BMP, 16-bit PNM
+    (maxval rescale), 16-bit grayscale TIFF (incl. LZW + predictor-2
+    on 16-bit samples), and 16-bit PNG (MSB rescale, filters running
+    at the 2-byte-per-sample distance)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_png,
+        _decode_pnm,
+    )
+    from reading_the_unreadable_spark.operators.tiff import (
+        _tiff_lzw_encode,
+        decode_tiff,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+
+    # 8-bit palette BMP (bottom-up, padded rows)
+    h, w = 5, 7
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    row_size = (w + 3) // 4 * 4
+    off = 14 + 40 + 256 * 4
+    bmp8 = (
+        struct.pack("<2sIHHI", b"BM", off + row_size * h, 0, 0, off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 0, row_size * h, 2835, 2835, 0, 0
+        )
+        + b"".join(bytes([b, g, r, 0]) for r, g, b in pal.tolist())
+        + b"".join(
+            idx[y].tobytes() + b"\x00" * (row_size - w)
+            for y in range(h - 1, -1, -1)
+        )
+    )
+    import pytest
+
+    assert np.array_equal(_decode_bmp(bmp8), pal[idx])
+    # out-of-range palette index is rejected
+    bad = bytearray(bmp8)
+    struct.pack_into("<I", bad, 46, 4)  # claim only 4 palette colors
+    with pytest.raises(ValueError, match="palette index"):
+        _decode_bmp(bytes(bad))
+
+    # 16-bit PNM: rescaled against the declared maxval
+    g16 = rng.integers(0, 65536, (4, 6)).astype(">u2")
+    want = np.round(g16.astype(np.float64) * (255.0 / 65535)).astype(np.uint8)
+    assert np.array_equal(
+        _decode_pnm(b"P5 6 4 65535\n" + g16.tobytes())[:, :, 0], want
+    )
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_pnm(b"P5 6 4 99999\n" + g16.tobytes())
+
+    # 16-bit grayscale TIFF: none, and LZW with predictor-2 over
+    # 16-bit samples (mod-65536 row differencing)
+    gh, gw = 5, 8
+    g = rng.integers(0, 65536, (gh, gw)).astype("<u2")
+
+    def build_tiff16(strip, comp, pred=1):
+        tags = [
+            (256, 4, 1, gw), (257, 4, 1, gh), (258, 3, 1, 16),
+            (259, 3, 1, comp), (262, 3, 1, 1), (273, 4, 1, 0),
+            (277, 3, 1, 1), (278, 4, 1, gh), (279, 4, 1, len(strip)),
+            (284, 3, 1, 1),
+        ]
+        if pred == 2:
+            tags.append((317, 3, 1, 2))
+        data_off = 8 + 2 + len(tags) * 12 + 4
+        ifd = struct.pack("<H", len(tags))
+        for tid, typ, cnt, val in tags:
+            if tid == 273:
+                val = data_off
+            ifd += struct.pack("<HHII", tid, typ, cnt, val)
+        ifd += struct.pack("<I", 0)
+        return struct.pack("<2sHI", b"II", 42, 8) + ifd + strip
+
+    want8 = np.round(g.astype(np.float64) / 257).astype(np.uint8)
+    assert np.array_equal(
+        decode_tiff(build_tiff16(g.tobytes(), 1))[:, :, 0], want8
+    )
+    d = g.astype(np.int64).copy()
+    d[:, 1:] -= g.astype(np.int64)[:, :-1]
+    t2 = build_tiff16(
+        _tiff_lzw_encode((d % 65536).astype("<u2").tobytes()), 5, pred=2
+    )
+    assert np.array_equal(decode_tiff(t2)[:, :, 0], want8)
+
+    # 16-bit PNG: gray and RGB, filter 0 AND filter 1 (sub at the
+    # 2-byte-per-sample distance)
+    def png16(arr16, filt):
+        hh, ww = arr16.shape[:2]
+        ct = 0 if arr16.ndim == 2 else 2
+        bch = (1 if ct == 0 else 3) * 2
+        ihdr = struct.pack(">IIBBBBB", ww, hh, 16, ct, 0, 0, 0)
+        lines = []
+        for y in range(hh):
+            rb = np.frombuffer(arr16[y].astype(">u2").tobytes(), np.uint8)
+            if filt == 0:
+                lines.append(b"\x00" + rb.tobytes())
+            else:  # sub
+                enc = rb.astype(np.int32).copy()
+                enc[bch:] -= rb.astype(np.int32)[:-bch]
+                lines.append(b"\x01" + (enc % 256).astype(np.uint8).tobytes())
+        raw = b"".join(lines)
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d))
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    pg = rng.integers(0, 65536, (6, 5)).astype(np.uint16)
+    pc = rng.integers(0, 65536, (6, 5, 3)).astype(np.uint16)
+    for filt in (0, 1):
+        assert np.array_equal(
+            _decode_png(png16(pg, filt))[:, :, 0], (pg >> 8).astype(np.uint8)
+        ), filt
+        assert np.array_equal(
+            _decode_png(png16(pc, filt)), (pc >> 8).astype(np.uint8)
+        ), filt
