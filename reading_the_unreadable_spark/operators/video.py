@@ -5,10 +5,11 @@ Same codec policy as images (:mod:`multimodal`), audio (:mod:`audio`)
 and PDF: the container that needs no codec library decodes for REAL.
 With the from-scratch baseline JFIF codec (:mod:`jpeg`) in hand, the
 classic RIFF-AVI Motion-JPEG layout (one ``00dc`` chunk per frame, each
-a standalone JPEG) is fully parseable: the result is an actual
-video → frames → features pipeline, not a stub.  Inter-frame codecs
-(H.264/VP9/…) raise ``NotImplementedError`` loudly; swapping in ffmpeg
-later changes only :func:`decode_avi_frames`.
+a standalone JPEG) is fully parseable, as is the uncompressed 24-bit
+DIB layout (``00db`` chunks, the lossless capture-card format): the
+result is an actual video → frames → features pipeline, not a stub.
+Inter-frame codecs (H.264/VP9/…) raise ``NotImplementedError`` loudly;
+swapping in ffmpeg later changes only :func:`decode_avi_frames`.
 
 Frame SAMPLING is the Spark-side contract a training-data pipeline
 needs (decode every Nth frame, never materialize the rest): the
@@ -75,19 +76,77 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_avi_dib(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
+    """List of HxWx3 uint8 RGB frames → RIFF-AVI with UNCOMPRESSED
+    24-bit DIB ``00db`` chunks (bottom-up BGR, 4-byte-padded rows —
+    the lossless capture-card layout)."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    row_size = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (row_size - w * 3)
+    payloads = []
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # bottom-up, BGR
+        payloads.append(b"".join(bgr[y].tobytes() + pad for y in range(h)))
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        p = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + p
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        body = kind + data
+        return b"LIST" + struct.pack("<I", len(body)) + body
+
+    usec_per_frame = int(round(1_000_000 / fps))
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame, 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1,
+                                        int(round(fps)), 0, len(frames), 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_size * h, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_dib_frame(body: bytes, w: int, h: int) -> np.ndarray:
+    """One uncompressed 24-bit DIB frame (bottom-up BGR, padded rows)
+    → HxWx3 RGB."""
+    row_size = (w * 3 + 3) // 4 * 4
+    if len(body) < row_size * h:
+        raise ValueError(
+            f"DIB frame truncated: {len(body)} < {row_size * h} bytes"
+        )
+    rows = np.frombuffer(body, np.uint8, row_size * h).reshape(h, row_size)
+    return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
+
+
 def decode_avi_frames(
     payload: bytes, every_n: int = 1
 ) -> tuple[float, int, list[tuple[int, np.ndarray]]]:
-    """RIFF-AVI/MJPG bytes → (fps, total_frames, [(frame_idx, HxWx3)])
+    """RIFF-AVI bytes → (fps, total_frames, [(frame_idx, HxWx3)])
     decoding only every ``every_n``-th frame — skipped frames are byte
-    slices, no JPEG work.  Non-MJPG streams raise."""
+    slices, no decode work.  Streams decode as Motion-JPEG (``MJPG``
+    ``00dc`` chunks) or uncompressed 24-bit DIB (``DIB ``/raw ``00db``
+    chunks); inter-frame codecs raise."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError(f"not a RIFF/AVI file: {payload[:4]!r}")
     fps = 0.0
     frames: list[bytes] = []
+    codec = "mjpeg"
+    dims = [0, 0]  # from strf BITMAPINFOHEADER, needed for DIB frames
 
     def walk(data: bytes) -> None:
-        nonlocal fps
+        nonlocal fps, codec
         pos = 0
         while pos + 8 <= len(data):
             cid = data[pos : pos + 4]
@@ -99,12 +158,21 @@ def decode_avi_frames(
                 usec = struct.unpack_from("<I", body, 0)[0]
                 fps = 1_000_000 / usec if usec else 0.0
             elif cid == b"strh":
-                if body[:4] == b"vids" and body[4:8] not in (b"MJPG", b"mjpg"):
-                    raise NotImplementedError(
-                        f"video codec {body[4:8]!r} needs ffmpeg; only MJPG "
-                        "decodes here"
-                    )
-            elif cid == b"00dc":
+                if body[:4] == b"vids":
+                    fourcc = body[4:8]
+                    if fourcc in (b"MJPG", b"mjpg"):
+                        codec = "mjpeg"
+                    elif fourcc in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+                        codec = "dib"
+                    else:
+                        raise NotImplementedError(
+                            f"video codec {fourcc!r} needs ffmpeg; MJPG and "
+                            "uncompressed DIB decode here"
+                        )
+            elif cid == b"strf" and len(body) >= 16 and dims == [0, 0]:
+                dims[0] = struct.unpack_from("<i", body, 4)[0]
+                dims[1] = abs(struct.unpack_from("<i", body, 8)[0])
+            elif cid in (b"00dc", b"00db"):
                 frames.append(body)
             pos += 8 + size + (size & 1)
 
@@ -114,9 +182,14 @@ def decode_avi_frames(
         # gutted file — silently returning zero frames would be data
         # loss the quarantine layer can't see
         raise ValueError("AVI contains no video frames (truncated?)")
-    sampled = [
-        (i, decode_jpeg(frames[i])) for i in range(0, len(frames), max(every_n, 1))
-    ]
+    idxs = range(0, len(frames), max(every_n, 1))
+    if codec == "mjpeg":
+        sampled = [(i, decode_jpeg(frames[i])) for i in idxs]
+    else:
+        w, h = dims
+        if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16) or w * h > 1 << 26:
+            raise ValueError(f"implausible DIB frame dimensions {w}x{h}")
+        sampled = [(i, _decode_dib_frame(frames[i], w, h)) for i in idxs]
     return fps, len(frames), sampled
 
 

@@ -1428,3 +1428,38 @@ def test_small_codec_extended_profiles():
         assert np.array_equal(
             _decode_png(png16(pc, filt)), (pc >> 8).astype(np.uint8)
         ), filt
+
+
+def test_avi_uncompressed_dib():
+    """Uncompressed 24-bit DIB AVI (00db chunks, bottom-up BGR padded
+    rows): LOSSLESS round-trip frame-for-frame, every_n sampling slices
+    without decoding, truncated frames and implausible dims raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from reading_the_unreadable_spark.operators.video import (
+        decode_avi_frames,
+        encode_avi_dib,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    frames = [rng.integers(0, 256, (24, 33, 3)).astype(np.uint8) for _ in range(5)]
+    fps, n, sampled = decode_avi_frames(encode_avi_dib(frames, fps=12.0))
+    assert (n, abs(fps - 12.0) < 0.01, len(sampled)) == (5, True, 5)
+    for (i, got), want in zip(sampled, frames):
+        assert np.array_equal(got, want), i  # lossless, unlike MJPG
+    _fps, _n, s2 = decode_avi_frames(encode_avi_dib(frames), every_n=2)
+    assert [i for i, _ in s2] == [0, 2, 4]
+
+    enc = bytearray(encode_avi_dib(frames))
+    at = bytes(enc).find(b"00db")
+    struct.pack_into("<I", enc, at + 4, 10)  # lie about the frame size
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi_frames(bytes(enc))
+    enc2 = bytearray(encode_avi_dib(frames))
+    at = bytes(enc2).find(b"strf")
+    struct.pack_into("<i", enc2, at + 8 + 4, 1 << 20)  # absurd width
+    with pytest.raises(ValueError, match="implausible"):
+        decode_avi_frames(bytes(enc2))
