@@ -1335,9 +1335,11 @@ def q_media_pipeline(spark, sf):
     video mapInPandas decode+feature paths built from scratch in
     operators/{jpeg,audio,video}.py — the WAV slice cycles all four
     decodable families (int16 PCM, IMA ADPCM 0x11, MS-ADPCM 0x02, G.711
-    mu-law); output is the per-kind summary — a pure function of the
-    fixed doc_id sample, identical at every sf, hash-checked against a
-    closed-form VALUES oracle."""
+    mu-law) and the TIFF slice cycles the full CCITT family plus the
+    tiled layout (g4 / mh / g3 / g3-2d / tiled-g4 — all lossless, so
+    the summary is container-invariant); output is the per-kind
+    summary — a pure function of the fixed doc_id sample, identical at
+    every sf, hash-checked against a closed-form VALUES oracle."""
     import numpy as np
     import pandas as pd_local
 
@@ -1389,14 +1391,24 @@ def q_media_pipeline(spark, sf):
                     else encode_jpeg
                 )
                 rows["payload"].append(enc(img, subsample=True))
-                # deterministic bilevel "scan" page through the CCITT
-                # Group 4 TIFF path (the real newspaper-archive codec)
+                # deterministic bilevel "scan" page cycling the CCITT
+                # family AND the tiled layout — every variant is
+                # LOSSLESS over the same raster, so decoded features
+                # (and the VALUES oracle) are identical regardless of
+                # which container/compression each doc drew
                 page = np.zeros((24, 48), dtype=bool)
                 page[seed % 24, :] = True
                 page[:, seed % 48] = True
                 rows["media_ref"].append(f"{ref}.tif")
                 rows["kind"].append("image")
-                rows["payload"].append(encode_tiff(page, compression="g4"))
+                tiff_kw = {
+                    0: {"compression": "g4"},
+                    10: {"compression": "mh"},
+                    20: {"compression": "g3"},
+                    30: {"compression": "g3-2d"},
+                    40: {"compression": "g4", "tile": (16, 16)},
+                }[int(doc_id) % 50]
+                rows["payload"].append(encode_tiff(page, **tiff_kw))
                 rows["media_ref"].append(f"{ref}.wav")
                 rows["kind"].append("audio")
                 # cycle all four decodable WAV families (doc_ids are
