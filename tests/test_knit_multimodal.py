@@ -1463,3 +1463,35 @@ def test_avi_uncompressed_dib():
     struct.pack_into("<i", enc2, at + 8 + 4, 1 << 20)  # absurd width
     with pytest.raises(ValueError, match="implausible"):
         decode_avi_frames(bytes(enc2))
+
+
+def test_avi_audio_stream_extraction():
+    """An AVI audio stream ('auds' strh + 01wb chunks) re-wraps
+    losslessly as RIFF/WAVE, so the entire WAV codec family applies:
+    int16 PCM extracts to quantization accuracy, the video stream of
+    the SAME file still decodes (stream-index-aware chunk walk), and a
+    video-only AVI raises."""
+    import numpy as np
+    import pytest
+
+    from reading_the_unreadable_spark.operators.video import (
+        decode_avi_frames,
+        encode_avi_dib,
+        encode_avi_with_audio,
+        extract_avi_audio,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    frames = [rng.integers(0, 256, (16, 24, 3)).astype(np.uint8) for _ in range(4)]
+    t = np.arange(3200) / 16000
+    samples = np.stack(
+        [np.sin(2 * np.pi * 440 * t), np.sin(2 * np.pi * 220 * t)], 1
+    ) * 0.5
+    avi = encode_avi_with_audio(frames, samples, rate=16000, fps=8.0)
+    rate, got = extract_avi_audio(avi)
+    assert rate == 16000 and got.shape == (3200, 2)
+    assert np.abs(got - samples).max() < 1 / 32768 + 1e-9
+    fps, n, _sampled = decode_avi_frames(avi)
+    assert n == 4 and abs(fps - 8.0) < 0.01
+    with pytest.raises(ValueError, match="no audio stream"):
+        extract_avi_audio(encode_avi_dib(frames))
