@@ -28,6 +28,10 @@ discipline as :mod:`docs`:
   ``rollback_to_snapshot``: one metadata-only snapshot restores an
   earlier state (bad append/merge undone without touching data files;
   intermediate snapshots stay time-travelable until expired)
+- ``create_tag / delete_tag / list_tags`` + ``read_snapshot(tag=...)``
+  → Iceberg refs: named immutable snapshot pins that
+  ``expire_snapshots`` RETAINS regardless of ``keep_n`` (the
+  audit/report pin), readable as ``VERSION AS OF 'name'``
 - ``append_snapshot(df, root, stat_cols=[...])`` records per-file
   min/max column bounds in the manifest (Iceberg's column bounds);
   ``read_snapshot(..., prune={col: (lo, hi)})`` then skips data files
@@ -617,6 +621,7 @@ def read_snapshot(
     root: str,
     snapshot_id: int | None = None,
     prune: dict | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Table contents AS OF ``snapshot_id`` (default: latest).  Iceberg
     equivalent: ``VERSION AS OF``.  An unknown snapshot id raises (the
@@ -632,7 +637,17 @@ def read_snapshot(
     At 100 TB this is the difference between planning thousands of
     files and planning the handful a selective range touches; files
     without recorded bounds are conservatively kept and filtered
-    row-wise."""
+    row-wise.
+
+    ``tag`` reads AS OF a named tag (Iceberg ``VERSION AS OF 'name'``);
+    mutually exclusive with ``snapshot_id``."""
+    if tag is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass either snapshot_id or tag, not both")
+        tags = list_tags(spark, root)
+        if tag not in tags:
+            raise ValueError(f"unknown tag {tag!r} (known: {sorted(tags)})")
+        snapshot_id = tags[tag]
     snaps = _snapshots(spark, root)
     if snapshot_id is not None:
         known = {s["snapshot_id"] for s in snaps}
@@ -1013,6 +1028,65 @@ def rewrite_data_files(
     }
 
 
+def create_tag(
+    spark: SparkSession, root: str, name: str, snapshot_id: int | None = None
+) -> int:
+    """Iceberg ``create_tag``: a named, immutable reference to a
+    snapshot (default: the current one).  Tagged snapshots are
+    RETAINED by :func:`expire_snapshots` regardless of ``keep_n`` —
+    the audit/report pin Iceberg refs exist for.  Re-tagging the same
+    name to the same snapshot is idempotent; to a different one it
+    raises (tags are immutable; delete first)."""
+    if not name or any(c in name for c in "/\\\x00"):
+        raise ValueError(f"invalid tag name {name!r}")
+    snaps = _snapshots(spark, root)
+    known = {s["snapshot_id"] for s in snaps}
+    if snapshot_id is None:
+        snapshot_id = snaps[-1]["snapshot_id"] if snaps else None
+    if snapshot_id not in known:
+        raise ValueError(
+            f"unknown snapshot id {snapshot_id} (known: {sorted(known)})"
+        )
+    existing = list_tags(spark, root)
+    if name in existing:
+        if existing[name] == snapshot_id:
+            return snapshot_id
+        raise ValueError(
+            f"tag {name!r} already points at {existing[name]} "
+            f"(tags are immutable; delete_tag first)"
+        )
+    _write_file(
+        spark,
+        f"{root}/refs/tag-{name}.json",
+        json.dumps({"name": name, "snapshot_id": snapshot_id}).encode(),
+    )
+    return snapshot_id
+
+
+def delete_tag(spark: SparkSession, root: str, name: str) -> None:
+    """Drop a tag (its snapshot becomes expirable again)."""
+    fs, p, _ = _fs_path(spark, f"{root}/refs/tag-{name}.json")
+    if not fs.exists(p):
+        raise ValueError(f"unknown tag {name!r}")
+    fs.delete(p, False)
+
+
+def list_tags(spark: SparkSession, root: str) -> dict[str, int]:
+    """{tag name: snapshot id} for every tag under ``root/refs``."""
+    fs, p, _ = _fs_path(spark, f"{root}/refs")
+    if not fs.exists(p):
+        return {}
+    out: dict[str, int] = {}
+    for st in fs.listStatus(p):
+        fname = st.getPath().getName()
+        if fname.startswith("tag-") and fname.endswith(".json"):
+            ref = json.loads(
+                _read_file(spark, f"{root}/refs/{fname}").decode()
+            )
+            out[ref["name"]] = int(ref["snapshot_id"])
+    return out
+
+
 def rollback_to_snapshot(spark: SparkSession, root: str, snapshot_id: int) -> int:
     """Iceberg ``rollback_to_snapshot``: make the CURRENT table state
     equal snapshot ``snapshot_id``'s state by committing one NEW
@@ -1105,8 +1179,15 @@ def expire_snapshots(
     if keep_n < 1:
         raise ValueError("keep_n must be >= 1")
     wins = _winning_manifests(spark, root)
-    if len(wins) > keep_n:
-        expired, survivors = wins[:-keep_n], wins[-keep_n:]
+    # Iceberg ref semantics: TAGGED snapshots are retained regardless
+    # of keep_n, and (since the fold collapses a contiguous prefix)
+    # so is everything after the oldest protected snapshot
+    protected = set(list_tags(spark, root).values())
+    cut = max(len(wins) - keep_n, 0)
+    while cut > 0 and protected and wins[cut - 1][0] >= min(protected):
+        cut -= 1
+    if cut > 0:
+        expired, survivors = wins[:cut], wins[cut:]
         expired_ids = [sid for sid, _ in expired]
         # fold the fully-resolved state AT the oldest survivor (expired
         # manifests + base, removed_files applied) into one manifest; it

@@ -870,3 +870,46 @@ def test_snapshot_rollback(spark, tmp_path):
     S.expire_snapshots(spark, root, keep_n=2, orphan_grace_s=0)
     got2 = {r["doc_id"] for r in S.read_snapshot(spark, root).collect()}
     assert got2 == want | set(range(300, 320))
+
+
+def test_snapshot_tags(spark, tmp_path):
+    """Iceberg refs: tags pin snapshots by name, read back as VERSION
+    AS OF, survive expire_snapshots regardless of keep_n, and become
+    expirable again once deleted; tags are immutable per name."""
+    from reading_the_unreadable_spark.sources import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id as doc_id", "id % 7 as v"
+    ).repartition(2)
+    for i in range(5):
+        S.append_snapshot(mk(i * 50, (i + 1) * 50), root)  # snaps 1-5
+
+    assert S.create_tag(spark, root, "audit-q1", snapshot_id=2) == 2
+    assert S.create_tag(spark, root, "latest") == 5  # default: current
+    assert S.list_tags(spark, root) == {"audit-q1": 2, "latest": 5}
+    assert S.create_tag(spark, root, "audit-q1", snapshot_id=2) == 2  # idempotent
+    with pytest.raises(ValueError, match="immutable"):
+        S.create_tag(spark, root, "audit-q1", snapshot_id=3)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        S.create_tag(spark, root, "nope", snapshot_id=99)
+
+    assert S.read_snapshot(spark, root, tag="audit-q1").count() == 100
+    with pytest.raises(ValueError, match="unknown tag"):
+        S.read_snapshot(spark, root, tag="ghost")
+    with pytest.raises(ValueError, match="not both"):
+        S.read_snapshot(spark, root, snapshot_id=2, tag="latest")
+
+    # expire keeps the tagged snapshot alive: keep_n=1 would normally
+    # fold snaps 1-4, but the tag at 2 pins the fold point before it
+    res = S.expire_snapshots(spark, root, keep_n=1, orphan_grace_s=0)
+    assert res["expired"] == [1]
+    assert S.read_snapshot(spark, root, tag="audit-q1").count() == 100
+    assert S.read_snapshot(spark, root, snapshot_id=3).count() == 150
+    # drop the tag: the pinned range becomes expirable again
+    S.delete_tag(spark, root, "audit-q1")
+    res2 = S.expire_snapshots(spark, root, keep_n=1, orphan_grace_s=0)
+    assert res2["expired"] == [2, 3, 4]
+    with pytest.raises(ValueError, match="unknown snapshot id"):
+        S.read_snapshot(spark, root, snapshot_id=3).count()
+    assert S.read_snapshot(spark, root).count() == 250
