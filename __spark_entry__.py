@@ -1052,12 +1052,14 @@ def q_snapshot_incremental(spark, sf):
     manifest-bounds PRUNED range read are summarized; finally a
     copy-on-write MERGE INTO (update " [v2]" suffix + keyed inserts),
     a DELETE FROM, a z-order clustering rewrite (Morton curve over
-    doc_id × n_chars, incl. a 2-D pruned range read), and a
-    small-file compaction are applied and re-summarized (pruning,
-    clustering, and compaction are semantics-preserving, so their
-    sums must equal the plain-SQL replicas).  Aggregation runs
-    distributed; only the 11 summary rows are collected so the
-    scratch table can be removed before returning.
+    doc_id × n_chars, incl. a 2-D pruned range read), a small-file
+    compaction, a TAG read (VERSION AS OF 'audit'), and a
+    metadata-only ROLLBACK to snapshot 2 are applied and
+    re-summarized (pruning, clustering, and compaction are
+    semantics-preserving; the rollback restores exactly the mod-{0,1}
+    append state).  Aggregation runs distributed; only the 13 summary
+    rows are collected so the scratch table can be removed before
+    returning.
     Oracle: the same counts/sums derived directly from documents."""
     import uuid as uuid_mod
 
@@ -1157,6 +1159,20 @@ def q_snapshot_incremental(spark, sf):
             spark, root, small_file_bytes=1 << 30, stat_cols=["doc_id"]
         )
         rows.append(("post_compact", *_summary(read_snapshot(spark, root))))
+        # Iceberg refs: a tag pins the current state by name; reading
+        # VERSION AS OF the tag must equal the post-compaction sums
+        from reading_the_unreadable_spark.sources.snapshots import (
+            create_tag,
+            rollback_to_snapshot,
+        )
+
+        create_tag(spark, root, "audit")
+        rows.append(("tag_read", *_summary(read_snapshot(spark, root, tag="audit"))))
+        # metadata-only rollback to snapshot 2 restores the mod-{0,1}
+        # append state — exactly the asof_2 replica, undoing the merge,
+        # delete, zorder, and compaction without touching data files
+        rollback_to_snapshot(spark, root, 2)
+        rows.append(("post_rollback", *_summary(read_snapshot(spark, root))))
     finally:
         # cleanup on the SAME filesystem the snapshot layer wrote to —
         # a driver-local shutil.rmtree would no-op against HDFS/S3 and
@@ -2651,6 +2667,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id + 10000000 AS doc_id, text || ' [v2]'
                 FROM documents WHERE doc_id % 7 = 0
             ) WHERE doc_id % 11 <> 3
+            UNION ALL SELECT 'tag_read', count(*),
+                   coalesce(sum(length(text)), 0)::BIGINT
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]'
+                            ELSE text END AS text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text || ' [v2]'
+                FROM documents WHERE doc_id % 7 = 0
+            ) WHERE doc_id % 11 <> 3
+            UNION ALL SELECT 'post_rollback', count(*),
+                   coalesce(sum(length(text)), 0)::BIGINT
+            FROM documents WHERE doc_id % 3 IN (0, 1)
         """,
         "ann_quantized": S.ann_quantized_oracle_sql(query_vec_id=0, k=10),
         "label_centroids": """
