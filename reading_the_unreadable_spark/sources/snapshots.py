@@ -32,6 +32,11 @@ discipline as :mod:`docs`:
   → Iceberg refs: named immutable snapshot pins that
   ``expire_snapshots`` RETAINS regardless of ``keep_n`` (the
   audit/report pin), readable as ``VERSION AS OF 'name'``
+- ``stage_append / read_staged / publish_staged / abort_staged`` →
+  Iceberg write-audit-publish (``spark.wap.id``): data files written
+  for real but invisible to every read until an audit passes and the
+  publish commits them metadata-only; aborted stages become orphans
+  that expire reclaims
 - ``append_snapshot(df, root, stat_cols=[...])`` records per-file
   min/max column bounds in the manifest (Iceberg's column bounds);
   ``read_snapshot(..., prune={col: (lo, hi)})`` then skips data files
@@ -1028,6 +1033,86 @@ def rewrite_data_files(
     }
 
 
+def stage_append(
+    df: DataFrame, root: str, stat_cols: list[str] | None = None
+) -> str:
+    """Iceberg write-audit-publish, the WRITE step: the data files are
+    written for real, but the manifest lands under ``root/staged/``
+    where no table read ever looks — the rows are INVISIBLE until
+    published.  Returns the staging name for :func:`read_staged`
+    (audit), :func:`publish_staged` (commit), or :func:`abort_staged`.
+    A killed staging attempt leaves an unreferenced data dir that
+    ``expire_snapshots`` reclaims past the grace age; once the staging
+    manifest exists it protects the dir like a published one."""
+    spark = df.sparkSession
+    attempt = uuid.uuid4().hex[:8]
+    files = _write_data_dir(df, root, 0, f"staged-{attempt}")
+    manifest: dict = {
+        "staged": True,
+        "files": files,
+        "operation": "append",
+        "schema": df.schema.jsonValue(),
+    }
+    if stat_cols:
+        manifest["stats"] = _collect_stats(spark, files, df.schema, stat_cols)
+    name = f"staged-{attempt}.json"
+    _write_file(spark, f"{root}/staged/{name}", json.dumps(manifest).encode())
+    return name
+
+
+def read_staged(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """The AUDIT step: read exactly the staged rows (and nothing
+    else) so validation queries can gate the publish."""
+    path = f"{root}/staged/{name}"
+    fs, p, _ = _fs_path(spark, path)
+    if not fs.exists(p):
+        raise ValueError(f"unknown staging {name!r}")
+    snap = json.loads(_read_file(spark, path).decode())
+    return _read_entries(spark, _added_entries(spark, snap))
+
+
+def publish_staged(spark: SparkSession, root: str, name: str) -> int:
+    """The PUBLISH step: commit the staged files as a normal append
+    snapshot — metadata-only, no data copied, atomic via the same
+    rename protocol every commit uses.  Idempotent across a crash
+    between commit and staging-file cleanup: if the staged files are
+    already live, the leftover staging manifest is just removed."""
+    path = f"{root}/staged/{name}"
+    fs, p, _ = _fs_path(spark, path)
+    if not fs.exists(p):
+        raise ValueError(f"unknown staging {name!r}")
+    snap = json.loads(_read_file(spark, path).decode())
+    live = {
+        _norm_uri(f) for f, _k in _state_files(spark, _snapshots(spark, root))
+    }
+    if snap["files"] and all(_norm_uri(f) in live for f in snap["files"]):
+        fs.delete(p, False)  # crashed after commit last time; finish up
+        return current_snapshot_id(spark, root)
+    parent = current_snapshot_id(spark, root)
+    sid = (parent or 0) + 1
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "files": snap["files"],
+        "operation": "append",
+        "schema": snap["schema"],
+    }
+    if "stats" in snap:
+        manifest["stats"] = snap["stats"]
+    out = _commit(spark, root, sid, uuid.uuid4().hex[:8], manifest)
+    fs.delete(p, False)
+    return out
+
+
+def abort_staged(spark: SparkSession, root: str, name: str) -> None:
+    """Drop a staging manifest (audit failed); its data dir becomes an
+    orphan that ``expire_snapshots`` reclaims past the grace age."""
+    fs, p, _ = _fs_path(spark, f"{root}/staged/{name}")
+    if not fs.exists(p):
+        raise ValueError(f"unknown staging {name!r}")
+    fs.delete(p, False)
+
+
 def create_tag(
     spark: SparkSession, root: str, name: str, snapshot_id: int | None = None
 ) -> int:
@@ -1258,6 +1343,21 @@ def expire_snapshots(
         for snap in _snapshots(spark, root)
         for f, _key in _added_entries(spark, snap)
     }
+    # ...and so does every file referenced by a write-audit-publish
+    # STAGING manifest: staged-but-unpublished data is pending, not
+    # orphaned (abort_staged removes the manifest, THEN it's an orphan)
+    sfs, sp, _ = _fs_path(spark, f"{root}/staged")
+    if sfs.exists(sp):
+        for st in sfs.listStatus(sp):
+            sname = st.getPath().getName()
+            if sname.endswith(".json"):
+                snap = json.loads(
+                    _read_file(spark, f"{root}/staged/{sname}").decode()
+                )
+                referenced |= {
+                    f.rstrip("/").rsplit("/", 2)[-2]
+                    for f in snap.get("files", [])
+                }
     cutoff_ms = (_time.time() - orphan_grace_s) * 1000.0
     removed = []
     fs, data_p, jvm = _fs_path(spark, f"{root}/data")

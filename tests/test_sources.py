@@ -913,3 +913,63 @@ def test_snapshot_tags(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown snapshot id"):
         S.read_snapshot(spark, root, snapshot_id=3).count()
     assert S.read_snapshot(spark, root).count() == 250
+
+
+def test_snapshot_write_audit_publish(spark, tmp_path):
+    """Iceberg WAP: staged rows are written for real but invisible to
+    every read (latest, time travel, incremental) until published;
+    the audit reads exactly the staged rows; publish is metadata-only
+    and idempotent across a crash between commit and cleanup; aborted
+    stages become orphans that expire reclaims — while PENDING stages
+    survive orphan reclamation."""
+    from reading_the_unreadable_spark.sources import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id as doc_id", "id % 7 as v"
+    ).repartition(2)
+    S.append_snapshot(mk(0, 100), root, stat_cols=["doc_id"])  # snap 1
+    name = S.stage_append(mk(100, 160), root, stat_cols=["doc_id"])
+
+    # invisible everywhere until published
+    assert S.read_snapshot(spark, root).count() == 100
+    assert S.incremental_read(spark, root, after=None).count() == 100
+    # ...but the audit sees exactly the staged rows
+    audited = S.read_staged(spark, root, name)
+    assert sorted(r["doc_id"] for r in audited.collect()) == list(range(100, 160))
+    # pending staged data survives orphan reclamation
+    S.expire_snapshots(spark, root, keep_n=1, orphan_grace_s=0)
+    assert S.read_staged(spark, root, name).count() == 60
+
+    sid = S.publish_staged(spark, root, name)
+    assert sid == 2
+    assert S.read_snapshot(spark, root).count() == 160
+    # stats traveled through staging: a miss range plans zero files
+    assert (
+        len(S.read_snapshot(spark, root, prune={"doc_id": (900, 999)}).inputFiles())
+        == 0
+    )
+    # idempotent: the staging file is gone, a re-publish errors loudly
+    with pytest.raises(ValueError, match="unknown staging"):
+        S.publish_staged(spark, root, name)
+
+    # crash-shaped idempotence: a leftover staging manifest whose files
+    # are already live is cleaned up without double-adding
+    name2 = S.stage_append(mk(200, 220), root)
+    import json as _json
+
+    raw = S._read_file(spark, f"{root}/staged/{name2}")
+    S.publish_staged(spark, root, name2)
+    S._write_file(spark, f"{root}/staged/{name2}", raw)  # simulate crash
+    before = S.read_snapshot(spark, root).count()
+    assert S.publish_staged(spark, root, name2) == S.current_snapshot_id(spark, root)
+    assert S.read_snapshot(spark, root).count() == before  # no double add
+
+    # abort: rows never appear, and the data dir is reclaimed
+    name3 = S.stage_append(mk(300, 330), root)
+    S.abort_staged(spark, root, name3)
+    with pytest.raises(ValueError, match="unknown staging"):
+        S.read_staged(spark, root, name3) and None
+    res = S.expire_snapshots(spark, root, keep_n=10, orphan_grace_s=0)
+    assert any("staged" in d for d in res["removed_dirs"])
+    assert S.read_snapshot(spark, root).count() == before
