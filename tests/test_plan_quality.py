@@ -353,3 +353,33 @@ def test_ann_quantized_plan_and_recall(spark):
     exact = {r["vec_id"] for r in cosine_topk(emb, 0, 10).collect()}
     quant = {r["vec_id"] for r in df.collect()}
     assert len(exact & quant) >= 8, (exact, quant)
+
+
+def test_zorder_rewrite_plan_jvm_only(spark, tmp_path):
+    """The Morton-curve clustering rewrite stays JVM-side: the z-value
+    is pure shift/AND/OR expressions (no Python UDF, no RDD), the
+    cluster write range-partitions on it, and the rewrite plans one
+    exchange for the range partitioning — nothing is collected."""
+    from reading_the_unreadable_spark.sources.snapshots import (
+        _zorder_column,
+        append_snapshot,
+    )
+
+    grid = spark.range(512).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 16).alias("x"),
+        (F.col("id") / 16).cast("long").alias("y"),
+    )
+    z = _zorder_column(["x", "y"], {"x": (0, 15), "y": (0, 31)}, bits=16)
+    clustered = (
+        grid.withColumn("__z", z)
+        .repartitionByRange(4, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    plan = _plan(clustered)
+    assert "rangepartitioning" in plan.lower(), plan[:1500]
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert bad not in plan, plan[:1500]
+    # and the z expression itself is bit ops inside the projection
+    assert "shiftleft" in plan.lower() or "<<" in plan, plan[:1500]
