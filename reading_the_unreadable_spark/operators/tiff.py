@@ -12,7 +12,9 @@ Compression = none (1), CCITT RLE / Modified Huffman (2), CCITT Group
 LZW (5, incl. the spec's early-change convention and
 horizontal-differencing predictor), and PackBits (32773) — in BOTH
 the strip-based and the tiled layout (spec §15; large-plate scans are
-routinely tiled).  16-bit samples and planar configuration 2 raise
+routinely tiled), plus 16-bit grayscale strips and
+PlanarConfiguration=2 separate-plane strips.  Depths/layouts beyond
+those (planar tiles, 16-bit color, sub-byte gray) raise
 ``NotImplementedError`` loudly; truncation and malformed structures
 raise ``ValueError`` (the quarantining-caller contract shared by every
 codec here).
@@ -96,8 +98,9 @@ def _decode_tiff_impl(payload: bytes) -> np.ndarray:
     if magic != 42:
         raise ValueError(f"bad TIFF magic {magic}")
     tags = _read_ifd(payload, ifd_off, bo)
-    if tags.get(_T_PLANAR, [1])[0] != 1:
-        raise NotImplementedError("planar configuration 2")
+    planar = tags.get(_T_PLANAR, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"invalid PlanarConfiguration {planar}")
     w = tags[_T_WIDTH][0]
     h = tags[_T_LENGTH][0]
     if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20) or w * h > 1 << 28:
@@ -117,7 +120,15 @@ def _decode_tiff_impl(payload: bytes) -> np.ndarray:
     if bits == 16 and spp != 1:
         raise NotImplementedError("16-bit TIFF decodes grayscale only")
 
-    if _T_TILE_WIDTH in tags:
+    if planar == 2 and spp > 1:
+        # separate component planes (all R strips, then G, then B);
+        # meaningless for spp == 1, where some writers set it anyway
+        if _T_TILE_WIDTH in tags or bits != 8:
+            raise NotImplementedError(
+                "planar configuration 2 decodes 8-bit strip layouts"
+            )
+        grid = _decode_strips_planar(payload, tags, w, h, spp, comp)
+    elif _T_TILE_WIDTH in tags:
         if bits == 16:
             raise NotImplementedError("16-bit tiled TIFF")
         grid = _decode_tiles(payload, tags, w, h, spp, bits, comp)
@@ -241,6 +252,46 @@ def _decode_strips(
     if grid.shape[0] < h:
         raise ValueError("TIFF rows short of ImageLength")
     return grid[:h]
+
+
+def _decode_strips_planar(
+    payload: bytes, tags: dict, w: int, h: int, spp: int, comp: int
+) -> np.ndarray:
+    """PlanarConfiguration=2 strips (TIFF 6.0): each strip holds ONE
+    component's rows, all component-0 strips first, then component-1,
+    …  Planes are decoded like grayscale and re-interleaved to the
+    same (h, w*spp) chunky grid the caller expects — per-row predictor
+    differencing commutes with the interleave, so the generic
+    predictor-2 path downstream applies unchanged."""
+    offsets = tags[_T_STRIP_OFFSETS]
+    counts = tags.get(_T_STRIP_COUNTS)
+    rps = tags.get(_T_ROWS_PER_STRIP, [h])[0] or h
+    spl = -(-h // rps)  # strips per plane
+    if counts is None or len(counts) != len(offsets) or len(offsets) != spl * spp:
+        raise ValueError(
+            f"planar TIFF expects {spl}x{spp} strips, got {len(offsets)}"
+        )
+    row_bytes = w  # 8-bit single component
+    planes = []
+    for c in range(spp):
+        rows = []
+        for si in range(spl):
+            off, cnt = offsets[c * spl + si], counts[c * spl + si]
+            strip = payload[off : off + cnt]
+            if len(strip) < cnt:
+                raise ValueError(f"TIFF strip {c}:{si} truncated")
+            n_rows = min(rps, h - si * rps)
+            raw = _decompress_chunk(
+                strip, comp, tags, w, n_rows, n_rows * row_bytes,
+                f"strip {c}:{si}",
+            )
+            rows.append(
+                np.frombuffer(raw, np.uint8, n_rows * row_bytes).reshape(
+                    n_rows, row_bytes
+                )
+            )
+        planes.append(np.vstack(rows)[:h])
+    return np.stack(planes, axis=-1).reshape(h, w * spp)
 
 
 def _decode_tiles(

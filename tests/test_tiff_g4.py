@@ -302,3 +302,81 @@ def test_tiff_tiled_layout():
         struct.pack("<2sHI", b"II", 42, 8) + ifd + arrays + b"".join(tiles)
     )
     assert np.array_equal(decode_tiff(payload), img2)
+
+
+def _build_planar_tiff(img, comp_id, encode_block, pred=1, rps=4):
+    """Hand-built PlanarConfiguration=2 fixture: all R strips, then G,
+    then B, each strip one plane's row block."""
+    h, w = img.shape[:2]
+    spl = -(-h // rps)
+    strips = []
+    for c in range(3):
+        plane = img[:, :, c]
+        if pred == 2:
+            d = plane.astype(np.int16).copy()
+            d[:, 1:] -= plane.astype(np.int16)[:, :-1]
+            plane = (d % 256).astype(np.uint8)
+        for si in range(spl):
+            strips.append(encode_block(plane[si * rps : (si + 1) * rps]))
+    tags = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 3, 0),
+        (259, 3, 1, comp_id), (262, 3, 1, 2),
+        (273, 4, len(strips), 0), (277, 3, 1, 3), (278, 4, 1, rps),
+        (279, 4, len(strips), 0), (284, 3, 1, 2),
+    ]
+    if pred == 2:
+        tags.append((317, 3, 1, 2))
+    n = len(tags)
+    data_off = 8 + 2 + n * 12 + 4
+    bits_off = data_off
+    so_off = bits_off + 6
+    sc_off = so_off + 4 * len(strips)
+    cur = sc_off + 4 * len(strips)
+    offs = []
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    ifd = struct.pack("<H", n)
+    for tid, typ, cnt, val in tags:
+        if tid == 258:
+            val = bits_off
+        elif tid == 273:
+            val = so_off
+        elif tid == 279:
+            val = sc_off
+        ifd += struct.pack("<HHII", tid, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    arrays = (
+        struct.pack("<3H", 8, 8, 8)
+        + struct.pack(f"<{len(strips)}I", *offs)
+        + struct.pack(f"<{len(strips)}I", *[len(s) for s in strips])
+    )
+    return struct.pack("<2sHI", b"II", 42, 8) + ifd + arrays + b"".join(strips)
+
+
+def test_tiff_planar_configuration_2():
+    """PlanarConfiguration=2 (separate component planes): decode across
+    none / LZW / LZW+predictor-2 / PackBits matches the chunky pixels;
+    per-plane row differencing commutes with the interleave.  Strip
+    count mismatches raise; planar tiles stay a loud boundary."""
+    from reading_the_unreadable_spark.operators.tiff import (
+        _packbits_encode,
+        _tiff_lzw_encode,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    img = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    cases = [
+        (1, lambda b: b.tobytes(), 1),
+        (5, lambda b: _tiff_lzw_encode(b.tobytes()), 1),
+        (5, lambda b: _tiff_lzw_encode(b.tobytes()), 2),
+        (32773, lambda b: b"".join(_packbits_encode(bytes(r)) for r in b), 1),
+    ]
+    for comp_id, enc, pred in cases:
+        got = decode_tiff(_build_planar_tiff(img, comp_id, enc, pred=pred))
+        assert np.array_equal(got, img), (comp_id, pred)
+    # wrong strip count for the declared geometry raises
+    bad = bytearray(_build_planar_tiff(img, 1, lambda b: b.tobytes()))
+    struct.pack_into("<I", bad, 10 + 7 * 12 + 2 + 8, 2)  # RowsPerStrip=2
+    with pytest.raises(ValueError, match="strips"):
+        decode_tiff(bytes(bad))
