@@ -786,6 +786,25 @@ def q_redact_pii(spark, sf):
     return redact_pii(injected)
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (GPT-3 §C / Pile recipe): docs with
+    doc_id % 97 == 0 stand in as the eval set; every document sharing
+    a distinct 8-word n-gram with it is flagged.  Benchmark n-grams
+    broadcast (tiny vs the corpus); doc n-grams come from JVM
+    higher-order functions (sequence + transform + slice over split),
+    no UDF; the corpus text never shuffles.  Oracle: the same n-gram
+    join in DuckDB (list_slice + generate_series)."""
+    from reading_the_unreadable_spark.operators.quality import (
+        contamination_flags,
+    )
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_flags(d, bench, n=8).select(
+        "doc_id", "n_overlaps", "contaminated"
+    )
+
+
 def q_pack_sequences(spark, sf):
     """GPT-style training-sequence packing: fixed 2048-token sequences
     per (source, md5-shard) in deterministic doc order (running-sum
@@ -1531,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
+        "decontaminate": q_decontaminate,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2122,6 +2142,29 @@ def oracle_sql() -> dict[str, str]:
                      AS text,
                    1 AS n_url, 1 AS n_email, 1 AS n_phone, 1 AS n_ip
             FROM documents
+        """,
+        "decontaminate": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1, len(ws) - 7)) AS i
+              ) s
+              WHERE len(ws) >= 8
+            ),
+            bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            dg AS (SELECT DISTINCT doc_id, gram FROM g),
+            hits AS (
+              SELECT doc_id, count(*)::BIGINT AS n
+              FROM dg JOIN bg USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n, 0)::BIGINT AS n_overlaps,
+                   coalesce(h.n, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "pack_sequences": """
             WITH d AS (

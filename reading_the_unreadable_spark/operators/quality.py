@@ -386,3 +386,54 @@ def dedup_paragraphs(
         F.count("*").cast("int").alias("n_paras_total"),
     )
     return rebuilt
+
+
+def contamination_flags(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION (the GPT-3 §C / Pile / Llama recipe):
+    flag every document sharing at least ``min_overlap`` distinct word
+    ``n``-grams with a benchmark/eval set, so training data can be
+    scrubbed of test-set leakage.
+
+    Scale shape: the benchmark is tiny next to a 100 TB corpus, so its
+    distinct n-grams BROADCAST; documents explode their n-grams once
+    (JVM higher-order functions over ``split`` — ``sequence`` +
+    ``transform`` + ``slice``, no UDF) and the overlap count is a
+    map-side-combined groupBy on doc_id.  No shuffle ever carries the
+    corpus text itself, only (doc_id, matched-gram) pairs — for a
+    clean corpus that's near-empty.
+
+    Output: the input columns plus ``n_overlaps`` (distinct shared
+    n-grams) and boolean ``contaminated``."""
+    def grams(col: Column) -> Column:
+        words = F.split(col, " ")
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - n + 1),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (
+        benchmark.select(F.explode(grams(F.col(text_col))).alias("gram"))
+        .distinct()
+    )
+    doc_grams = documents.select(
+        "doc_id", F.explode(grams(F.col(text_col))).alias("gram")
+    ).distinct()
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlaps"))
+    )
+    return (
+        documents.join(hits, "doc_id", "left")
+        .withColumn("n_overlaps", F.coalesce("n_overlaps", F.lit(0)))
+        .withColumn("contaminated", F.col("n_overlaps") >= min_overlap)
+    )

@@ -208,3 +208,44 @@ def test_c4_is_pure_map_stage(spark):
     for op in (c4_line_filters, gopher_repetition_signals):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, op.__name__
+
+
+def test_contamination_flags(spark):
+    """Decontamination: docs sharing an 8-gram with the benchmark flag
+    with the exact distinct-overlap count; short docs (<8 words) and
+    non-overlapping docs stay clean; the benchmark side broadcasts."""
+    from reading_the_unreadable_spark.operators.quality import (
+        contamination_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text about snow and mountains today"),
+            (3, "we saw the quick brown fox jumps over the lazy dog again"),
+            (4, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = contamination_flags(docs, bench, n=8)
+    got = {r["doc_id"]: (r["n_overlaps"], r["contaminated"]) for r in out.collect()}
+    assert got == {1: (2, True), 2: (0, False), 3: (2, True), 4: (0, False)}
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan[:1500]
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, plan[:1500]
+
+    # min_overlap raises the bar
+    strict = contamination_flags(docs, bench, n=8, min_overlap=3)
+    assert not any(r["contaminated"] for r in strict.collect())
