@@ -805,6 +805,16 @@ def q_decontaminate(spark, sf):
     )
 
 
+def q_ccnet_buckets(spark, sf):
+    """CCNet per-language quality bucketing: documents ranked by the
+    unigram LM score within their language and split into equal-count
+    head/middle/tail buckets (Wenzek et al. 2020 §4.3).  Oracle: the
+    same ntile window over the DuckDB unigram-LM replica."""
+    from reading_the_unreadable_spark.operators.quality import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf, "documents"))
+
+
 def q_pack_sequences(spark, sf):
     """GPT-style training-sequence packing: fixed 2048-token sequences
     per (source, md5-shard) in deterministic doc order (running-sum
@@ -1551,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
         "decontaminate": q_decontaminate,
+        "ccnet_buckets": q_ccnet_buckets,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2165,6 +2176,28 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0)::BIGINT AS n_overlaps,
                    coalesce(h.n, 0) >= 1 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "ccnet_buckets": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            vocab AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+            tot AS (SELECT sum(c) AS total FROM vocab),
+            scored AS (
+              SELECT doc_id, round(avg(ln(c * 1.0 / total)), 4) AS avg_logprob
+              FROM words JOIN vocab USING (word), tot
+              GROUP BY doc_id),
+            t AS (
+              SELECT d.doc_id, d.lang, s.avg_logprob,
+                     ntile(3) OVER (
+                       PARTITION BY d.lang
+                       ORDER BY s.avg_logprob DESC, d.doc_id
+                     ) AS tile
+              FROM documents d JOIN scored s USING (doc_id))
+            SELECT doc_id, lang, avg_logprob,
+                   CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM t
         """,
         "pack_sequences": """
             WITH d AS (

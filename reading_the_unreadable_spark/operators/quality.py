@@ -437,3 +437,35 @@ def contamination_flags(
         .withColumn("n_overlaps", F.coalesce("n_overlaps", F.lit(0)))
         .withColumn("contaminated", F.col("n_overlaps") >= min_overlap)
     )
+
+
+def ccnet_buckets(
+    documents: DataFrame, text_col: str = "text", n_buckets: int = 3
+) -> DataFrame:
+    """CCNet's quality bucketing (Wenzek et al. 2020 §4.3): per
+    LANGUAGE, rank documents by LM score and split into equal-count
+    buckets — head (best), middle, tail — so downstream sampling can
+    weight or drop tails.  The unigram mean log-probability
+    (:func:`unigram_logprob`, scored per language partition like
+    CCNet's per-language wiki LMs) stands in for the external LM.
+
+    Scale shape: one window sort per language — exactly CCNet's
+    per-language shard sort — on (avg_logprob, doc_id); the tiebreak
+    makes bucket assignment deterministic and engine-replicable.
+    Everything upstream is the skew-hardened LM-scoring stage."""
+    names = ["head", "middle", "tail"]
+    if n_buckets != 3:
+        names = [f"b{i}" for i in range(1, n_buckets + 1)]
+    scored = documents.select("doc_id", "lang").join(
+        unigram_logprob(documents, text_col), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    tile = F.ntile(n_buckets).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.element_at(F.array(*[F.lit(n) for n in names]), tile).alias("bucket"),
+    )

@@ -249,3 +249,32 @@ def test_contamination_flags(spark):
     # min_overlap raises the bar
     strict = contamination_flags(docs, bench, n=8, min_overlap=3)
     assert not any(r["contaminated"] for r in strict.collect())
+
+
+def test_ccnet_buckets_equal_terciles(spark):
+    """CCNet bucketing: per-language equal-count head/middle/tail (the
+    remainder goes to the earlier buckets, SQL ntile semantics) and a
+    deterministic assignment under the (score, doc_id) tiebreak."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from reading_the_unreadable_spark.operators.quality import ccnet_buckets
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    out = ccnet_buckets(d)
+    counts = {
+        (r["lang"], r["bucket"]): r["n"]
+        for r in out.groupBy("lang", "bucket").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    langs = {k[0] for k in counts}
+    for lang in langs:
+        h, m, t = (counts.get((lang, b), 0) for b in ("head", "middle", "tail"))
+        assert h >= m >= t and h - t <= 1, (lang, h, m, t)
+    # deterministic: a second run assigns identical buckets
+    a = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    b = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(d).collect()}
+    assert a == b
