@@ -421,6 +421,16 @@ def q_simhash_pairs(spark, sf):
     return D.simhash_pairs(_t(spark, sf, "documents"))
 
 
+def q_winnow_pairs(spark, sf):
+    """MOSS-style winnowing near-dup pairs (Schleimer et al. 2003):
+    sparse window-min k-gram fingerprints (zero-shuffle higher-order
+    functions), document-frequency-capped, self-joined on the 16-byte
+    fingerprint.  Oracle: the same windows/mins/join in DuckDB."""
+    from reading_the_unreadable_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf, "documents"))
+
+
 def q_near_dup_verified(spark, sf):
     """Composed near-dup pipeline: SimHash Hamming-LSH candidates →
     exact token-Jaccard verify bounded by the candidate count (the
@@ -1562,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "decontaminate": q_decontaminate,
         "ccnet_buckets": q_ccnet_buckets,
+        "winnow_pairs": q_winnow_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2198,6 +2209,40 @@ def oracle_sql() -> dict[str, str]:
                    CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM t
+        """,
+        "winnow_pairs": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            g AS (
+              SELECT w.doc_id, i.i,
+                     md5(array_to_string(list_slice(w.ws, i.i, i.i + 4), ' '))
+                       AS gh
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1, len(w.ws) - 4)) AS i
+              ) i
+              WHERE len(w.ws) >= 5
+            ),
+            ng AS (SELECT doc_id, max(i) AS n_g FROM g GROUP BY doc_id),
+            win AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(n_g - 3, 1))) AS j
+              FROM ng
+            ),
+            fp0 AS (
+              SELECT g.doc_id, win.j, min(g.gh) AS fp
+              FROM g JOIN win
+                ON g.doc_id = win.doc_id AND g.i BETWEEN win.j AND win.j + 3
+              GROUP BY g.doc_id, win.j
+            ),
+            fpd AS (SELECT DISTINCT doc_id, fp FROM fp0),
+            keep AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= 100),
+            f AS (SELECT fpd.doc_id, fpd.fp FROM fpd JOIN keep USING (fp))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*)::BIGINT AS n_shared
+            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
         "pack_sequences": """
             WITH d AS (

@@ -500,3 +500,76 @@ def simhash_oracle_sql(bits: int = 32) -> str:
     return (
         "SELECT doc_id, (" + " + ".join(terms) + ") AS simhash FROM documents"
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 5, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """MOSS-style winnowing (Schleimer et al. 2003): hash every word
+    ``k``-gram (md5 — the cross-engine convention of this module) and
+    keep the MINIMUM hash of each sliding window of ``w`` consecutive
+    gram hashes.  The selected set is sparse (~2/(w+1) of the grams)
+    yet GUARANTEES any shared run of ``w + k - 1`` tokens contributes
+    at least one shared fingerprint — the positional robustness
+    plain n-gram sampling lacks.
+
+    Pure JVM higher-order functions (``sequence`` + ``transform`` +
+    ``slice`` + ``array_min``), zero shuffle, streams over 100 TB.
+    Docs shorter than ``k`` words yield an empty set; docs with fewer
+    than ``w`` grams yield their single minimum."""
+    words = F.split(F.col(text_col), " ")
+    n_g = F.size(words) - k + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_g, F.lit(1))),
+        lambda i: F.md5(F.array_join(F.slice(words, i, k), " ")),
+    )
+    fps = F.when(
+        F.size(words) < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.when(
+            n_g >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_g - w + 1),
+                    lambda j: F.array_min(F.slice(grams, j, w)),
+                )
+            ),
+        ).otherwise(F.array(F.array_min(grams)))
+    )
+    return documents.select("doc_id", fps.alias("fingerprints"))
+
+
+def winnow_pairs(
+    documents: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints: explode the
+    sets, drop fingerprints present in more than ``max_df`` documents
+    (a boilerplate phrase shared corpus-wide would otherwise build a
+    quadratic candidate set — the standard document-frequency cap),
+    self-join on the 16-byte fingerprint, and keep pairs sharing at
+    least ``min_shared`` distinct fingerprints.  One shuffle on the
+    fingerprint key; pair work is candidate-bounded exactly like the
+    MinHash/SimHash families in this module."""
+    fp = winnow_fingerprints(documents, k=k, w=w, text_col=text_col).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+    keep = fp.groupBy("fp").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_df
+    )
+    fp = fp.join(keep.select("fp"), "fp")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

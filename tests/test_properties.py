@@ -250,3 +250,34 @@ def test_archive_codec_fuzz_contract(seed, cut, flip_val, flip_pos):
             decode_image(bytes(mut))
         except (ValueError, NotImplementedError):
             pass  # the contract: exactly these may escape
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    run_len=st.integers(8, 20),  # >= w + k - 1 = 8 guarantees a match
+    pre=st.integers(0, 10),
+    post=st.integers(0, 10),
+)
+def test_winnowing_guarantee_property(spark, seed, run_len, pre, post):
+    """Schleimer et al. 2003's core guarantee: two documents sharing a
+    run of >= w + k - 1 tokens share at least one winnowing
+    fingerprint, wherever the run sits in either document."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.dedup import winnow_pairs
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    vocab = [f"w{i}" for i in range(50)]
+    run = [vocab[i] for i in rng.integers(0, 50, run_len)]
+    mk = lambda n: [vocab[i] for i in rng.integers(0, 50, n)]
+    doc_a = " ".join(mk(pre) + run + mk(post))
+    doc_b = " ".join(mk(post) + run + mk(pre))
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    pairs = winnow_pairs(docs, min_shared=1).collect()
+    assert any(r["doc_a"] == 1 and r["doc_b"] == 2 for r in pairs), (
+        doc_a,
+        doc_b,
+    )
