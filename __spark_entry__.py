@@ -431,6 +431,17 @@ def q_winnow_pairs(spark, sf):
     return winnow_pairs(_t(spark, sf, "documents"))
 
 
+def q_kmeans(spark, sf):
+    """Distributed Lloyd k-means, engine-replicable: deterministic
+    seeds (vec_id < 4), 2 iterations, 9-dp rounding on distances and
+    intermediate centroids so summation order can never flip an
+    assignment, first-min tie-break.  Oracle: the same two Lloyd
+    steps in DuckDB via list lambdas + window argmin."""
+    from reading_the_unreadable_spark.operators.similarity import kmeans_fixed
+
+    return kmeans_fixed(_t(spark, sf, "embeddings"), k=4, iters=2)
+
+
 def q_near_dup_verified(spark, sf):
     """Composed near-dup pipeline: SimHash Hamming-LSH candidates →
     exact token-Jaccard verify bounded by the candidate count (the
@@ -1573,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "ccnet_buckets": q_ccnet_buckets,
         "winnow_pairs": q_winnow_pairs,
+        "kmeans": q_kmeans,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2243,6 +2255,54 @@ def oracle_sql() -> dict[str, str]:
             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 2
+        """,
+        "kmeans": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ),
+            c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < 4),
+            d1 AS (
+              SELECT e.vec_id, c.cluster, e.v,
+                     round(list_sum(list_transform(range(1, 65),
+                       i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 9) AS dist
+              FROM e, c0 c
+            ),
+            a1 AS (
+              SELECT vec_id, v, cluster FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                FROM d1) WHERE rn = 1
+            ),
+            m1 AS (
+              SELECT cluster, dim, round(avg(x), 9) AS c
+              FROM (SELECT cluster, unnest(v) AS x,
+                           unnest(range(1, 65)) AS dim FROM a1)
+              GROUP BY cluster, dim
+            ),
+            c1 AS (
+              SELECT cluster, list(c ORDER BY dim) AS c FROM m1
+              GROUP BY cluster
+            ),
+            d2 AS (
+              SELECT e.vec_id, c.cluster, e.v,
+                     round(list_sum(list_transform(range(1, 65),
+                       i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 9) AS dist
+              FROM e, c1 c
+            ),
+            a2 AS (
+              SELECT vec_id, v, cluster FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                FROM d2) WHERE rn = 1
+            )
+            SELECT cluster::INT AS cluster, (dim - 1)::INT AS dim,
+                   round(avg(x), 6) AS centroid,
+                   count(*)::BIGINT AS n_vecs
+            FROM (SELECT cluster, unnest(v) AS x,
+                         unnest(range(1, 65)) AS dim FROM a2)
+            GROUP BY cluster, dim
         """,
         "pack_sequences": """
             WITH d AS (

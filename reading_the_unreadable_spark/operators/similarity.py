@@ -611,3 +611,83 @@ def ann_quantized_oracle_sql(query_vec_id: int = 0, k: int = 10) -> str:
             ORDER BY qcos_sim DESC, vec_id) AS rank
           FROM scored) WHERE rank <= {k}
     """
+
+
+def kmeans_fixed(embeddings: DataFrame, k: int = 4, iters: int = 2) -> DataFrame:
+    """Distributed Lloyd k-means with DETERMINISTIC seeding and a fixed
+    iteration count, so the whole run is an engine-replicable pure
+    function: centroids initialize to the vectors with ``vec_id <
+    k``, assignments break distance ties toward the lower cluster id,
+    and both distances and intermediate centroids round (9 dp) so
+    float summation order can never flip an assignment across engines.
+
+    Scale shape per iteration (the real distributed-k-means layout):
+    centroids are k×64 doubles — broadcast as LITERALS into a JVM
+    ``zip_with``/``aggregate`` fold (no UDF, no shuffle for the
+    assignment); the re-estimate is posexplode + groupBy with partial
+    aggregation.  Only the k×64 centroid table ever reaches the
+    driver (same driver-side grain as the reference's dendrogram
+    step).  Output: one row per (cluster, dim) with the final
+    centroid (6 dp) and the cluster's vector count."""
+    base = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+
+    def centroid_rows_to_lists(rows: list) -> list[list[float]]:
+        by_c: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_c.setdefault(r["cluster"], {})[r["dim"]] = r["c"]
+        return [
+            [by_c[c][d] for d in sorted(by_c[c])] for c in sorted(by_c)
+        ]
+
+    cents = [
+        list(r["vec"])
+        for r in base.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    if len(cents) < k:
+        raise ValueError(f"need vec_id 0..{k-1} present to seed {k} clusters")
+
+    def assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+        dists = [
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("vec"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                9,
+            )
+            for c in centroids
+        ]
+        arr = F.array(*dists)
+        # array_position returns the FIRST index of the min: ties break
+        # toward the lower cluster id, deterministically
+        return df.withColumn(
+            "cluster",
+            (F.array_position(arr, F.array_min(arr)) - 1).cast("int"),
+        )
+
+    for it in range(iters):
+        assigned = assign(base, cents)
+        last = it == iters - 1
+        agg = (
+            assigned.select(
+                "cluster", F.posexplode("vec").alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.round(F.avg("x"), 6 if last else 9).alias("c"),
+                F.count("*").cast("long").alias("n_vecs"),
+            )
+        )
+        if last:
+            return agg.select(
+                "cluster", "dim", F.col("c").alias("centroid"), "n_vecs"
+            )
+        cents = centroid_rows_to_lists(agg.collect())
+    raise AssertionError("unreachable: iters >= 1")
