@@ -101,6 +101,11 @@ HEADLINE = [
     "extract_spans",
     "extract_spans_filled",
     "extract_articles",
+    # round-5 additions
+    "decontaminate",
+    "ccnet_buckets",
+    "winnow_pairs",
+    "kmeans",
 ]
 
 

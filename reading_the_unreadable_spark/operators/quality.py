@@ -410,6 +410,10 @@ def contamination_flags(
 
     Output: the input columns plus ``n_overlaps`` (distinct shared
     n-grams) and boolean ``contaminated``."""
+    from .dedup import _spread
+
+    scan = _spread(documents)  # gram build is compute-heavy map work
+
     def grams(col: Column) -> Column:
         words = F.split(col, " ")
         return F.when(
@@ -424,9 +428,17 @@ def contamination_flags(
         benchmark.select(F.explode(grams(F.col(text_col))).alias("gram"))
         .distinct()
     )
-    doc_grams = documents.select(
-        "doc_id", F.explode(grams(F.col(text_col))).alias("gram")
-    ).distinct()
+    # explode_outer + IS NOT NULL (not plain explode): the inferred
+    # size()>0 filter would otherwise be pushed below the rebalance
+    # with the whole gram expression substituted in — evaluating it
+    # serially on the scan task (see winnow_pairs for the measurement)
+    doc_grams = (
+        scan.select(
+            "doc_id", F.explode_outer(grams(F.col(text_col))).alias("gram")
+        )
+        .where(F.col("gram").isNotNull())
+        .distinct()
+    )
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
