@@ -383,3 +383,26 @@ def test_zorder_rewrite_plan_jvm_only(spark, tmp_path):
         assert bad not in plan, plan[:1500]
     # and the z expression itself is bit ops inside the projection
     assert "shiftleft" in plan.lower() or "<<" in plan, plan[:1500]
+
+
+def test_winnow_no_serial_filter_pushdown(spark):
+    """The InferFiltersFromGenerate trap (SURVEY §30): no Filter node
+    may contain the md5 gram expression — the inferred size()>0 filter
+    must stay a cheap IS NOT NULL above the Generate, never a
+    substituted copy of the whole fingerprint computation running on
+    the pre-rebalance scan task."""
+    import io
+    from contextlib import redirect_stdout
+
+    from reading_the_unreadable_spark.operators.dedup import winnow_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        winnow_pairs(docs).explain(True)
+    txt = buf.getvalue()
+    optimized = txt.split("== Optimized Logical Plan ==")[1]
+    for line in optimized.splitlines():
+        if "Filter" in line:
+            assert "md5" not in line, line[:300]
+            assert "transform" not in line, line[:300]
