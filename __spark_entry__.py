@@ -1565,6 +1565,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                     deterministic_sample, name_distance, except_customers,
     #                     rollup_revenue, dow_revenue, union_segments,
     #                     knit_reclassify (green r02-r04)
+    # r05 late adds: decontaminate, ccnet_buckets, winnow_pairs, kmeans
+    #                (new operators, first driver rows) join the window;
+    #                merge_overlap, fill_gaps, layout_postprocess,
+    #                combine_segments (all hash-green r04,
+    #                pytest-replicated) rotate behind until r06.
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
