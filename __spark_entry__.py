@@ -431,6 +431,17 @@ def q_winnow_pairs(spark, sf):
     return winnow_pairs(_t(spark, sf, "documents"))
 
 
+def q_epoch_sample(spark, sf):
+    """Deterministic temperature-weighted epoch materialization: each
+    source contributes round(300 · weight_s) docs (weight = the
+    source_mix share^0.7 rule), chosen as the md5(doc_id)-smallest
+    within the source.  Oracle: the same quotas + window ranking in
+    DuckDB (floor(x+0.5) replicates Spark's HALF_UP round)."""
+    from reading_the_unreadable_spark.operators.quality import epoch_sample
+
+    return epoch_sample(_t(spark, sf, "documents"), epoch_docs=300)
+
+
 def q_kmeans(spark, sf):
     """Distributed Lloyd k-means, engine-replicable: deterministic
     seeds (vec_id < 4), 2 iterations, 9-dp rounding on distances and
@@ -1590,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "winnow_pairs": q_winnow_pairs,
         "kmeans": q_kmeans,
+        "epoch_sample": q_epoch_sample,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2308,6 +2320,32 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT cluster, unnest(v) AS x,
                          unnest(range(1, 65)) AS dim FROM a2)
             GROUP BY cluster, dim
+        """,
+        "epoch_sample": """
+            WITH per AS (
+              SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
+              FROM documents GROUP BY source
+            ),
+            tot AS (
+              SELECT sum(pow(n_tokens::DOUBLE, 0.7)) AS _z FROM per
+            ),
+            q AS (
+              SELECT source,
+                     floor(round(pow(n_tokens::DOUBLE, 0.7) / _z, 6)
+                           * 300 + 0.5)::BIGINT AS quota
+              FROM per, tot
+            ),
+            r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR), doc_id
+                     ) AS sample_rank
+              FROM documents
+            )
+            SELECT r.doc_id, r.source, r.sample_rank
+            FROM r JOIN q USING (source)
+            WHERE r.sample_rank <= q.quota
         """,
         "pack_sequences": """
             WITH d AS (

@@ -481,3 +481,46 @@ def ccnet_buckets(
         "avg_logprob",
         F.element_at(F.array(*[F.lit(n) for n in names]), tile).alias("bucket"),
     )
+
+
+def epoch_sample(
+    documents: DataFrame,
+    epoch_docs: int,
+    alpha: float = 0.7,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize one DETERMINISTIC training-epoch sample under the
+    temperature-weighted source mixture: each source contributes
+    ``round(epoch_docs * weight_s)`` documents, where ``weight_s`` is
+    :func:`source_mix`'s share^α / Σ share^α — the multilingual/domain
+    balancing rule actually applied, not just reported.
+
+    Determinism (and the SQL oracle) come from ranking each source's
+    documents by ``md5(doc_id)`` — a uniform, engine-reproducible
+    shuffle key — and taking the first ``quota_s``.  Oversubscribed
+    quotas (upweighted small sources wanting more docs than they have)
+    clamp to the source size; real epochs repeat those docs, but a
+    sample materialization must not fabricate rows.
+
+    Scale shape: quotas are one tiny aggregate broadcast back; the
+    per-source ranking is one window sort partitioned by source — the
+    shuffle a mixture materialization inherently needs (each source's
+    order must be global within the source)."""
+    quotas = source_mix(
+        documents, source_col=source_col, alpha=alpha, text_col=text_col
+    ).select(
+        source_col,
+        F.round(F.col("sample_weight") * epoch_docs)
+        .cast("long")
+        .alias("quota"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = documents.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), source_col)
+        .where(F.col("__rk") <= F.col("quota"))
+        .select("doc_id", source_col, F.col("__rk").alias("sample_rank"))
+    )
