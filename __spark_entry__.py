@@ -442,6 +442,28 @@ def q_epoch_sample(spark, sf):
     return epoch_sample(_t(spark, sf, "documents"), epoch_docs=300)
 
 
+def q_dedup_substrings(spark, sf):
+    """Lee et al. 2021 exact-substring dedup at 20-token grain: docs
+    with doc_id % 9 == 0 get one shared 25-token passage appended;
+    every occurrence after the first (min (doc_id, start)) is masked
+    out mid-document, overlapping masks merged gaps-and-islands style,
+    and the survivors rejoined.  Oracle: the identical pipeline in
+    DuckDB (window row_number + running-max islands + anti-join)."""
+    from reading_the_unreadable_spark.operators.dedup import dedup_substrings
+
+    passage = " ".join(f"dup{i}" for i in range(25))
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(" " + passage)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup_substrings(d, k=20)
+
+
 def q_kmeans(spark, sf):
     """Distributed Lloyd k-means, engine-replicable: deterministic
     seeds (vec_id < 4), 2 iterations, 9-dp rounding on distances and
@@ -1602,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "kmeans": q_kmeans,
         "epoch_sample": q_epoch_sample,
+        "dedup_substrings": q_dedup_substrings,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2346,6 +2369,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.doc_id, r.source, r.sample_rank
             FROM r JOIN q USING (source)
             WHERE r.sample_rank <= q.quota
+        """,
+        "dedup_substrings": """
+            WITH inj AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 0
+                          THEN text || ' dup0 dup1 dup2 dup3 dup4 dup5 dup6 dup7 dup8 dup9 dup10 dup11 dup12 dup13 dup14 dup15 dup16 dup17 dup18 dup19 dup20 dup21 dup22 dup23 dup24'
+                          ELSE text END AS text
+              FROM documents
+            ),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM inj),
+            g AS (
+              SELECT w.doc_id, i.i - 1 AS start,
+                     md5(array_to_string(list_slice(w.ws, i.i, i.i + 19), ' '))
+                       AS gh
+              FROM w, LATERAL (
+                SELECT unnest(generate_series(1, len(w.ws) - 19)) AS i
+              ) i
+              WHERE len(w.ws) >= 20
+            ),
+            d AS (
+              SELECT doc_id, start, start + 20 AS e
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY gh ORDER BY doc_id, start) AS rn FROM g)
+              WHERE rn > 1
+            ),
+            isl AS (
+              SELECT doc_id, start, e,
+                     CASE WHEN start > coalesce(max(e) OVER (
+                          PARTITION BY doc_id ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          -1)
+                          THEN 1 ELSE 0 END AS brk
+              FROM d
+            ),
+            gid AS (
+              SELECT *, sum(brk) OVER (
+                PARTITION BY doc_id ORDER BY start) AS island FROM isl
+            ),
+            m AS (
+              SELECT doc_id, island, min(start) AS s, max(e) AS e
+              FROM gid GROUP BY 1, 2
+            ),
+            cov AS (
+              SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos FROM m
+            ),
+            toks AS (
+              SELECT doc_id, unnest(generate_series(1, len(ws))) - 1 AS pos,
+                     unnest(ws) AS tok
+              FROM w
+            ),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok
+              FROM toks t LEFT JOIN cov c
+                ON t.doc_id = c.doc_id AND t.pos = c.pos
+              WHERE c.doc_id IS NULL
+            ),
+            reb AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+                     count(*) AS n_tokens
+              FROM kept GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   coalesce(reb.text, '') AS text,
+                   coalesce(reb.n_tokens, 0)::BIGINT AS n_tokens,
+                   (len(w.ws) - coalesce(reb.n_tokens, 0))::BIGINT AS n_removed
+            FROM w LEFT JOIN reb USING (doc_id)
         """,
         "pack_sequences": """
             WITH d AS (

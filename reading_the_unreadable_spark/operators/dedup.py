@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import tokens_col
@@ -592,4 +592,105 @@ def winnow_pairs(
         )
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def dedup_substrings(
+    documents: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Exact-SUBSTRING dedup at ``k``-token grain (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    ``k``-token window that occurs more than once in the corpus keeps
+    only its FIRST occurrence (ordered by (doc_id, start)); all later
+    occurrences are masked out of their documents, overlapping masked
+    windows merged into spans (gaps-and-islands), and the surviving
+    tokens re-joined.  This is the operation paragraph-grain dedup
+    cannot express: a duplicated passage EMBEDDED mid-paragraph is
+    removed from the later documents only.
+
+    Scale shape (the distributed substitute for the paper's
+    single-node suffix array): the gram stream shuffles once on the
+    16-byte gram hash (row_number picks first occurrences), masked
+    intervals shuffle once on doc_id for the island merge, and the
+    rebuild is one groupBy(doc_id) over SURVIVING tokens.  Gram
+    hashes are materialized in their own projection and exploded with
+    explode_outer (the InferFiltersFromGenerate lesson, SURVEY §30).
+
+    Output: doc_id, the deduped text, n_tokens / n_removed."""
+    documents = _spread(documents)
+    words = F.split(F.col(text_col), " ")
+    n_g = F.size(words) - k + 1
+    grams_expr = F.when(
+        F.size(words) < k,
+        F.array().cast("array<struct<start:int,gh:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_g - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("start"),
+                F.md5(F.array_join(F.slice(words, i + 1, k), " ")).alias("gh"),
+            ),
+        )
+    )
+    staged = documents.select(
+        "doc_id", words.alias("__words"), grams_expr.alias("__grams")
+    )
+    g = (
+        staged.select("doc_id", F.explode_outer("__grams").alias("g"))
+        .where(F.col("g").isNotNull())
+        .select("doc_id", F.col("g.start").alias("start"), F.col("g.gh").alias("gh"))
+    )
+    w_first = Window.partitionBy("gh").orderBy("doc_id", "start")
+    dups = (
+        g.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") > 1)
+        .select("doc_id", "start", (F.col("start") + k).alias("end"))
+    )
+    # gaps-and-islands merge of overlapping masked windows per doc
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dups.withColumn(
+        "brk",
+        (F.col("start") > F.coalesce(F.max("end").over(w_prev), F.lit(-1)))
+        .cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(
+            Window.partitionBy("doc_id").orderBy("start")
+        ),
+    )
+    merged = isl.groupBy("doc_id", "island").agg(
+        F.min("start").alias("s"), F.max("end").alias("e")
+    )
+    covered = merged.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("pos")
+    )
+    toks = staged.select(
+        "doc_id", F.posexplode("__words").alias("pos", "tok")
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+    totals = staged.select("doc_id", F.size("__words").alias("__n"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (F.col("__n") - F.coalesce("n_tokens", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
     )
