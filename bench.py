@@ -106,6 +106,8 @@ HEADLINE = [
     "ccnet_buckets",
     "winnow_pairs",
     "kmeans",
+    "epoch_sample",
+    "dedup_substrings",
 ]
 
 
