@@ -1603,6 +1603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                merge_overlap, fill_gaps, layout_postprocess,
     #                combine_segments (all hash-green r04,
     #                pytest-replicated) rotate behind until r06.
+    #                epoch_sample + dedup_substrings land BEHIND the
+    #                window (pytest-replicated now, window candidates
+    #                for r06).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
