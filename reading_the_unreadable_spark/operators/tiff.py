@@ -113,12 +113,18 @@ def _decode_tiff_impl(payload: bytes) -> np.ndarray:
     bits = bits_l[0]
     if any(b != bits for b in bits_l):
         raise NotImplementedError(f"mixed bits-per-sample {bits_l}")
-    if bits not in (1, 8, 16):
+    if bits not in (1, 4, 8, 16):
         raise NotImplementedError(f"{bits}-bit samples")
     if bits == 1 and spp != 1:
         raise NotImplementedError("multi-sample bilevel")
     if bits == 16 and spp != 1:
         raise NotImplementedError("16-bit TIFF decodes grayscale only")
+    if bits == 4 and (
+        spp != 1 or _T_TILE_WIDTH in tags or tags.get(_T_PREDICTOR, [1])[0] == 2
+    ):
+        raise NotImplementedError(
+            "4-bit TIFF decodes single-sample strip layouts without predictor"
+        )
 
     if planar == 2 and spp > 1:
         # separate component planes (all R strips, then G, then B);
@@ -144,6 +150,29 @@ def _decode_tiff_impl(payload: bytes) -> np.ndarray:
                 np.uint16
             )
         g8 = np.round(g16 / 257.0).astype(np.uint8)
+        if photo == 0:
+            g8 = 255 - g8
+        return np.stack([g8, g8, g8], axis=-1)
+
+    if bits == 4:
+        # old-scan 16-level layouts: two samples per byte, high nibble
+        # first (spec §Image File Directory / BitsPerSample)
+        nibbles = np.empty((h, grid.shape[1] * 2), np.uint8)
+        nibbles[:, 0::2] = grid >> 4
+        nibbles[:, 1::2] = grid & 0x0F
+        v = nibbles[:, :w]
+        if photo == 3:  # 16-color palette
+            cmap = tags.get(_T_COLORMAP)
+            if cmap is None:
+                raise ValueError("palette TIFF missing ColorMap")
+            n = len(cmap) // 3
+            pal = (
+                np.array(cmap, dtype=np.uint32).reshape(3, n).T // 257
+            ).astype(np.uint8)
+            if int(v.max()) >= n:
+                raise ValueError("TIFF palette index out of range")
+            return pal[v]
+        g8 = (v * 17).astype(np.uint8)  # 0..15 → 0..255
         if photo == 0:
             g8 = 255 - g8
         return np.stack([g8, g8, g8], axis=-1)

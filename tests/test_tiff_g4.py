@@ -380,3 +380,58 @@ def test_tiff_planar_configuration_2():
     struct.pack_into("<I", bad, 10 + 7 * 12 + 2 + 8, 2)  # RowsPerStrip=2
     with pytest.raises(ValueError, match="strips"):
         decode_tiff(bytes(bad))
+
+
+def test_tiff_4bit_gray_and_palette():
+    """4-bit TIFF (old 16-level scans): packed nibbles decode to the
+    x17 gray ramp in both photometric polarities, and 16-color palette
+    files map through ColorMap; LZW-compressed nibbles round-trip."""
+    from reading_the_unreadable_spark.operators.tiff import _tiff_lzw_encode
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    h, w = 6, 9
+    v = rng.integers(0, 16, (h, w)).astype(np.uint8)
+    row_bytes = (w + 1) // 2
+    packed = np.zeros((h, row_bytes), np.uint8)
+    pad = np.pad(v, ((0, 0), (0, w % 2)))
+    packed = ((pad[:, 0::2] << 4) | pad[:, 1::2]).astype(np.uint8)
+
+    def build(strip, comp, photo, cmap=None):
+        tags = [
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 4),
+            (259, 3, 1, comp), (262, 3, 1, photo), (273, 4, 1, 0),
+            (277, 3, 1, 1), (278, 4, 1, h), (279, 4, 1, len(strip)),
+            (284, 3, 1, 1),
+        ]
+        if cmap is not None:
+            tags.append((320, 3, len(cmap), 0))
+        n = len(tags)
+        data_off = 8 + 2 + n * 12 + 4
+        cmap_off = data_off
+        strip_off = data_off + (2 * len(cmap) if cmap is not None else 0)
+        ifd = struct.pack("<H", n)
+        for tid, typ, cnt, val in tags:
+            if tid == 273:
+                val = strip_off
+            elif tid == 320:
+                val = cmap_off
+            ifd += struct.pack("<HHII", tid, typ, cnt, val)
+        ifd += struct.pack("<I", 0)
+        arrays = (
+            struct.pack(f"<{len(cmap)}H", *cmap) if cmap is not None else b""
+        )
+        return struct.pack("<2sHI", b"II", 42, 8) + ifd + arrays + strip
+
+    raw = packed.tobytes()
+    got = decode_tiff(build(raw, 1, 1))
+    assert np.array_equal(got[:, :, 0], v * 17)
+    got0 = decode_tiff(build(raw, 1, 0))  # WhiteIsZero inverts
+    assert np.array_equal(got0[:, :, 0], 255 - v * 17)
+    # LZW-compressed 4-bit strip
+    gotl = decode_tiff(build(_tiff_lzw_encode(raw), 5, 1))
+    assert np.array_equal(gotl[:, :, 0], v * 17)
+    # 16-color palette: ColorMap is 16-bit per channel, R then G then B
+    pal8 = rng.integers(0, 256, (16, 3)).astype(np.uint16)
+    cmap = list((pal8[:, 0] * 257)) + list(pal8[:, 1] * 257) + list(pal8[:, 2] * 257)
+    gotp = decode_tiff(build(raw, 1, 3, cmap=[int(x) for x in cmap]))
+    assert np.array_equal(gotp, pal8.astype(np.uint8)[v])
