@@ -606,7 +606,7 @@ def extract_audio_features(
                 rows["n_bytes"].append(len(b))
                 rows["sha1"].append(hashlib.sha1(b).hexdigest())
                 try:
-                    rate, samples = decode_wav(b)
+                    rate, samples = decode_audio(b)
                 except (ValueError, NotImplementedError) as e:
                     # quarantine, don't kill the task (see image path)
                     rows["sample_rate"].append(0)
@@ -651,3 +651,120 @@ def synth_wav_bytes(
     if codec in ("ulaw", "alaw"):
         return encode_wav_g711(encode_g711(pcm16, codec), rate, codec)
     raise ValueError(f"unknown synth codec {codec!r}")
+
+
+# ------------------------------------------------------------------- AIFF
+def _f80_to_float(b: bytes) -> float:
+    """IEEE 754 80-bit extended (big-endian) → float: AIFF's sample-rate
+    field, the format's one exotic corner (explicit integer bit, 15-bit
+    exponent biased 16383)."""
+    if len(b) != 10:
+        raise ValueError(f"extended float needs 10 bytes, got {len(b)}")
+    se = int.from_bytes(b[:2], "big")
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    mant = int.from_bytes(b[2:], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("non-finite AIFF sample rate")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _float_to_f80(x: float) -> bytes:
+    import math
+
+    if x == 0:
+        return b"\x00" * 10
+    sign = 0x8000 if x < 0 else 0
+    m, e = math.frexp(abs(x))  # x = m * 2^e, m in [0.5, 1)
+    mant = int(m * (1 << 64))
+    return (sign | (e - 1 + 16383)).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def encode_aiff(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 samples (n,) or (n, ch) → big-endian AIFF (COMM + SSND)."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_aiff expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    comm = (
+        struct.pack(">hLh", ch, n, 16) + _float_to_f80(float(rate))
+    )
+    data = samples.astype(">i2").tobytes()
+    ssnd = struct.pack(">LL", 0, 0) + data
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack(">I", len(body)) + body + pad
+
+    body = b"AIFF" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> tuple[int, np.ndarray]:
+    """FORM/AIFF bytes → (sample_rate, float64 samples in [-1, 1],
+    shape (n, ch)).  Big-endian signed PCM at 8/16/24/32 bits (AIFF's
+    8-bit is SIGNED, unlike WAV's unsigned).  AIFC compressed variants
+    raise NotImplementedError; truncation raises ValueError."""
+    if payload[:4] != b"FORM" or len(payload) < 12:
+        raise ValueError(f"not an AIFF file: {payload[:4]!r}")
+    form = payload[8:12]
+    if form == b"AIFC":
+        raise NotImplementedError("AIFC (compressed AIFF) needs a codec table")
+    if form != b"AIFF":
+        raise ValueError(f"not an AIFF form: {form!r}")
+    comm = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from(">I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"AIFF chunk {cid!r} truncated")
+        if cid == b"COMM":
+            if size < 18:
+                raise ValueError(f"AIFF COMM chunk is {size} bytes, need 18")
+            ch, frames, bits = struct.unpack_from(">hLh", body, 0)
+            rate = _f80_to_float(body[8:18])
+            comm = (ch, frames, bits, rate)
+        elif cid == b"SSND":
+            if size < 8:
+                raise ValueError("AIFF SSND chunk too short")
+            offset = struct.unpack_from(">L", body, 0)[0]
+            data = body[8 + offset :]
+        pos += 8 + size + (size & 1)
+    if comm is None or data is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    ch, frames, bits, rate = comm
+    if ch < 1 or rate <= 0:
+        raise ValueError(f"malformed AIFF COMM: ch={ch} rate={rate}")
+    if bits == 16:
+        arr = np.frombuffer(data, dtype=">i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        arr = np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
+    elif bits == 32:
+        arr = (
+            np.frombuffer(data, dtype=">i4").astype(np.float64) / 2147483648.0
+        )
+    elif bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3).astype(np.int64)
+        v = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]  # big-endian
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        arr = v.astype(np.float64) / 8388608.0
+    else:
+        raise NotImplementedError(f"{bits}-bit AIFF PCM")
+    n = (len(arr) // ch) * ch
+    return int(round(rate)), arr[:n].reshape(-1, ch)
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Container sniff: RIFF/WAVE → :func:`decode_wav` (all its codec
+    families), FORM/AIFF → :func:`decode_aiff`.  One entry point for
+    the feature pipeline."""
+    if payload[:4] == b"FORM":
+        return decode_aiff(payload)
+    return decode_wav(payload)

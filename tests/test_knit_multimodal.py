@@ -1495,3 +1495,63 @@ def test_avi_audio_stream_extraction():
     assert n == 4 and abs(fps - 8.0) < 0.01
     with pytest.raises(ValueError, match="no audio stream"):
         extract_avi_audio(encode_avi_dib(frames))
+
+
+def test_aiff_roundtrip_and_spark_features(spark):
+    """AIFF (big-endian Mac-archive PCM): exact int16 round-trip, the
+    80-bit-extended sample-rate field survives, 8/24-bit variants
+    decode, AIFC raises, and AIFF payloads flow through the SAME
+    extract_audio_features path as WAV via the container sniff."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    from reading_the_unreadable_spark.operators.audio import (
+        decode_aiff,
+        decode_audio,
+        encode_aiff,
+        extract_audio_features,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    s = rng.integers(-32768, 32768, (800, 2)).astype(np.int16)
+    rate, got = decode_audio(encode_aiff(s, 44100))
+    assert rate == 44100 and got.shape == (800, 2)
+    assert np.array_equal((got * 32768.0).round().astype(np.int16), s)
+
+    # 8-bit (SIGNED in AIFF) and 24-bit big-endian variants: hand-build
+    def build(bits, data, ch=1, frames=4, r=8000.0):
+        from reading_the_unreadable_spark.operators.audio import _float_to_f80
+
+        comm = _struct.pack(">hLh", ch, frames, bits) + _float_to_f80(r)
+        ssnd = _struct.pack(">LL", 0, 0) + data
+
+        def chunk(cid, body):
+            return cid + _struct.pack(">I", len(body)) + body + (
+                b"\x00" if len(body) % 2 else b""
+            )
+
+        body = b"AIFF" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+        return b"FORM" + _struct.pack(">I", len(body)) + body
+
+    _r, a8 = decode_aiff(build(8, np.array([-128, -1, 0, 127], np.int8).tobytes()))
+    assert np.allclose(a8[:, 0], [-1.0, -1 / 128, 0.0, 127 / 128])
+    v24 = [-(1 << 23), -1, 1, (1 << 23) - 1]
+    raw24 = b"".join(int(x & 0xFFFFFF).to_bytes(3, "big") for x in v24)
+    _r, a24 = decode_aiff(build(24, raw24))
+    assert np.allclose(a24[:, 0], [x / 8388608.0 for x in v24])
+
+    with pytest.raises(NotImplementedError, match="AIFC"):
+        decode_aiff(b"FORM\x00\x00\x00\x04AIFC")
+    with pytest.raises(ValueError):
+        decode_aiff(encode_aiff(s, 44100)[:40])
+
+    df = spark.createDataFrame(
+        [("clip.aiff", "audio", bytearray(encode_aiff(s, 16000)))],
+        "media_ref string, kind string, payload binary",
+    )
+    row = extract_audio_features(df).first()
+    assert (row["sample_rate"], row["n_channels"], row["decode_err"]) == (
+        16000, 2, None,
+    )
