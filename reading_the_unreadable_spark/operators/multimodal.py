@@ -242,21 +242,44 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
     if (
-        depth not in (8, 16)
+        depth not in (1, 2, 4, 8, 16)
         or interlace not in (0, 1)
         or color_type not in _PNG_CHANNELS
     ):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color_type} interlace={interlace}: "
-            "only 8/16-bit gray/GA/RGB/RGBA/palette supported"
+            "only 1/2/4/8/16-bit gray/GA/RGB/RGBA/palette supported"
         )
     if depth == 16 and (interlace == 1 or color_type == 3):
         raise NotImplementedError(
             "16-bit PNG decodes non-interlaced, non-palette only"
         )
+    if depth < 8 and (interlace == 1 or color_type not in (0, 3)):
+        raise NotImplementedError(
+            "sub-byte PNG decodes non-interlaced gray/palette only"
+        )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
+    if depth < 8:
+        # bit-packed scanlines (MSB-first pixels); the byte-wise
+        # filters run at distance 1 on the PACKED bytes per the spec
+        row_bytes = (w * depth + 7) // 8
+        raw = zlib.decompress(b"".join(parts))
+        if len(raw) != h * (row_bytes + 1):
+            raise ValueError("PNG IDAT size mismatch")
+        packed = _png_unfilter(raw, h, row_bytes, 1).reshape(h, row_bytes)
+        bits = np.unpackbits(packed, axis=1)
+        vals = np.zeros((h, (row_bytes * 8) // depth), np.uint8)
+        for b in range(depth):
+            vals = (vals << 1) | bits[:, b::depth]
+        v = vals[:, :w]
+        if color_type == 3:
+            if int(v.max()) >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            return plte[v]
+        g = (v * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
     # PNG filters run BYTE-wise at a distance of one pixel's bytes, so
     # the 8-bit unfilter generalizes to 16-bit by doubling the channel
     # count and taking each big-endian sample's high byte afterwards

@@ -168,15 +168,23 @@ def test_png_grayscale_and_unsupported():
         + chunk(b"IEND", b"")
     )
     assert decode_image(png16).shape == (2, 3, 3)
-    # ...while a sub-byte depth still raises loudly
+    # 4-bit gray decodes too (sub-byte closure) ...
     png4 = (
         PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 4, 0, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 6))
         + chunk(b"IEND", b"")
     )
+    assert decode_image(png4).shape == (2, 3, 3)
+    # ...while a spec-invalid depth still raises loudly
+    png3 = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 3, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + chunk(b"IEND", b"")
+    )
     with _pytest.raises(NotImplementedError):
-        decode_image(png4)
+        decode_image(png3)
 
 
 def test_media_features_png_end_to_end(spark):
@@ -1555,3 +1563,67 @@ def test_aiff_roundtrip_and_spark_features(spark):
     assert (row["sample_rate"], row["n_channels"], row["decode_err"]) == (
         16000, 2, None,
     )
+
+
+def test_png_sub_byte_depths():
+    """1/2/4-bit PNGs (old web graphics): bit-packed gray scales to
+    0..255, 4-bit palette maps through PLTE, filter 1 runs at the
+    packed-byte distance, and sub-byte RGB stays a loud boundary."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from reading_the_unreadable_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    def png(depth, ct, rows_bits, plte=None, filt=0):
+        h = len(rows_bits)
+        w = len(rows_bits[0])
+        row_bytes = (w * depth + 7) // 8
+        lines = []
+        prev = None
+        for r in rows_bits:
+            packed = np.zeros(row_bytes * 8, np.uint8)
+            for x, val in enumerate(r):
+                for b in range(depth):
+                    packed[x * depth + b] = (val >> (depth - 1 - b)) & 1
+            pb = np.packbits(packed)[:row_bytes]
+            if filt == 1:
+                enc = pb.astype(np.int32).copy()
+                enc[1:] -= pb.astype(np.int32)[:-1]
+                lines.append(b"\x01" + (enc % 256).astype(np.uint8).tobytes())
+            else:
+                lines.append(b"\x00" + pb.tobytes())
+        raw = b"".join(lines)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, 0)
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d)
+            )
+
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte.tobytes())
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    for depth in (1, 2, 4):
+        top = (1 << depth) - 1
+        vals = rng.integers(0, top + 1, (5, 9))
+        for filt in (0, 1):
+            got = _decode_png(png(depth, 0, vals.tolist(), filt=filt))
+            assert np.array_equal(
+                got[:, :, 0], (vals * (255 // top)).astype(np.uint8)
+            ), (depth, filt)
+    # 4-bit palette
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (4, 7))
+    got = _decode_png(png(4, 3, idx.tolist(), plte=pal))
+    assert np.array_equal(got, pal[idx])
+    # sub-byte RGB is invalid per spec and stays loud
+    with pytest.raises(NotImplementedError):
+        _decode_png(png(4, 2, idx.tolist()))
