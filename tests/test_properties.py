@@ -281,3 +281,46 @@ def test_winnowing_guarantee_property(spark, seed, run_len, pre, post):
         doc_a,
         doc_b,
     )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(0, 300),
+    st.integers(0, 255),
+    st.integers(0, 60),
+)
+def test_audio_codec_fuzz_contract(seed, cut, flip_val, flip_pos):
+    """WAV (all codec families) and AIFF under truncation AND a byte
+    flip: decode_audio either succeeds or raises ValueError /
+    NotImplementedError — no struct.error/IndexError/OverflowError
+    escapes to the quarantining feature path."""
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.audio import (
+        decode_audio,
+        encode_aiff,
+        encode_g711,
+        encode_wav,
+        encode_wav_g711,
+        encode_wav_ima_adpcm,
+        encode_wav_ms_adpcm,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    s = rng.integers(-32768, 32768, (200, 2)).astype(np.int16)
+    mono = s[:, 0]
+    payloads = [
+        encode_wav(s, 8000),
+        encode_wav_g711(encode_g711(mono, "ulaw"), rate=8000, law="ulaw"),
+        encode_wav_ima_adpcm(mono, 8000),
+        encode_wav_ms_adpcm(mono, 8000),
+        encode_aiff(s, 8000),
+    ]
+    for enc in payloads:
+        mut = bytearray(enc[: max(12, len(enc) - cut)])
+        mut[flip_pos % len(mut)] = flip_val
+        try:
+            decode_audio(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass  # the contract: exactly these may escape
