@@ -442,6 +442,24 @@ def q_epoch_sample(spark, sf):
     return epoch_sample(_t(spark, sf, "documents"), epoch_docs=300)
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): vectors with vec_id % 25 == 0 get
+    an identical copy injected at vec_id + 100000 (cos = 1); k-means
+    clusters the set, and within each cluster every vector with a
+    lower-id neighbor at cosine ≥ 0.9 is dropped — so exactly the
+    injected copies lose.  Oracle: the kmeans CTE chain + an EXISTS
+    pair probe in DuckDB."""
+    from reading_the_unreadable_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf, "embeddings")
+    injected = emb.unionByName(
+        emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+    )
+    return semdedup(injected, k=4, tau=0.9)
+
+
 def q_dedup_substrings(spark, sf):
     """Lee et al. 2021 exact-substring dedup at 20-token grain: docs
     with doc_id % 9 == 0 get one shared 25-token passage appended;
@@ -1628,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "epoch_sample": q_epoch_sample,
         "dedup_substrings": q_dedup_substrings,
+        "semdedup": q_semdedup,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2346,6 +2365,67 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT cluster, unnest(v) AS x,
                          unnest(range(1, 65)) AS dim FROM a2)
             GROUP BY cluster, dim
+        """,
+        "semdedup": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     list_transform(embedding, x -> x::DOUBLE)
+              FROM embeddings WHERE vec_id % 25 = 0
+            ),
+            c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < 4),
+            d1 AS (
+              SELECT e.vec_id, c.cluster, e.v,
+                     round(list_sum(list_transform(range(1, 65),
+                       i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 9) AS dist
+              FROM e, c0 c
+            ),
+            a1 AS (
+              SELECT vec_id, v, cluster FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                FROM d1) WHERE rn = 1
+            ),
+            m1 AS (
+              SELECT cluster, dim, round(avg(x), 9) AS c
+              FROM (SELECT cluster, unnest(v) AS x,
+                           unnest(range(1, 65)) AS dim FROM a1)
+              GROUP BY cluster, dim
+            ),
+            c1 AS (
+              SELECT cluster, list(c ORDER BY dim) AS c FROM m1
+              GROUP BY cluster
+            ),
+            d2 AS (
+              SELECT e.vec_id, c.cluster, e.v,
+                     round(list_sum(list_transform(range(1, 65),
+                       i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 9) AS dist
+              FROM e, c1 c
+            ),
+            a2 AS (
+              SELECT vec_id, v, cluster FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                FROM d2) WHERE rn = 1
+            ),
+            n AS (
+              SELECT vec_id, cluster, v,
+                     sqrt(list_sum(list_transform(range(1, 65),
+                       i -> v[i] * v[i]))) AS nrm
+              FROM a2
+            ),
+            drp AS (
+              SELECT DISTINCT x.vec_id
+              FROM n x JOIN n y
+                ON y.cluster = x.cluster AND y.vec_id < x.vec_id
+              WHERE round(list_sum(list_transform(range(1, 65),
+                      i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm), 9) >= 0.9
+            )
+            SELECT n.vec_id, n.cluster::INT AS cluster,
+                   (drp.vec_id IS NULL) AS keep
+            FROM n LEFT JOIN drp USING (vec_id)
         """,
         "epoch_sample": """
             WITH per AS (

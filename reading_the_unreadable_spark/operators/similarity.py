@@ -613,6 +613,16 @@ def ann_quantized_oracle_sql(query_vec_id: int = 0, k: int = 10) -> str:
     """
 
 
+def kmeans_assignments(
+    embeddings: DataFrame, k: int = 4, iters: int = 2
+) -> DataFrame:
+    """The per-vector cluster assignment after :func:`kmeans_fixed`'s
+    deterministic Lloyd iterations — (vec_id, vec, cluster), the input
+    SemDeDup-style semantic dedup consumes.  Same seeding, rounding,
+    and tie-break discipline; see :func:`kmeans_fixed`."""
+    return _kmeans_assign_final(embeddings, k, iters)
+
+
 def kmeans_fixed(embeddings: DataFrame, k: int = 4, iters: int = 2) -> DataFrame:
     """Distributed Lloyd k-means with DETERMINISTIC seeding and a fixed
     iteration count, so the whole run is an engine-replicable pure
@@ -629,6 +639,20 @@ def kmeans_fixed(embeddings: DataFrame, k: int = 4, iters: int = 2) -> DataFrame
     driver (same driver-side grain as the reference's dendrogram
     step).  Output: one row per (cluster, dim) with the final
     centroid (6 dp) and the cluster's vector count."""
+    assigned = _kmeans_assign_final(embeddings, k, iters)
+    return (
+        assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("centroid"),
+            F.count("*").cast("long").alias("n_vecs"),
+        )
+    )
+
+
+def _kmeans_assign_final(
+    embeddings: DataFrame, k: int, iters: int
+) -> DataFrame:
     base = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("vec")
     )
@@ -672,22 +696,57 @@ def kmeans_fixed(embeddings: DataFrame, k: int = 4, iters: int = 2) -> DataFrame
             (F.array_position(arr, F.array_min(arr)) - 1).cast("int"),
         )
 
-    for it in range(iters):
+    for _it in range(iters - 1):
         assigned = assign(base, cents)
-        last = it == iters - 1
         agg = (
-            assigned.select(
-                "cluster", F.posexplode("vec").alias("dim", "x")
-            )
+            assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(
-                F.round(F.avg("x"), 6 if last else 9).alias("c"),
-                F.count("*").cast("long").alias("n_vecs"),
-            )
+            .agg(F.round(F.avg("x"), 9).alias("c"))
         )
-        if last:
-            return agg.select(
-                "cluster", "dim", F.col("c").alias("centroid"), "n_vecs"
-            )
         cents = centroid_rows_to_lists(agg.collect())
-    raise AssertionError("unreachable: iters >= 1")
+    return assign(base, cents)
+
+
+def semdedup(
+    embeddings: DataFrame, k: int = 4, tau: float = 0.95, iters: int = 2
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cluster the embeddings,
+    then within each cluster drop every vector that has a LOWER-vec_id
+    neighbor at cosine ≥ ``tau`` — semantic dedup whose pair work is
+    bounded by cluster size instead of n² (the paper's point: at scale
+    k grows with n, keeping clusters near-constant).
+
+    Determinism: the deterministic :func:`kmeans_assignments` + the
+    lower-id-wins keeper rule + 9-dp cosine rounding make the output
+    an engine-replicable pure function.  Shuffle shape: one equi-join
+    on the cluster id; within-cluster pairs are the algorithm's own
+    bound.  Output: (vec_id, cluster, keep)."""
+    a = kmeans_assignments(embeddings, k=k, iters=iters)
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = a.withColumn("nrm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    x, y = n.alias("x"), n.alias("y")
+    cos = F.round(
+        dot(F.col("x.vec"), F.col("y.vec"))
+        / (F.col("x.nrm") * F.col("y.nrm")),
+        9,
+    )
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("y.vec_id") < F.col("x.vec_id")),
+        )
+        .where(cos >= tau)
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        n.join(dropped.withColumn("__d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("__d").isNull().alias("keep"),
+        )
+    )
