@@ -10,6 +10,11 @@ cross join — so the same plan runs on 10^12 documents:
   a shingle-set equi-join.  Band width tunes recall/cost.
 - n-gram Jaccard: partition-bounded self-join (here by ``lang``) for
   small-bucket pair scoring.
+- winnowing (Schleimer et al. 2003): window-min k-gram fingerprints,
+  df-capped fingerprint self-join.
+- exact-substring (Lee et al. 2021): duplicated k-token windows masked
+  mid-document after a first-occurrence pass, islands merged, text
+  rebuilt.
 
 All hashing is md5 (cross-engine identical) so DuckDB oracles replicate
 results bit-for-bit.

@@ -18,6 +18,12 @@ re-expressed as native Spark SQL expressions:
   "repeated spans appear once in the corpus" rule at paragraph grain):
   explode → fingerprint → keep the globally-first occurrence (one
   shuffle on the 16-byte fingerprint) → reassemble documents.
+- :func:`contamination_flags` — GPT-3 §C / Pile benchmark
+  decontamination (broadcast eval-set n-grams, JVM gram build).
+- :func:`ccnet_buckets` — CCNet per-language head/middle/tail quality
+  terciles over the LM score (Wenzek et al. 2020 §4.3).
+- :func:`epoch_sample` — deterministic temperature-weighted epoch
+  materialization (md5-ranked per-source quotas).
 
 Everything is deterministic and DuckDB-replicable (md5 fingerprints,
 lexicographic first-occurrence order), so each operator carries a full
