@@ -442,6 +442,20 @@ def q_epoch_sample(spark, sf):
     return epoch_sample(_t(spark, sf, "documents"), epoch_docs=300)
 
 
+def q_quality_classifier(spark, sf):
+    """GPT-3-style quality classifier trained distributed: logistic
+    regression over 32 hashed token-count features, 2 deterministic GD
+    steps (lang == 'en' as the curated class), 9-dp rounding at every
+    float boundary.  Oracle: both GD steps replayed in DuckDB (hex
+    md5-bucket parity pinned; step 1's z is identically zero in both
+    engines so its sigmoid is exactly 0.5)."""
+    from reading_the_unreadable_spark.operators.quality import (
+        quality_classifier,
+    )
+
+    return quality_classifier(_t(spark, sf, "documents"))
+
+
 def q_semdedup(spark, sf):
     """SemDeDup (Abbas et al. 2023): vectors with vec_id % 25 == 0 get
     an identical copy injected at vec_id + 100000 (cos = 1); k-means
@@ -1647,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_sample": q_epoch_sample,
         "dedup_substrings": q_dedup_substrings,
         "semdedup": q_semdedup,
+        "quality_classifier": q_quality_classifier,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2426,6 +2441,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.vec_id, n.cluster::INT AS cluster,
                    (drp.vec_id IS NULL) AS keep
             FROM n LEFT JOIN drp USING (vec_id)
+        """,
+        "quality_classifier": """
+            WITH toks AS (
+              SELECT doc_id, (lang = 'en')::INT AS y,
+                     unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, y,
+                     ('0x' || substr(md5(w), 1, 4))::INT % 32 AS b,
+                     count(*) AS c
+              FROM toks GROUP BY doc_id, y, b
+            ),
+            tot AS (SELECT doc_id, sum(c) AS t FROM feats GROUP BY doc_id),
+            X AS (
+              SELECT f.doc_id, f.y, f.b, round(f.c * 1.0 / tot.t, 9) AS x
+              FROM feats f JOIN tot USING (doc_id)
+            ),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM X),
+            -- step 1: w = 0 everywhere, so z = 0 and sigmoid = 0.5 exactly
+            e1 AS (
+              SELECT DISTINCT doc_id, round(0.5 - y, 9) AS e FROM X
+            ),
+            g1 AS (
+              SELECT X.b, round(sum(e1.e * X.x) / nd.n, 9) AS g
+              FROM X JOIN e1 USING (doc_id), nd GROUP BY X.b, nd.n
+            ),
+            b1 AS (SELECT round(0 - sum(e) / nd.n, 9) AS bias
+                   FROM e1, nd GROUP BY nd.n),
+            spine AS (SELECT unnest(generate_series(0, 31)) AS b),
+            w1 AS (
+              SELECT spine.b,
+                     round(0 - coalesce(g1.g, 0), 9) AS w
+              FROM spine LEFT JOIN g1 USING (b)
+            ),
+            -- step 2
+            z2 AS (
+              SELECT X.doc_id, X.y,
+                     round(sum(w1.w * X.x) + any_value(b1.bias), 9) AS z
+              FROM X JOIN w1 USING (b), b1 GROUP BY X.doc_id, X.y
+            ),
+            e2 AS (
+              SELECT doc_id, round(1.0 / (1.0 + exp(-z)) - y, 9) AS e
+              FROM z2
+            ),
+            g2 AS (
+              SELECT X.b, round(sum(e2.e * X.x) / nd.n, 9) AS g
+              FROM X JOIN e2 USING (doc_id), nd GROUP BY X.b, nd.n
+            ),
+            b2 AS (
+              SELECT round(b1.bias - sum(e2.e) / nd.n, 9) AS bias
+              FROM e2, nd, b1 GROUP BY nd.n, b1.bias
+            ),
+            w2 AS (
+              SELECT w1.b, round(w1.w - coalesce(g2.g, 0), 9) AS w
+              FROM w1 LEFT JOIN g2 USING (b)
+            )
+            SELECT -1 AS feature, bias AS weight FROM b2
+            UNION ALL
+            SELECT b AS feature, w AS weight FROM w2
         """,
         "epoch_sample": """
             WITH per AS (

@@ -530,3 +530,81 @@ def epoch_sample(
         .where(F.col("__rk") <= F.col("quota"))
         .select("doc_id", source_col, F.col("__rk").alias("sample_rank"))
     )
+
+
+def quality_classifier(
+    documents: DataFrame,
+    n_features: int = 32,
+    lr: float = 1.0,
+    iters: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-3-style quality classifier (Brown et al. 2020 appendix A
+    trained one over hashed features to score candidate documents
+    against a curated positive set): logistic regression over hashed
+    token-count features, trained DISTRIBUTED with the same
+    engine-replicability discipline as the k-means operator — fixed
+    GD step count, deterministic labels (``lang == 'en'`` stands in
+    for the curated class), 9-dp rounding of per-doc errors, gradients
+    and weights so float summation order can never flip a value.
+
+    Per step: z = w·x is an ``element_at``(weight-literal array) sum —
+    no UDF, one groupBy(doc); the gradient is one groupBy(bucket) with
+    partial aggregation; only the D+1 weights ever reach the driver.
+    Output: one row per feature with its learned weight (feature -1 is
+    the bias) — the artifact a scoring pass would broadcast."""
+    spark = documents.sparkSession
+    toks = documents.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    feats = (
+        toks.withColumn(
+            "b",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
+                % n_features
+            ).cast("int"),
+        )
+        .groupBy("doc_id", "y", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = feats.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    X = feats.join(tot, "doc_id").select(
+        "doc_id", "y", "b", F.round(F.col("c") / F.col("t"), 9).alias("x")
+    )
+    n_docs = X.select("doc_id").distinct().count()
+    if n_docs == 0:
+        raise ValueError("no documents with tokens to train on")
+    w = [0.0] * n_features
+    bias = 0.0
+    for _it in range(iters):
+        warr = F.array(*[F.lit(float(v)) for v in w])
+        z = X.groupBy("doc_id", "y").agg(
+            F.round(
+                F.sum(F.element_at(warr, F.col("b") + 1) * F.col("x"))
+                + F.lit(float(bias)),
+                9,
+            ).alias("z")
+        )
+        err = z.select(
+            "doc_id",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y"), 9
+            ).alias("e"),
+        )
+        joined = X.join(err, "doc_id")
+        grows = (
+            joined.groupBy("b")
+            .agg(F.round(F.sum(F.col("e") * F.col("x")) / n_docs, 9).alias("g"))
+            .collect()
+        )
+        g0 = err.agg(
+            F.round(F.sum("e") / n_docs, 9).alias("g")
+        ).first()["g"]
+        for r in grows:
+            w[r["b"]] = round(w[r["b"]] - lr * r["g"], 9)
+        bias = round(bias - lr * float(g0), 9)
+    rows = [(-1, float(bias))] + [(i, float(w[i])) for i in range(n_features)]
+    return spark.createDataFrame(rows, "feature int, weight double")
