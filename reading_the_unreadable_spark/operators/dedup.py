@@ -699,3 +699,155 @@ def dedup_substrings(
             .alias("n_removed"),
         )
     )
+
+
+def _cc_checksum(edges: DataFrame) -> tuple[int, int]:
+    """(edge_count, order-independent hash) of a canonical edge set —
+    the per-round convergence probe.  One tiny two-column aggregate; at
+    any scale the result is a single driver row."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # bit_xor is order-independent and cannot overflow under ANSI
+        # mode (the edge set is distinct, so xor cancellation needs a
+        # genuine hash collision)
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """Connected components of the near-duplicate graph via alternating
+    large-star / small-star contraction (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — the algorithm
+    behind GraphFrames/GraphX CC), returning one row per NON-SINGLETON
+    node: (doc_id, cluster_id) with cluster_id = min doc_id reachable.
+
+    This closes the dedup loop the pair operators open: MinHash / SimHash
+    / winnowing emit PAIRS, but corpus dedup must resolve transitive
+    chains (A~B, B~C ⇒ one cluster) before electing canonicals —
+    reference-scale near-dup graphs are full of such chains (templated
+    boilerplate links thousands of pages).
+
+    Scale shape, per round: large-star is one groupBy(u).min + one
+    equi-join of the edge list back to the per-node minimum (shuffles
+    on node id only); small-star is the same two ops on the
+    (hi → lo)-oriented list.  No step ever joins edges to edges, so a
+    super-node with k neighbours costs O(k), never O(k²)
+    (`test_no_cartesian_products` covers this module).  Convergence is
+    checked with a two-column checksum aggregate (a single driver row)
+    and each round is cut from its predecessor's lineage with
+    ``localCheckpoint`` — an iterative plan left uncut grows
+    exponentially.  The paper bounds rounds at O(log² n); duplicate
+    clusters in practice converge in 2-4.
+
+    Determinism: the fixed point is unique (every node labelled with
+    the component minimum) regardless of round count or partitioning,
+    so a DuckDB recursive-CTE closure replays it value-exactly.
+    """
+    edges = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = edges.localCheckpoint()
+    n_prev, h_prev = _cc_checksum(edges)
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            break
+        # large-star: connect every strictly-larger neighbour of each
+        # node to the minimum of its closed neighbourhood.
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.min("u")).alias("m")
+        )
+        edges = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the (hi → lo) orientation: connect every
+        # smaller neighbour, and the node itself, to that minimum.
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        joined = edges.join(mins, "u")
+        edges = (
+            joined.select(
+                F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v")
+            )
+            .union(joined.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        edges = edges.localCheckpoint()  # cut the per-round lineage
+        n_now, h_now = _cc_checksum(edges)
+        if (n_now, h_now) == (n_prev, h_prev):
+            break
+        n_prev, h_prev = n_now, h_now
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # fixed point = star graphs: every edge points (member → root).
+    members = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    )
+    roots = edges.select(
+        F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).distinct()
+    return members.union(roots)
+
+
+def dup_clusters(
+    documents: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Cluster table over the whole corpus: (doc_id, cluster_id,
+    cluster_size, is_canonical).  Docs in no near-dup pair are
+    singletons (cluster_id = doc_id); the canonical member of every
+    cluster is its minimum doc_id — the keep-one election corpus dedup
+    ends with.
+
+    One left join of documents against the (small — members of dup
+    clusters only) component table, plus a cluster-size groupBy; the
+    iterative work happens in :func:`connected_components` over the
+    pair graph, never over the corpus."""
+    cc = connected_components(pairs, max_rounds=max_rounds)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    labelled = cc.join(sizes, "cluster_id")
+    return (
+        documents.select("doc_id")
+        .join(labelled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            (
+                F.coalesce("cluster_id", "doc_id") == F.col("doc_id")
+            ).alias("is_canonical"),
+        )
+    )
+
+
+def near_dedup(
+    documents: DataFrame, pairs: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """Documents surviving cluster-canonical near-dedup: every
+    transitive duplicate cluster keeps exactly its minimum doc_id.
+    An anti-join of the corpus against the non-canonical member list —
+    the member list is bounded by the pair graph, so the corpus-side
+    cost is one hash join on doc_id."""
+    losers = connected_components(pairs, max_rounds=max_rounds).filter(
+        F.col("doc_id") != F.col("cluster_id")
+    )
+    return documents.join(losers.select("doc_id"), "doc_id", "left_anti")

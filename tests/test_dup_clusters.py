@@ -1,0 +1,115 @@
+"""Connected-component duplicate clustering (alternating star contraction).
+
+Oracle: a five-line union-find over the same edge list — the fixed point
+of Kiveris-style contraction is exactly min-reachable-id labelling, so
+any disagreement is a bug in the distributed rounds, not modelling slack.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from reading_the_unreadable_spark.operators.dedup import (
+    connected_components,
+    dup_clusters,
+    near_dedup,
+)
+
+
+def _uf_labels(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-reachable label per node (roots compress to component min)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def _pairs_df(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        ]
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(_pairs_df(spark, edges)).collect()
+        }
+        want = _uf_labels(n, edges)
+        # connected_components only labels nodes that touch an edge
+        touched = {a for a, b in edges if a != b} | {
+            b for a, b in edges if a != b
+        }
+        assert got == {x: want[x] for x in touched}
+
+
+def test_cc_resolves_a_long_transitive_chain(spark):
+    # a 40-node path is the adversarial diameter case for plain label
+    # propagation; star contraction must fold it within max_rounds
+    edges = [(i, i + 1) for i in range(39)]
+    got = connected_components(_pairs_df(spark, edges), max_rounds=12)
+    rows = got.collect()
+    assert len(rows) == 40
+    assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_cc_ignores_self_loops_and_duplicate_edges(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2)]
+    rows = connected_components(_pairs_df(spark, edges)).collect()
+    assert {(r["doc_id"], r["cluster_id"]) for r in rows} == {(1, 1), (2, 1)}
+
+
+def test_dup_clusters_covers_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id long"
+    )
+    pairs = _pairs_df(spark, [(0, 3), (3, 6), (1, 2)])
+    rows = {r["doc_id"]: r for r in dup_clusters(docs, pairs).collect()}
+    assert len(rows) == 8
+    assert rows[6]["cluster_id"] == 0 and rows[6]["cluster_size"] == 3
+    assert rows[0]["is_canonical"] and not rows[3]["is_canonical"]
+    for singleton in (4, 5, 7):
+        r = rows[singleton]
+        assert (
+            r["cluster_id"] == singleton
+            and r["cluster_size"] == 1
+            and r["is_canonical"]
+        )
+
+
+def test_near_dedup_keeps_exactly_cluster_minima(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = _pairs_df(spark, [(0, 3), (3, 6), (1, 2)])
+    kept = sorted(
+        r["doc_id"] for r in near_dedup(docs, pairs).collect()
+    )
+    assert kept == [0, 1, 4, 5, 7]
+
+
+def test_cc_nonconvergence_raises(spark):
+    edges = [(i, i + 1) for i in range(30)]
+    try:
+        connected_components(_pairs_df(spark, edges), max_rounds=1)
+    except RuntimeError as e:
+        assert "converge" in str(e)
+    else:
+        raise AssertionError("expected RuntimeError on round exhaustion")
