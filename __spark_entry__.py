@@ -29,6 +29,7 @@ from reading_the_unreadable_spark.functions.text import LIGATURES
 from reading_the_unreadable_spark.operators.articles import build_articles
 from reading_the_unreadable_spark.plans.pipeline import extract_from_boxes
 from reading_the_unreadable_spark.sources.docs import boxes_from_documents_table
+from reading_the_unreadable_spark.sources import warc as W
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -411,6 +412,28 @@ def q_minhash_lsh(spark, sf):
 
 def q_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.9)
+
+
+def q_warc_extract(spark, sf):
+    """Crawl-archive ingestion end-to-end: pack the documents table into
+    .warc.gz blobs (WET ``conversion`` records for doc_id % 7 == 0, HTTP
+    ``response`` captures otherwise — one gzip member per record), parse
+    them back with the from-scratch WARC parser, and emit engine-portable
+    scalars.  Every output value is a pure function of (doc_id, text), so
+    a DuckDB template replica is value-exact no matter how documents
+    batch into archive files."""
+    docs = _t(spark, sf, "documents")
+    recs = W.parse_warc_frame(W.warc_from_documents(docs))
+    return recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "record_type",
+        "http_status",
+        "http_content_type",
+        F.length("payload").cast("long").alias("content_len"),
+        F.md5("payload").alias("payload_md5"),
+    )
 
 
 def q_dup_clusters(spark, sf):
@@ -1652,7 +1675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                for r06).  dup_clusters (connected-component
     #                near-dup resolution, new operator) joins the
     #                window; quality_score shifts behind the 50-row
-    #                line (green r04, pytest-replicated).
+    #                line (green r04, pytest-replicated).  warc_extract
+    #                (new WARC/WET container source) joins the window;
+    #                token_stats shifts behind (green r04,
+    #                pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -1678,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "quality_classifier": q_quality_classifier,
         "dup_clusters": q_dup_clusters,
+        "warc_extract": q_warc_extract,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2164,6 +2191,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN labels l ON d.doc_id = l.doc_id
             LEFT JOIN sizes s ON l.cluster_id = s.cluster_id
+        """,
+        # warc round-trip: payloads are pure functions of (doc_id, text),
+        # so the replica rebuilds the template strings and hashes them —
+        # strlen/md5 both operate on UTF-8 bytes in both engines
+        "warc_extract": """
+            WITH base AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN 'conversion'
+                     ELSE 'response' END AS record_type,
+                CASE WHEN doc_id % 7 = 0 THEN text
+                     ELSE '<html><head><title>doc ' || doc_id ||
+                          '</title></head><body><p>' || text ||
+                          '</p></body></html>' END AS body
+              FROM documents)
+            SELECT doc_id, record_type,
+                   CASE WHEN record_type = 'response'
+                        THEN 200 END AS http_status,
+                   CASE WHEN record_type = 'response'
+                        THEN 'text/html' END AS http_content_type,
+                   strlen(body) AS content_len,
+                   md5(body) AS payload_md5
+            FROM base
         """,
         "ngram_jaccard": """
             WITH toks AS (
