@@ -108,6 +108,8 @@ HEADLINE = [
     "kmeans",
     "epoch_sample",
     "dedup_substrings",
+    "dup_clusters",
+    "warc_extract",
 ]
 
 

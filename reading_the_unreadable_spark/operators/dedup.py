@@ -715,6 +715,41 @@ def _cc_checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round over the canonical (hi, lo) edge set:
+    connect every strictly-larger neighbour of each node to the minimum
+    of its closed neighbourhood.  Shape: one groupBy(node).min + one
+    equi-join of the edge list back to the per-node minimum — edges
+    never join edges, so a k-neighbour super-node costs O(k)."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round on the (hi → lo) orientation: connect every
+    smaller neighbour, and the node itself, to the per-node minimum.
+    Same two-op shape as :func:`_large_star`."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    joined = edges.join(mins, "u")
+    return (
+        joined.select(
+            F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v")
+        )
+        .union(joined.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_rounds: int = 30
 ) -> DataFrame:
@@ -759,35 +794,7 @@ def connected_components(
     for _ in range(max_rounds):
         if n_prev == 0:
             break
-        # large-star: connect every strictly-larger neighbour of each
-        # node to the minimum of its closed neighbourhood.
-        sym = edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.min("u")).alias("m")
-        )
-        edges = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(
-                F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v")
-            )
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # small-star on the (hi → lo) orientation: connect every
-        # smaller neighbour, and the node itself, to that minimum.
-        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
-        joined = edges.join(mins, "u")
-        edges = (
-            joined.select(
-                F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v")
-            )
-            .union(joined.select("u", F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
+        edges = _small_star(_large_star(edges))
         edges = edges.localCheckpoint()  # cut the per-round lineage
         n_now, h_now = _cc_checksum(edges)
         if (n_now, h_now) == (n_prev, h_prev):

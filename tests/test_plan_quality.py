@@ -406,3 +406,42 @@ def test_winnow_no_serial_filter_pushdown(spark):
         if "Filter" in line:
             assert "md5" not in line, line[:300]
             assert "transform" not in line, line[:300]
+
+
+def test_star_rounds_never_join_edges_to_edges(spark):
+    """Each contraction round of connected_components is groupBy-min +
+    an equi-join of edges to per-node minima keyed on the node id —
+    never an edge×edge join (a super-node must cost O(k), not O(k²)),
+    never a cartesian."""
+    from reading_the_unreadable_spark.operators.dedup import (
+        _large_star,
+        _small_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (3, 2), (9, 4)], "u long, v long"
+    )
+    for round_fn in (_large_star, _small_star):
+        plan = _plan(round_fn(edges))
+        assert "CartesianProduct" not in plan, plan[:1500]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+        join_lines = [
+            ln
+            for ln in plan.splitlines()
+            if re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", ln)
+        ]
+        assert join_lines, "expected the mins equi-join in the plan"
+        for ln in join_lines:
+            assert re.search(r"\bu#\d+L?\b", ln.split("Join")[1]), (
+                f"round join not keyed on the node id: {ln}"
+            )
+
+
+def test_warc_pipeline_is_shuffle_free(spark):
+    """documents → warc blobs → parsed records → scalars is two
+    mapInPandas stages and projections: ZERO exchanges — at crawl scale
+    the archive file is the split unit and nothing re-shuffles."""
+    df = entrymod.q_warc_extract(spark, SF)
+    plan = _plan(df)
+    assert len(re.findall(r"Exchange (hash|round|range)", plan)) == 0, plan[:2000]
+    assert plan.count("MapInPandas") == 2, plan[:2000]
