@@ -414,6 +414,18 @@ def q_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.9)
 
 
+def q_dsir(spark, sf):
+    """DSIR importance resampling (Xie et al. 2023): hashed
+    unigram+bigram importance weights log(p_target/q_raw) with add-1
+    smoothing, Gumbel-top-k selection from an md5(doc_id) uniform.
+    Every float is a 4-dp-rounded single log (the LM-scoring
+    discipline), so the DuckDB replica reproduces weights, keys, AND
+    the selected k exactly."""
+    from reading_the_unreadable_spark.operators.quality import dsir_sample
+
+    return dsir_sample(_t(spark, sf, "documents"), k=100, n_buckets=64)
+
+
 def q_warc_extract(spark, sf):
     """Crawl-archive ingestion end-to-end: pack the documents table into
     .warc.gz blobs (WET ``conversion`` records for doc_id % 7 == 0, HTTP
@@ -1678,7 +1690,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                line (green r04, pytest-replicated).  warc_extract
     #                (new WARC/WET container source) joins the window;
     #                token_stats shifts behind (green r04,
-    #                pytest-replicated).
+    #                pytest-replicated).  dsir (Gumbel-top-k importance
+    #                resampling, new operator) joins the window; lang_id
+    #                shifts behind (green r04, pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -1705,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "dup_clusters": q_dup_clusters,
         "warc_extract": q_warc_extract,
+        "dsir": q_dsir,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2213,6 +2228,50 @@ def oracle_sql() -> dict[str, str]:
                    strlen(body) AS content_len,
                    md5(body) AS payload_md5
             FROM base
+        """,
+        # DSIR: bucket counts are exact integers; the only floats are the
+        # per-bucket log ratio, the per-doc weighted sum, and the Gumbel
+        # key — each 4-dp rounded in both engines
+        "dsir": """
+            WITH grams AS (
+              SELECT doc_id, (lang = 'en')::INT AS is_target, g
+              FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+                    FROM documents),
+              LATERAL (SELECT unnest(list_concat(w,
+                CASE WHEN len(w) >= 2
+                     THEN list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1])
+                     ELSE []::VARCHAR[] END)) AS g)),
+            bkt AS (
+              SELECT doc_id, is_target,
+                     ('0x' || substr(md5(g), 1, 4))::BIGINT % 64 AS b
+              FROM grams),
+            counts AS (
+              SELECT doc_id, is_target, b, count(*) AS c
+              FROM bkt GROUP BY 1, 2, 3),
+            dist AS (
+              SELECT b,
+                     sum(CASE WHEN is_target = 1 THEN c ELSE 0 END) AS ct,
+                     sum(c) AS cq
+              FROM counts GROUP BY 1),
+            tot AS (SELECT sum(ct) AS tt, sum(cq) AS tq FROM dist),
+            ratios AS (
+              SELECT b, round(ln(((ct + 1.0) / (tt + 64.0)) /
+                                 ((cq + 1.0) / (tq + 64.0))), 4) AS lr
+              FROM dist, tot),
+            scored AS (
+              SELECT doc_id, round(sum(c * lr), 4) AS log_weight
+              FROM counts JOIN ratios USING (b) GROUP BY 1),
+            keyed AS (
+              SELECT d.doc_id,
+                     coalesce(s.log_weight, 0.0) AS log_weight,
+                     round(coalesce(s.log_weight, 0.0) -
+                           ln(-ln((('0x' || substr(md5(d.doc_id::VARCHAR),
+                                    1, 8))::BIGINT + 0.5) / 4294967296.0)),
+                           4) AS gumbel_key
+              FROM documents d LEFT JOIN scored s USING (doc_id))
+            SELECT doc_id, log_weight, gumbel_key
+            FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100
         """,
         "ngram_jaccard": """
             WITH toks AS (

@@ -608,3 +608,132 @@ def quality_classifier(
         bias = round(bias - lr * float(g0), 9)
     rows = [(-1, float(bias))] + [(i, float(w[i])) for i in range(n_features)]
     return spark.createDataFrame(rows, "feature int, weight double")
+
+
+def dsir_weights(
+    documents: DataFrame,
+    n_buckets: int = 64,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-ngram profile is under
+    the TARGET distribution than under the raw-corpus distribution —
+    ``log w(doc) = Σ_b count_doc[b] · log(p_target[b] / q_raw[b])``
+    over ``n_buckets`` hashed unigram+bigram features with add-λ
+    smoothing.  ``lang == 'en'`` stands in for the curated target set
+    (the quality-classifier convention).
+
+    Scale shape: gram arrays are materialized in their own projection
+    and exploded with ``explode_outer`` (the InferFiltersFromGenerate
+    lesson, SURVEY §30); both distributions come from ONE
+    groupBy(bucket) with conditional sums (partial-agg collapses the
+    Zipf head map-side); the bucket→log-ratio table is ``n_buckets``
+    rows joined back broadcast; the per-doc reduce is one
+    groupBy(doc_id).  Engine-replicability: bucket counts are exact
+    integers, the only float is the single log per bucket (4-dp
+    rounded, the LM-scoring discipline) and the 4-dp-rounded per-doc
+    sum.
+
+    Output: (doc_id, n_grams, log_weight)."""
+    words = F.split(F.col(text_col), " ")
+    grams_expr = F.concat(
+        words,
+        F.when(F.size(words) < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.slice(words, 1, F.size(words) - 1),
+                lambda w, i: F.concat_ws(
+                    " ", w, F.element_at(words, i + 2)
+                ),
+            )
+        ),
+    )
+    staged = documents.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("is_target"),
+        grams_expr.alias("grams"),
+    )
+    buckets = staged.select(
+        "doc_id",
+        "is_target",
+        F.explode_outer("grams").alias("g"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
+            % n_buckets
+        ).cast("int").alias("b"),
+    )
+    counts = buckets.groupBy("doc_id", "is_target", "b").agg(
+        F.count("b").alias("c")
+    )
+    dist = counts.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target") == 1, F.col("c")).otherwise(0)).alias(
+            "ct"
+        ),
+        F.sum("c").alias("cq"),
+    )
+    tot = dist.agg(F.sum("ct").alias("tt"), F.sum("cq").alias("tq")).first()
+    tt, tq = int(tot["tt"] or 0), int(tot["tq"] or 0)
+    if tt == 0:
+        raise ValueError("DSIR target partition has no grams")
+    s, b_s = float(smoothing), float(n_buckets) * float(smoothing)
+    ratios = dist.select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + s) / F.lit(tt + b_s))
+                / ((F.col("cq") + s) / F.lit(tq + b_s))
+            ),
+            4,
+        ).alias("lr"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        counts.join(broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("log_weight"),
+        )
+    )
+    return documents.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+    )
+
+
+def dsir_sample(
+    documents: DataFrame,
+    k: int = 100,
+    n_buckets: int = 64,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR's resampling step: Gumbel-top-k over the importance weights
+    — ``key = log_weight + Gumbel(0,1)`` drawn from an md5(doc_id)
+    uniform, so the draw is engine-reproducible (the deterministic-
+    sample convention) and the selection is a weighted sample WITHOUT
+    replacement, exactly the paper's sampled-held-out trick.
+
+    Scale: the perturbed key is a map-side expression over the weight
+    table; selection is a global top-k (TakeOrdered — no full sort).
+    Output: k rows of (doc_id, log_weight, gumbel_key)."""
+    w = dsir_weights(
+        documents, n_buckets=n_buckets, smoothing=smoothing, text_col=text_col
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    keyed = w.select(
+        "doc_id",
+        "log_weight",
+        F.round(F.col("log_weight") - F.log(-F.log(u)), 4).alias("gumbel_key"),
+    )
+    return keyed.orderBy(F.col("gumbel_key").desc(), "doc_id").limit(k)

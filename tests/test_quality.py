@@ -278,3 +278,67 @@ def test_ccnet_buckets_equal_terciles(spark):
     a = {r["doc_id"]: r["bucket"] for r in out.collect()}
     b = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(d).collect()}
     assert a == b
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from reading_the_unreadable_spark.operators.quality import dsir_weights
+
+    rows = [
+        (1, "en", "alpha beta alpha beta alpha beta"),
+        (2, "en", "alpha beta gamma alpha beta gamma"),
+        (3, "fr", "alpha beta alpha beta alpha beta"),  # looks like target
+        (4, "fr", "zeta eta theta zeta eta theta"),     # does not
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in dsir_weights(df, n_buckets=16).collect()}
+    assert len(got) == 4
+    # doc 3 shares the target's gram profile, doc 4 doesn't
+    assert got[3]["log_weight"] > got[4]["log_weight"]
+    # unigrams + bigrams: n tokens → 2n-1 grams
+    assert got[1]["n_grams"] == 11
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in dsir_weights(df, n_buckets=16).collect()}
+    assert {k: v["log_weight"] for k, v in got.items()} == {
+        k: v["log_weight"] for k, v in again.items()
+    }
+
+
+def test_dsir_weights_no_target_raises(spark):
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark.operators.quality import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "fr", "a b")], "doc_id long, lang string, text string"
+    )
+    with _pytest.raises(ValueError, match="target"):
+        dsir_weights(df)
+
+
+def test_dsir_sample_is_gumbel_top_k(spark):
+    from pyspark.sql import functions as F
+
+    from reading_the_unreadable_spark.operators.quality import (
+        dsir_sample,
+        dsir_weights,
+    )
+
+    rows = [
+        (i, "en" if i % 2 == 0 else "de", f"tok{i % 5} tok{i % 3} tok{i % 7}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = dsir_sample(df, k=10, n_buckets=16).collect()
+    assert len(got) == 10
+    keys = [r["gumbel_key"] for r in got]
+    assert keys == sorted(keys, reverse=True)
+    # the perturbed key never loses the weight signal entirely: the
+    # selection must differ from plain top-k by weight (gumbel active)
+    plain = [
+        r["doc_id"]
+        for r in dsir_weights(df, n_buckets=16)
+        .orderBy(F.col("log_weight").desc(), "doc_id")
+        .limit(10)
+        .collect()
+    ]
+    assert {r["doc_id"] for r in got} != set(plain)
