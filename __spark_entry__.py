@@ -414,6 +414,35 @@ def q_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.9)
 
 
+def q_url_filter(spark, sf):
+    """URL-gate curation (C4 / RefinedWeb §3.1): deterministic per-doc
+    URLs (five host families cycling on doc_id, ports, query spam)
+    run through the native-expression parser + blocklist filter.
+    Everything is regexp/CASE arithmetic shared verbatim with the
+    DuckDB replica — zero UDFs, zero shuffles."""
+    from reading_the_unreadable_spark.operators.urls import url_filter
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = (
+        F.when(d % 5 == 0, F.lit("news.example.com"))
+        .when(d % 5 == 1, F.lit("play.casino-spin.net"))
+        .when(d % 5 == 2, F.lit("blog.example.org:8080"))
+        .when(d % 5 == 3, F.concat(F.lit("cdn"), (d % 13).cast("string"),
+                                   F.lit(".img.bad.net")))
+        .otherwise(F.concat((d * 97).cast("string"), F.lit(".com")))
+    )
+    tail = F.when(
+        d % 3 == 0,
+        F.lit("?ref=a&utm=1&x=2&y=3&z=4&q1=1&q2=2&q3=3&q4=4"),
+    ).otherwise(F.lit(""))
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), ds, tail).alias("url"),
+    )
+    return url_filter(docs, blocked_domains=("bad.net",))
+
+
 def q_dsir(spark, sf):
     """DSIR importance resampling (Xie et al. 2023): hashed
     unigram+bigram importance weights log(p_target/q_raw) with add-1
@@ -1693,6 +1722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                pytest-replicated).  dsir (Gumbel-top-k importance
     #                resampling, new operator) joins the window; lang_id
     #                shifts behind (green r04, pytest-replicated).
+    #                url_filter (URL-gate curation, new operator) joins
+    #                the window; bpe_tokens shifts behind (green r04,
+    #                pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -1720,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "warc_extract": q_warc_extract,
         "dsir": q_dsir,
+        "url_filter": q_url_filter,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2228,6 +2261,69 @@ def oracle_sql() -> dict[str, str]:
                    strlen(body) AS content_len,
                    md5(body) AS payload_md5
             FROM base
+        """,
+        # url_filter: RE2-safe regexps shared verbatim with the Spark
+        # expressions; reasons list order is fixed in both engines
+        "url_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                'https://' ||
+                CASE doc_id % 5
+                  WHEN 0 THEN 'news.example.com'
+                  WHEN 1 THEN 'play.casino-spin.net'
+                  WHEN 2 THEN 'blog.example.org:8080'
+                  WHEN 3 THEN 'cdn' || (doc_id % 13) || '.img.bad.net'
+                  ELSE (doc_id * 97) || '.com' END
+                || '/p/' || doc_id ||
+                CASE WHEN doc_id % 3 = 0
+                     THEN '?ref=a&utm=1&x=2&y=3&z=4&q1=1&q2=2&q3=3&q4=4'
+                     ELSE '' END AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id, url, lower(url) AS lurl,
+                regexp_replace(regexp_extract(lower(url),
+                  '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1), ':[0-9]+$', '')
+                  AS host,
+                regexp_extract(lower(url),
+                  '^[a-z][a-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS port_s,
+                regexp_extract(lower(url),
+                  '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+                regexp_extract(lower(url), '\\?([^#]*)', 1) AS query
+              FROM u),
+            feats AS (
+              SELECT doc_id, url, lurl, host,
+                regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS reg_domain,
+                CASE WHEN port_s = '' THEN NULL
+                     ELSE CAST(port_s AS INT) END AS port,
+                CASE WHEN path = '' THEN 0
+                     ELSE len(string_split(path, '/')) - 1 END AS path_depth,
+                CASE WHEN query = '' THEN 0
+                     ELSE len(string_split(query, '&')) END AS n_query_params,
+                length(url) AS url_len,
+                round((length(host) -
+                       length(regexp_replace(host, '[0-9]', '', 'g'))) * 1.0
+                      / greatest(length(host), 1), 6) AS host_digit_frac
+              FROM p),
+            verdict AS (
+              SELECT *,
+                list_filter([
+                  CASE WHEN reg_domain IN ('bad.net')
+                       THEN 'blocked_domain' END,
+                  CASE WHEN len(list_filter(
+                         ['casino', 'poker', 'viagra', 'xxx'],
+                         w -> contains(lurl, w))) > 0
+                       THEN 'blocked_word' END,
+                  CASE WHEN host_digit_frac > 0.4 THEN 'digit_host' END,
+                  CASE WHEN url_len > 200 THEN 'long_url' END,
+                  CASE WHEN n_query_params > 8 THEN 'deep_query' END],
+                  x -> x IS NOT NULL) AS reasons
+              FROM feats)
+            SELECT doc_id, url, host, reg_domain, port, path_depth,
+                   n_query_params, url_len, host_digit_frac,
+                   coalesce(array_to_string(reasons, ','), '')
+                     AS drop_reasons,
+                   len(reasons) = 0 AS url_keep
+            FROM verdict
         """,
         # DSIR: bucket counts are exact integers; the only floats are the
         # per-bucket log ratio, the per-doc weighted sum, and the Gumbel
