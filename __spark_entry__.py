@@ -414,6 +414,45 @@ def q_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.9)
 
 
+def q_pagerank(spark, sf):
+    """Link-graph quality ranking: a deterministic 2-out-link graph
+    over documents (docs with doc_id % 17 == 0 dangle), three fixed
+    PageRank power steps with 9-dp per-step rounding — the third
+    iterative distributed algorithm with a value-exact SQL oracle
+    (k-means and the GD classifier are the others)."""
+    from reading_the_unreadable_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    linkers = docs.filter(d % 17 != 0)
+    edges = linkers.select(
+        d.alias("src"), F.pmod(d * 7 + 3, F.lit(n)).alias("dst")
+    ).union(
+        linkers.select(
+            d.alias("src"), F.pmod(d * 13 + 5, F.lit(n)).alias("dst")
+        )
+    )
+    return pagerank(edges)
+
+
+def q_anchor_texts(spark, sf):
+    """Anchor-text aggregation onto link targets (the classic web
+    relevance side-channel): distinct anchors sorted and slice-bounded
+    per target so a hub's row stays bounded."""
+    from reading_the_unreadable_spark.operators.graph import anchor_texts
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    links = docs.select(
+        d.alias("src"),
+        F.pmod(d * 7 + 3, F.lit(n)).alias("dst"),
+        F.concat(F.lit("w"), (d % 7).cast("string")).alias("anchor"),
+    )
+    return anchor_texts(links, max_anchors=4)
+
+
 def q_url_filter(spark, sf):
     """URL-gate curation (C4 / RefinedWeb §3.1): deterministic per-doc
     URLs (five host families cycling on doc_id, ports, query spam)
@@ -1724,7 +1763,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                shifts behind (green r04, pytest-replicated).
     #                url_filter (URL-gate curation, new operator) joins
     #                the window; bpe_tokens shifts behind (green r04,
-    #                pytest-replicated).
+    #                pytest-replicated).  pagerank + anchor_texts
+    #                (link-graph family, new operators) join the
+    #                window; readability + json_permissive shift
+    #                behind (green r04, pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -1753,6 +1795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "dsir": q_dsir,
         "url_filter": q_url_filter,
+        "pagerank": q_pagerank,
+        "anchor_texts": q_anchor_texts,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2261,6 +2305,66 @@ def oracle_sql() -> dict[str, str]:
                    strlen(body) AS content_len,
                    md5(body) AS payload_md5
             FROM base
+        """,
+        # pagerank: three chained power-step CTEs replicating the exact
+        # update (9-dp per-step rounding absorbs summation-order ulp)
+        "pagerank": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst
+              FROM documents, nn WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 5) % n
+              FROM documents, nn WHERE doc_id % 17 <> 0),
+            nodes AS (
+              SELECT DISTINCT node FROM
+                (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+            nc AS (SELECT count(*) AS c FROM nodes),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+            r0 AS (SELECT node, round(1.0 / c, 9) AS rank FROM nodes, nc),
+            d0 AS (SELECT coalesce(sum(rank), 0) AS s FROM r0
+                   LEFT JOIN deg ON r0.node = deg.src WHERE deg.src IS NULL),
+            i0 AS (SELECT e.dst, sum(r0.rank / deg.deg) AS inflow
+                   FROM e JOIN r0 ON e.src = r0.node
+                   JOIN deg ON e.src = deg.src GROUP BY 1),
+            r1 AS (SELECT n.node,
+                     round((1 - 0.85) / nc.c + 0.85 * d0.s / nc.c
+                           + 0.85 * coalesce(i0.inflow, 0), 9) AS rank
+                   FROM nodes n CROSS JOIN nc CROSS JOIN d0
+                   LEFT JOIN i0 ON n.node = i0.dst),
+            d1 AS (SELECT coalesce(sum(rank), 0) AS s FROM r1
+                   LEFT JOIN deg ON r1.node = deg.src WHERE deg.src IS NULL),
+            i1 AS (SELECT e.dst, sum(r1.rank / deg.deg) AS inflow
+                   FROM e JOIN r1 ON e.src = r1.node
+                   JOIN deg ON e.src = deg.src GROUP BY 1),
+            r2 AS (SELECT n.node,
+                     round((1 - 0.85) / nc.c + 0.85 * d1.s / nc.c
+                           + 0.85 * coalesce(i1.inflow, 0), 9) AS rank
+                   FROM nodes n CROSS JOIN nc CROSS JOIN d1
+                   LEFT JOIN i1 ON n.node = i1.dst),
+            d2 AS (SELECT coalesce(sum(rank), 0) AS s FROM r2
+                   LEFT JOIN deg ON r2.node = deg.src WHERE deg.src IS NULL),
+            i2 AS (SELECT e.dst, sum(r2.rank / deg.deg) AS inflow
+                   FROM e JOIN r2 ON e.src = r2.node
+                   JOIN deg ON e.src = deg.src GROUP BY 1)
+            SELECT n.node,
+                   round((1 - 0.85) / nc.c + 0.85 * d2.s / nc.c
+                         + 0.85 * coalesce(i2.inflow, 0), 9) AS rank
+            FROM nodes n CROSS JOIN nc CROSS JOIN d2
+            LEFT JOIN i2 ON n.node = i2.dst
+        """,
+        "anchor_texts": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            l AS (
+              SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst,
+                     'w' || (doc_id % 7) AS anchor
+              FROM documents, nn)
+            SELECT dst, count(*) AS n_inlinks,
+                   count(DISTINCT src) AS n_src,
+                   array_to_string(
+                     list_slice(list_sort(list_distinct(list(anchor))), 1, 4),
+                     ' | ') AS anchors
+            FROM l GROUP BY dst
         """,
         # url_filter: RE2-safe regexps shared verbatim with the Spark
         # expressions; reasons list order is fixed in both engines

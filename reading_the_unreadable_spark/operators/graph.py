@@ -1,0 +1,109 @@
+"""Link-graph operators for web-corpus curation.
+
+Crawl-scale pipelines rank and weight documents by the hyperlink graph
+(quality signals, crawl-frontier priority, spam demotion) and aggregate
+anchor text onto link targets (the classic relevance side-channel).
+Both are expressed as joins + grouped aggregations on the edge list —
+the 100 TB shapes: rank mass shuffles once per iteration on the node
+id, anchor aggregation is one groupBy(dst).
+
+Engine-replicability (the k-means / quality-classifier discipline):
+fixed iteration count, 9-dp rounding of every per-node rank each
+iteration so float summation order can never flip a value — a DuckDB
+replica of the same chained iterations reproduces ranks bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    ndp: int = 9,
+) -> DataFrame:
+    """PageRank over (src, dst) edges, fixed ``iters`` power steps.
+
+    Per iteration: contributions = edges ⋈ ranks on src (each node's
+    rank split over its out-degree), one groupBy(dst) sum, dangling
+    mass (nodes with no out-links) redistributed uniformly, then
+    ``rank = (1-d)/N + d·(inflow + dangling/N)`` rounded to ``ndp``.
+    Shapes: out-degrees are one groupBy(src); each step shuffles rank
+    mass once on the node id; the dangling mass is a single-row
+    aggregate.  Plans are lineage-cut per step (an iterative plan left
+    uncut grows exponentially).
+
+    Parallel edges are kept (a page linking twice votes twice —
+    matches the original formulation over the web multigraph).
+    Output: (node, rank) for every node incident to an edge."""
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank over an empty edge set")
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    d = float(damping)
+    ranks = nodes.select("node", F.lit(round(1.0 / n, ndp)).alias("rank"))
+    for _ in range(iters):
+        with_deg = ranks.join(
+            out_deg, ranks["node"] == out_deg["src"], "left"
+        ).select("node", "rank", "deg")
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("s"))
+            .first()["s"]
+        )
+        contribs = (
+            e.join(
+                with_deg.filter(F.col("deg").isNotNull()),
+                e["src"] == F.col("node"),
+            )
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        base = (1.0 - d) / n + d * float(dangling) / n
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base) + d * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    ndp,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def anchor_texts(
+    links: DataFrame, max_anchors: int = 8
+) -> DataFrame:
+    """Anchor-text aggregation onto link targets: (src, dst, anchor) →
+    per-target distinct anchors, lexicographically first ``max_anchors``
+    joined with ``" | "`` plus in-degree counts.  One shuffle on dst;
+    the per-target anchor list is slice-bounded so a billion-in-link
+    hub cannot blow the row.  Deterministic: distinct + sort before the
+    slice."""
+    return (
+        links.groupBy("dst")
+        .agg(
+            F.count("*").alias("n_inlinks"),
+            F.count_distinct("src").alias("n_src"),
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.collect_set("anchor")), 1, max_anchors
+                ),
+                " | ",
+            ).alias("anchors"),
+        )
+    )
