@@ -414,6 +414,23 @@ def q_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.9)
 
 
+def q_hll_distinct(spark, sf):
+    """Engine-portable HyperLogLog: distinct tokens per language
+    estimated from 64 registers whose values are pure string functions
+    of md5 hex — DuckDB replays the registers bit-for-bit and the
+    2^-rho sum is exact dyadic arithmetic, so even the ESTIMATE
+    hash-matches.  with_exact adds the true count for accuracy
+    evidencing (the branch production would drop)."""
+    from reading_the_unreadable_spark.operators.sketches import (
+        approx_distinct,
+    )
+
+    toks = _t(spark, sf, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    return approx_distinct(toks, "w", ["lang"], p=6, with_exact=True)
+
+
 def q_pagerank(spark, sf):
     """Link-graph quality ranking: a deterministic 2-out-link graph
     over documents (docs with doc_id % 17 == 0 dangle), three fixed
@@ -1767,6 +1784,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                (link-graph family, new operators) join the
     #                window; readability + json_permissive shift
     #                behind (green r04, pytest-replicated).
+    #                hll_distinct (engine-portable HLL sketch, new
+    #                operator) joins the window; cer_eval shifts behind
+    #                (green r04, pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -1797,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "pagerank": q_pagerank,
         "anchor_texts": q_anchor_texts,
+        "hll_distinct": q_hll_distinct,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2305,6 +2326,47 @@ def oracle_sql() -> dict[str, str]:
                    strlen(body) AS content_len,
                    md5(body) AS payload_md5
             FROM base
+        """,
+        # hll: registers are pure string functions of md5 hex; the 2^-rho
+        # sum is exact dyadic arithmetic, so the estimate itself matches
+        "hll_distinct": """
+            WITH toks AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            h AS (SELECT lang, w, md5(w) AS h FROM toks),
+            r AS (
+              SELECT lang,
+                ('0x' || substr(h, 1, 4))::BIGINT % 64 AS bucket,
+                CASE WHEN regexp_replace(substr(h, 5, 16), '^0*', '') = ''
+                     THEN 65
+                     ELSE length(regexp_extract(substr(h, 5, 16),
+                                                '^(0*)', 1)) * 4 +
+                          CASE substr(regexp_replace(substr(h, 5, 16),
+                                                     '^0*', ''), 1, 1)
+                            WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                            WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                            WHEN '7' THEN 1 ELSE 0 END + 1
+                END AS rho
+              FROM h),
+            regs AS (
+              SELECT lang, bucket, max(rho) AS r FROM r GROUP BY 1, 2),
+            agg AS (
+              SELECT lang, sum(power(2.0, -r)) AS sp, count(*) AS np
+              FROM regs GROUP BY 1),
+            est AS (
+              SELECT lang, np AS n_registers_hit,
+                round(CASE WHEN 0.709 * 64 * 64 / (sp + (64 - np)) <= 2.5 * 64
+                                AND (64 - np) > 0
+                           THEN 64.0 * ln(64.0 / (64 - np))
+                           ELSE 0.709 * 64 * 64 / (sp + (64 - np)) END,
+                      4) AS hll_estimate
+              FROM agg),
+            ex AS (
+              SELECT lang, count(DISTINCT w) AS n_exact FROM toks GROUP BY 1)
+            SELECT e.lang, n_exact, n_registers_hit, hll_estimate,
+                   round(abs(hll_estimate - n_exact) / greatest(n_exact, 1),
+                         4) AS rel_err
+            FROM est e JOIN ex USING (lang)
         """,
         # pagerank: three chained power-step CTEs replicating the exact
         # update (9-dp per-step rounding absorbs summation-order ulp)

@@ -1,0 +1,74 @@
+"""HLL sketch: rho string math, accuracy bands, merge-by-max property."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reading_the_unreadable_spark.operators.sketches import (
+    _rho,
+    approx_distinct,
+    hll_registers,
+)
+
+
+def test_rho_nibble_table(spark):
+    cases = {
+        "8000000000000000": 1,   # high bit set
+        "4000000000000000": 2,
+        "2000000000000000": 3,
+        "1000000000000000": 4,
+        "0800000000000000": 5,
+        "00f0000000000000": 9,   # two zero nibbles, then f
+        "0000000000000001": 64,  # only the lowest bit
+        "0000000000000000": 65,  # all-zero tail
+    }
+    df = spark.createDataFrame([(s,) for s in cases], "h string")
+    got = {
+        r["h"]: r["rho"]
+        for r in df.select("h", _rho(F.col("h"), 64).alias("rho")).collect()
+    }
+    assert got == cases
+
+
+def test_accuracy_standard_and_small_range(spark):
+    rows = [("big", f"val{i}") for i in range(5000)] + [
+        ("small", f"v{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        r["g"]: r
+        for r in approx_distinct(df, "v", ["g"], p=6, with_exact=True).collect()
+    }
+    assert got["big"]["n_exact"] == 5000
+    # HLL standard error at m=64 is ~13%; 35% is a generous determinism-
+    # safe band (the estimate is a FIXED number for this fixed input)
+    assert got["big"]["rel_err"] < 0.35
+    # linear counting regime: near-exact for tiny cardinalities
+    assert abs(got["small"]["hll_estimate"] - 10) <= 2
+
+
+def test_registers_merge_by_max(spark):
+    a = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(300)], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"b{i}") for i in range(300)] + [("g", "a5")],
+        "g string, v string",
+    )
+    both = hll_registers(a.union(b), "v", ["g"])
+    merged = (
+        hll_registers(a, "v", ["g"])
+        .union(hll_registers(b, "v", ["g"]))
+        .groupBy("g", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    assert {
+        (r["bucket"], r["r"]) for r in both.collect()
+    } == {(r["bucket"], r["r"]) for r in merged.collect()}
+
+
+def test_p_bounds(spark):
+    df = spark.createDataFrame([("g", "x")], "g string, v string")
+    with pytest.raises(ValueError, match="p="):
+        hll_registers(df, "v", ["g"], p=3)
