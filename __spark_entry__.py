@@ -414,6 +414,32 @@ def q_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.9)
 
 
+def q_cms_heavy_hitters(spark, sf):
+    """Count-min sketch heavy hitters: a 4×256 integer sketch over all
+    token occurrences, point-queried at the 20 most frequent tokens
+    (deterministic tiebreak).  Integer arithmetic end to end — the
+    DuckDB replica is EXACT, and the overcount column shows the CMS
+    upper-bound guarantee live."""
+    from reading_the_unreadable_spark.operators.sketches import (
+        cms_counts,
+        cms_estimate,
+    )
+
+    toks = _t(spark, sf, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    cms = cms_counts(toks, "w")
+    exact = toks.groupBy("w").agg(F.count("*").alias("exact_count"))
+    probes = exact.orderBy(F.col("exact_count").desc(), "w").limit(20)
+    est = cms_estimate(cms, probes.select("w"), "w")
+    return probes.join(est, "w").select(
+        "w",
+        "exact_count",
+        "cms_count",
+        (F.col("cms_count") - F.col("exact_count")).alias("overcount"),
+    )
+
+
 def q_hll_distinct(spark, sf):
     """Engine-portable HyperLogLog: distinct tokens per language
     estimated from 64 registers whose values are pure string functions
@@ -1786,7 +1812,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                behind (green r04, pytest-replicated).
     #                hll_distinct (engine-portable HLL sketch, new
     #                operator) joins the window; cer_eval shifts behind
-    #                (green r04, pytest-replicated).
+    #                (green r04, pytest-replicated).  cms_heavy_hitters
+    #                (count-min sketch, new operator) joins the window;
+    #                merge_overlap shifts behind (green r04,
+    #                pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -1818,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "anchor_texts": q_anchor_texts,
         "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2326,6 +2356,33 @@ def oracle_sql() -> dict[str, str]:
                    strlen(body) AS content_len,
                    md5(body) AS payload_md5
             FROM base
+        """,
+        # CMS: integer cells keyed by seeded md5 — exact replica, and the
+        # min-over-depth query shows the upper-bound guarantee
+        "cms_heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+            seeds AS (SELECT unnest(generate_series(0, 3)) AS d),
+            cells AS (
+              SELECT d, ('0x' || substr(md5(d || '|' || w), 1, 8))::BIGINT
+                        % 256 AS col
+              FROM toks, seeds),
+            cms AS (SELECT d, col, count(*) AS c FROM cells GROUP BY 1, 2),
+            exact AS (SELECT w, count(*) AS exact_count FROM toks GROUP BY 1),
+            probes AS (
+              SELECT w, exact_count FROM exact
+              ORDER BY exact_count DESC, w LIMIT 20),
+            pc AS (
+              SELECT p.w, s.d,
+                     ('0x' || substr(md5(s.d || '|' || p.w), 1, 8))::BIGINT
+                       % 256 AS col
+              FROM probes p, seeds s),
+            est AS (
+              SELECT pc.w, min(coalesce(cms.c, 0)) AS cms_count
+              FROM pc LEFT JOIN cms USING (d, col) GROUP BY 1)
+            SELECT p.w, p.exact_count, e.cms_count,
+                   e.cms_count - p.exact_count AS overcount
+            FROM probes p JOIN est e USING (w)
         """,
         # hll: registers are pure string functions of md5 hex; the 2^-rho
         # sum is exact dyadic arithmetic, so the estimate itself matches

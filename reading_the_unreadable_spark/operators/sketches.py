@@ -124,3 +124,180 @@ def approx_distinct(
             ).alias("rel_err"),
         )
     return out
+
+
+def cms_counts(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch table (Cormode & Muthukrishnan 2005): ``depth``
+    md5-seeded hash rows × ``width`` columns of exact integer counts —
+    (d, col, c).  One shuffle of at most depth·width rows (map-side
+    partial sums collapse the Zipf head); integer arithmetic end to
+    end, so a DuckDB replica is EXACT, not approximately equal.
+
+    The table IS the sketch: merge = cell-wise sum, point query = min
+    over the value's depth cells (:func:`cms_estimate`)."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"bad CMS geometry depth={depth} width={width}")
+    rows = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda d: F.struct(
+                d.alias("d"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    d.cast("string"),
+                                    F.lit("|"),
+                                    F.col(value_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).cast("int").alias("col"),
+            ),
+        )
+    )
+    return (
+        df.select(rows.alias("cell"))
+        .select("cell.d", "cell.col")
+        .groupBy("d", "col")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, probes: DataFrame, value_col: str,
+    depth: int = 4, width: int = 256,
+) -> DataFrame:
+    """Point queries against a CMS table: each probe value hashes to
+    one cell per row; the estimate is the min — an upper bound on the
+    true count (classic CMS guarantee).  Probes are a small frame; the
+    join broadcasts them against the ≤ depth·width-row sketch."""
+    probe_cells = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda d: F.struct(
+                    d.alias("d"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        d.cast("string"),
+                                        F.lit("|"),
+                                        F.col(value_col).cast("string"),
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % width
+                    ).cast("int").alias("col"),
+                ),
+            )
+        ).alias("cell"),
+    ).select(value_col, "cell.d", "cell.col")
+    return (
+        probe_cells.join(cms, ["d", "col"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_count"))
+    )
+
+
+def bloom_bits(
+    df: DataFrame, value_col: str, k: int = 5, m_bits: int = 4096
+) -> DataFrame:
+    """Bloom filter bit set as a table of distinct set-bit positions —
+    (bit).  ``k`` md5-seeded hashes per value; one distinct-shuffle of
+    at most ``m_bits`` rows.  Integer positions only → exact DuckDB
+    parity.  Membership = all k positions present
+    (:func:`bloom_contains`): no false negatives, false positives at
+    the standard (1 - e^{-kn/m})^k rate."""
+    if k < 1 or m_bits < 8:
+        raise ValueError(f"bad bloom geometry k={k} m_bits={m_bits}")
+    bits = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                i.cast("string"),
+                                F.lit("#"),
+                                F.col(value_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            ).cast("int"),
+        )
+    )
+    return df.select(bits.alias("bit")).distinct()
+
+
+def bloom_contains(
+    bits: DataFrame, probes: DataFrame, value_col: str,
+    k: int = 5, m_bits: int = 4096,
+) -> DataFrame:
+    """Membership verdict per probe: present ⟺ all k bit positions are
+    set.  The bit table is ≤ m_bits rows — broadcast it; probes never
+    shuffle."""
+    probe_bits = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    i.cast("string"),
+                                    F.lit("#"),
+                                    F.col(value_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m_bits
+                ).cast("int"),
+            )
+        ).alias("bit"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    hit = broadcast(bits.withColumn("present", F.lit(1)))
+    return (
+        probe_bits.join(hit, "bit", "left")
+        .groupBy(value_col)
+        .agg(
+            (F.count("*") == F.sum(F.coalesce(F.col("present"), F.lit(0))))
+            .alias("maybe_present")
+        )
+    )

@@ -72,3 +72,60 @@ def test_p_bounds(spark):
     df = spark.createDataFrame([("g", "x")], "g string, v string")
     with pytest.raises(ValueError, match="p="):
         hll_registers(df, "v", ["g"], p=3)
+
+
+def test_cms_upper_bound_and_exactness_at_low_load(spark):
+    from reading_the_unreadable_spark.operators.sketches import (
+        cms_counts,
+        cms_estimate,
+    )
+
+    rows = [("hot",)] * 50 + [(f"cold{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "v string")
+    cms = cms_counts(df, "v")
+    probes = spark.createDataFrame(
+        [("hot",), ("cold3",), ("absent",)], "v string"
+    )
+    got = {r["v"]: r["cms_count"] for r in cms_estimate(cms, probes, "v").collect()}
+    # CMS never under-counts
+    assert got["hot"] >= 50 and got["cold3"] >= 1 and got["absent"] >= 0
+    # 31 distinct values in 4x256 cells: collisions vanishingly unlikely
+    assert got["hot"] == 50 and got["cold3"] == 1 and got["absent"] == 0
+    # sketch table is bounded by its geometry
+    assert cms.count() <= 4 * 256
+
+
+def test_bloom_no_false_negatives(spark):
+    from reading_the_unreadable_spark.operators.sketches import (
+        bloom_bits,
+        bloom_contains,
+    )
+
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(200)], "v string"
+    )
+    bits = bloom_bits(members, "v")
+    assert bits.count() <= 4096
+    probes = spark.createDataFrame(
+        [(f"m{i}",) for i in range(200)] + [(f"x{i}",) for i in range(50)],
+        "v string",
+    )
+    got = {r["v"]: r["maybe_present"] for r in bloom_contains(bits, probes, "v").collect()}
+    assert all(got[f"m{i}"] for i in range(200))  # no false negatives
+    fp = sum(1 for i in range(50) if got[f"x{i}"])
+    # k=5, n=200, m=4096 → fp rate ~1e-5; a deterministic input set
+    # cannot plausibly hit even one
+    assert fp == 0
+
+
+def test_sketch_geometry_bounds(spark):
+    from reading_the_unreadable_spark.operators.sketches import (
+        bloom_bits,
+        cms_counts,
+    )
+
+    df = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(ValueError, match="CMS"):
+        cms_counts(df, "v", depth=0)
+    with pytest.raises(ValueError, match="bloom"):
+        bloom_bits(df, "v", k=0)
