@@ -445,3 +445,20 @@ def test_warc_pipeline_is_shuffle_free(spark):
     plan = _plan(df)
     assert len(re.findall(r"Exchange (hash|round|range)", plan)) == 0, plan[:2000]
     assert plan.count("MapInPandas") == 2, plan[:2000]
+
+
+def test_dsir_ratio_join_is_broadcast(spark):
+    """The 64-row bucket→log-ratio table must broadcast back onto the
+    (doc, bucket) counts — shuffling the corpus side against a
+    config-sized dim is the classic scale mistake."""
+    from reading_the_unreadable_spark.operators.quality import dsir_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dsir_weights(docs))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    # the gram array is exploded with the outer variant so the
+    # InferFiltersFromGenerate substitution (SURVEY §30) cannot push a
+    # recomputed md5 chain below the exchange
+    gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen and all("explode_outer" in ln or "true" in ln for ln in gen), gen

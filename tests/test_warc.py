@@ -120,3 +120,42 @@ def test_warc_from_documents_round_trips(spark):
     resp = by_uri["http://example.org/doc/3"]
     assert resp["record_type"] == "response" and resp["http_status"] == 200
     assert b"<p>text of doc 3</p>" in bytes(resp["payload"])
+
+
+# ----------------------------------------------------------- property fuzz
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PAYLOAD = st.binary(min_size=0, max_size=300)
+_TYPES = st.sampled_from(["response", "conversion", "resource", "metadata"])
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(_TYPES, _PAYLOAD), min_size=1, max_size=5),
+       st.booleans())
+def test_arbitrary_payloads_round_trip(recs, gz):
+    """Any byte payload — including ones containing CRLF CRLF, WARC/
+    magic, or gzip magic — survives the container round trip exactly."""
+    blob = build_warc(
+        [build_warc_record(t, p) for t, p in recs], gzip_members=gz
+    )
+    got = parse_warc(blob)
+    assert [(r["record_type"], r["payload"]) for r in got] == recs
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(_TYPES, _PAYLOAD), min_size=1, max_size=3),
+       st.booleans(), st.data())
+def test_truncation_never_returns_wrong_records(recs, gz, data):
+    """Cutting a WARC anywhere either raises ValueError or yields a
+    strict prefix of the true record list — never corrupt records."""
+    blob = build_warc(
+        [build_warc_record(t, p) for t, p in recs], gzip_members=gz
+    )
+    cut = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+    want = [(r["record_type"], r["payload"]) for r in parse_warc(blob)]
+    try:
+        got = [(r["record_type"], r["payload"]) for r in parse_warc(blob[:cut])]
+    except ValueError:
+        return
+    assert got == want[: len(got)]
