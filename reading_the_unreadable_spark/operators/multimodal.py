@@ -224,8 +224,10 @@ def _adam7_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
 def _decode_png(payload: bytes) -> np.ndarray:
     """Pure-stdlib PNG decode (zlib inflate + numpy unfilter): 8-bit
     gray / gray+alpha / RGB / RGBA / palette, non-interlaced or Adam7
-    interlaced — the web/page formats — plus 16-bit non-interlaced
-    (high byte = the 8-bit rescale).  Sub-byte depths raise loudly."""
+    interlaced — the web/page formats — plus 16-bit in BOTH layouts
+    (high byte = the 8-bit rescale; interlaced passes unfilter at the
+    doubled byte stride).  Sub-byte interlaced raises loudly; 16-bit
+    palette is spec-invalid and raises ValueError."""
     import zlib
 
     ihdr = None
@@ -250,10 +252,9 @@ def _decode_png(payload: bytes) -> np.ndarray:
             f"PNG depth={depth} color_type={color_type} interlace={interlace}: "
             "only 1/2/4/8/16-bit gray/GA/RGB/RGBA/palette supported"
         )
-    if depth == 16 and (interlace == 1 or color_type == 3):
-        raise NotImplementedError(
-            "16-bit PNG decodes non-interlaced, non-palette only"
-        )
+    if depth == 16 and color_type == 3:
+        # spec-invalid combination (PNG §11.2.2): palette is 8-bit max
+        raise ValueError("16-bit palette PNG is not a legal combination")
     if depth < 8 and (interlace == 1 or color_type not in (0, 3)):
         raise NotImplementedError(
             "sub-byte PNG decodes non-interlaced gray/palette only"
@@ -289,20 +290,22 @@ def _decode_png(payload: bytes) -> np.ndarray:
         if len(raw) != h * (w * bch + 1):
             raise ValueError("PNG IDAT size mismatch")
         arr = _png_unfilter(raw, h, w, bch)
-        if depth == 16:
-            arr = arr[:, :, 0::2].copy()  # MSB = the 65535→255 rescale
     else:  # Adam7: 7 independently-filtered reduced images, scattered
-        arr = np.zeros((h, w, ch), dtype=np.uint8)
+        # filter distance is bch BYTES per pixel, so 16-bit passes
+        # unfilter at the doubled stride like the sequential path
+        arr = np.zeros((h, w, bch), dtype=np.uint8)
         off = 0
         for x0, y0, xs, ys, pw, ph in _adam7_dims(w, h):
-            span = ph * (pw * ch + 1)
+            span = ph * (pw * bch + 1)
             if off + span > len(raw):
                 raise ValueError("PNG IDAT size mismatch (interlaced)")
-            sub = _png_unfilter(raw[off : off + span], ph, pw, ch)
+            sub = _png_unfilter(raw[off : off + span], ph, pw, bch)
             arr[y0::ys, x0::xs] = sub
             off += span
         if off != len(raw):
             raise ValueError("PNG IDAT size mismatch (interlaced tail)")
+    if depth == 16:
+        arr = arr[:, :, 0::2].copy()  # MSB = the 65535→255 rescale
     if color_type == 0:
         return np.repeat(arr, 3, axis=2)
     if color_type == 3:

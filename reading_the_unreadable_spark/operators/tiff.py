@@ -12,9 +12,10 @@ Compression = none (1), CCITT RLE / Modified Huffman (2), CCITT Group
 LZW (5, incl. the spec's early-change convention and
 horizontal-differencing predictor), and PackBits (32773) — in BOTH
 the strip-based and the tiled layout (spec §15; large-plate scans are
-routinely tiled), plus 16-bit grayscale strips and
-PlanarConfiguration=2 separate-plane strips.  Depths/layouts beyond
-those (planar tiles, 16-bit color, sub-byte gray) raise
+routinely tiled), plus 16-bit grayscale in BOTH layouts (tile-local
+predictor-2 over 16-bit samples included) and PlanarConfiguration=2
+separate-plane strips.  Depths/layouts beyond those (planar tiles,
+16-bit color, sub-byte gray) raise
 ``NotImplementedError`` loudly; truncation and malformed structures
 raise ``ValueError`` (the quarantining-caller contract shared by every
 codec here).
@@ -135,9 +136,7 @@ def _decode_tiff_impl(payload: bytes) -> np.ndarray:
             )
         grid = _decode_strips_planar(payload, tags, w, h, spp, comp)
     elif _T_TILE_WIDTH in tags:
-        if bits == 16:
-            raise NotImplementedError("16-bit tiled TIFF")
-        grid = _decode_tiles(payload, tags, w, h, spp, bits, comp)
+        grid = _decode_tiles(payload, tags, w, h, spp, bits, comp, bo)
     else:
         grid = _decode_strips(payload, tags, w, h, spp, bits, comp)
 
@@ -324,14 +323,23 @@ def _decode_strips_planar(
 
 
 def _decode_tiles(
-    payload: bytes, tags: dict, w: int, h: int, spp: int, bits: int, comp: int
+    payload: bytes,
+    tags: dict,
+    w: int,
+    h: int,
+    spp: int,
+    bits: int,
+    comp: int,
+    bo: str = "<",
 ) -> np.ndarray:
     """Tiled layout (TIFF 6.0 §15) → (h, row_bytes) uint8 grid, same
     shape the strip path yields.  Every tile decompresses to a full
     TileWidth×TileLength block (edge tiles are padded in the file);
     the canvas is assembled in pixel space, cropped, and repacked.
-    Predictor-2 applies WITHIN each tile, so it is handled here and
-    the tag neutralized for the caller."""
+    Predictor-2 applies WITHIN each tile — and for 16-bit samples the
+    differencing is per 16-bit SAMPLE in file byte order, resetting at
+    every tile row — so both are handled here and the tag neutralized
+    for the caller."""
     tw = tags[_T_TILE_WIDTH][0]
     tl = tags[_T_TILE_LENGTH][0]
     if not (0 < tw <= 1 << 16 and 0 < tl <= 1 << 16) or tw * tl > 1 << 26:
@@ -349,8 +357,12 @@ def _decode_tiles(
     tile_row_bytes = (tw * spp * bits + 7) // 8
     expected = tl * tile_row_bytes
     pred = tags.get(_T_PREDICTOR, [1])[0] == 2
+    if bits == 16 and spp != 1:
+        raise NotImplementedError("16-bit tiled TIFF decodes grayscale only")
     if bits == 1:
         canvas = np.zeros((down * tl, across * tw), np.uint8)
+    elif bits == 16:
+        canvas = np.zeros((down * tl, across * tw), np.dtype(bo + "u2"))
     else:
         canvas = np.zeros((down * tl, across * tw, spp), np.uint8)
     for ti, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -368,6 +380,15 @@ def _decode_tiles(
             canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = (
                 np.unpackbits(block, axis=1)[:, :tw]
             )
+        elif bits == 16:
+            px16 = np.frombuffer(raw, np.dtype(bo + "u2"), tl * tw).reshape(
+                tl, tw
+            )
+            if pred:
+                px16 = (
+                    np.cumsum(px16.astype(np.int64), axis=1) % 65536
+                ).astype(np.dtype(bo + "u2"))
+            canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = px16
         else:
             px = block.reshape(tl, tw, spp)
             if pred:
@@ -377,6 +398,9 @@ def _decode_tiles(
         tags[_T_PREDICTOR] = [1]  # already applied per tile
     if bits == 1:
         return np.packbits(canvas[:h, :w], axis=1)
+    if bits == 16:
+        crop = np.ascontiguousarray(canvas[:h, :w])
+        return np.frombuffer(crop.tobytes(), np.uint8).reshape(h, 2 * w)
     return canvas[:h, :w].reshape(h, -1)
 
 
@@ -561,9 +585,13 @@ def _encode_tiff_tiled(
     arrays after the IFD."""
     bilevel = arr.dtype == bool
     gray = arr.ndim == 2 and not bilevel
+    if arr.dtype == np.uint16:
+        if not gray:
+            raise ValueError("16-bit TIFF write is grayscale only")
+        arr = arr.astype("<u2")  # match the little-endian header
     h, w = arr.shape[:2]
     spp = 1 if (gray or bilevel) else 3
-    bits = 1 if bilevel else 8
+    bits = 1 if bilevel else (16 if arr.dtype == np.dtype("<u2") else 8)
     across, down = -(-w // tw), -(-h // tl)
     tiles: list[bytes] = []
     for ty in range(down):
@@ -649,9 +677,13 @@ def encode_tiff(
         return _encode_tiff_tiled(arr, compression, *tile)
     bilevel = arr.dtype == bool
     gray = arr.ndim == 2 and not bilevel
+    if arr.dtype == np.uint16:
+        if not gray:
+            raise ValueError("16-bit TIFF write is grayscale only")
+        arr = arr.astype("<u2")  # match the little-endian header
     h, w = arr.shape[:2]
     spp = 1 if (gray or bilevel) else 3
-    bits = 1 if bilevel else 8
+    bits = 1 if bilevel else (16 if arr.dtype == np.dtype("<u2") else 8)
     rps = rows_per_strip or h
     if bilevel:
         raw_rows = [

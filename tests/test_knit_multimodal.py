@@ -1627,3 +1627,70 @@ def test_png_sub_byte_depths():
     # sub-byte RGB is invalid per spec and stays loud
     with pytest.raises(NotImplementedError):
         _decode_png(png(4, 2, idx.tolist()))
+
+
+def test_png_16bit_interlaced():
+    """Adam7 + 16-bit samples: each reduced image unfilters at the
+    doubled byte stride, scatter reassembles, MSB rescale last —
+    closing the 'interlaced 16-bit PNG' boundary.  Gray and RGB, filter
+    0 and filter 1 (sub at the 2-byte distance) per pass."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.multimodal import (
+        _adam7_dims,
+        decode_image,
+    )
+
+    def png16i(arr16, filt):
+        hh, ww = arr16.shape[:2]
+        ct = 0 if arr16.ndim == 2 else 2
+        bch = (1 if ct == 0 else 3) * 2
+        ihdr = struct.pack(">IIBBBBB", ww, hh, 16, ct, 0, 0, 1)
+        lines = []
+        for x0, y0, xs, ys, pw, ph in _adam7_dims(ww, hh):
+            sub = arr16[y0::ys, x0::xs]
+            for y in range(ph):
+                rb = np.frombuffer(sub[y].astype(">u2").tobytes(), np.uint8)
+                if filt == 0:
+                    lines.append(b"\x00" + rb.tobytes())
+                else:  # sub at the byte-per-pixel distance
+                    enc = rb.astype(np.int32).copy()
+                    enc[bch:] -= rb.astype(np.int32)[:-bch]
+                    lines.append(
+                        b"\x01" + (enc % 256).astype(np.uint8).tobytes()
+                    )
+        raw = b"".join(lines)
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d))
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.Generator(np.random.PCG64(67))
+    pg = rng.integers(0, 65536, (11, 9)).astype(np.uint16)
+    pc = rng.integers(0, 65536, (7, 6, 3)).astype(np.uint16)
+    for filt in (0, 1):
+        assert np.array_equal(
+            decode_image(png16i(pg, filt))[:, :, 0],
+            (pg >> 8).astype(np.uint8),
+        ), filt
+        assert np.array_equal(
+            decode_image(png16i(pc, filt)), (pc >> 8).astype(np.uint8)
+        ), filt
+    # 16-bit palette stays invalid per spec
+    bad = bytearray(png16i(pg, 0))
+    # patch color type to 3 (palette) in IHDR
+    bad[8 + 8 + 9] = 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image(bytes(bad))

@@ -435,3 +435,66 @@ def test_tiff_4bit_gray_and_palette():
     cmap = list((pal8[:, 0] * 257)) + list(pal8[:, 1] * 257) + list(pal8[:, 2] * 257)
     gotp = decode_tiff(build(raw, 1, 3, cmap=[int(x) for x in cmap]))
     assert np.array_equal(gotp, pal8.astype(np.uint8)[v])
+
+
+def test_tiff_16bit_tiled():
+    """16-bit grayscale TILED layout: byte-identical decode vs the
+    strip layout of the same raster across compressions and tile
+    geometries (incl. edge tiles), and tile-local predictor-2 over
+    16-bit samples via a hand-built two-tile fixture."""
+    from reading_the_unreadable_spark.operators.tiff import _tiff_lzw_encode
+
+    rng = np.random.Generator(np.random.PCG64(59))
+    img16 = rng.integers(0, 65536, (37, 53)).astype(np.uint16)
+    want = decode_tiff(encode_tiff(img16))  # strip path, already pinned
+    # the 8-bit feature-space rescale is the documented contract
+    assert np.array_equal(want[:, :, 0], np.round(img16 / 257.0).astype(np.uint8))
+    for t in ((16, 16), (32, 16), (53, 37)):
+        for c in ("none", "packbits", "lzw"):
+            got = decode_tiff(encode_tiff(img16, c, tile=t))
+            assert np.array_equal(got, want), (t, c)
+    # truncation stays loud
+    enc = encode_tiff(img16, "lzw", tile=(16, 16))
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_tiff(enc[: len(enc) - 40])
+
+    # tile-local predictor-2 over 16-bit samples (mod 65536), hand-built
+    img2 = rng.integers(0, 65536, (8, 32)).astype(np.uint16)
+    tiles = []
+    for tx in range(2):
+        block = img2[:, tx * 16 : (tx + 1) * 16].astype(np.int64)
+        diff = block.copy()
+        diff[:, 1:] -= block[:, :-1]
+        tiles.append(
+            _tiff_lzw_encode((diff % 65536).astype("<u2").tobytes())
+        )
+    tags = [
+        (256, 4, 1, 32), (257, 4, 1, 8), (258, 3, 1, 16), (259, 3, 1, 5),
+        (262, 3, 1, 1), (277, 3, 1, 1), (284, 3, 1, 1), (317, 3, 1, 2),
+        (322, 4, 1, 16), (323, 4, 1, 8), (324, 4, 2, 0), (325, 4, 2, 0),
+    ]
+    data_off = 8 + 2 + len(tags) * 12 + 4
+    offs = [data_off + 16, data_off + 16 + len(tiles[0])]
+    ifd = struct.pack("<H", len(tags))
+    for tid, typ, cnt, val in tags:
+        if tid == 324:
+            val = data_off
+        elif tid == 325:
+            val = data_off + 8
+        ifd += struct.pack("<HHII", tid, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    arrays = struct.pack("<2I", *offs) + struct.pack(
+        "<2I", len(tiles[0]), len(tiles[1])
+    )
+    payload = (
+        struct.pack("<2sHI", b"II", 42, 8) + ifd + arrays
+        + tiles[0] + tiles[1]
+    )
+    got = decode_tiff(payload)
+    assert np.array_equal(
+        got[:, :, 0], np.round(img2 / 257.0).astype(np.uint8)
+    )
+    # 16-bit COLOR tiles stay a loud boundary
+    rgb16 = rng.integers(0, 65536, (8, 8, 3)).astype(np.uint16)
+    with pytest.raises(ValueError, match="grayscale"):
+        encode_tiff(rgb16, tile=(8, 8))
