@@ -235,10 +235,14 @@ def _decode_png(payload: bytes) -> np.ndarray:
     plte = None
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"PNG IHDR is {len(data)} bytes, not 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             parts.append(data)
         elif ctype == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
     if ihdr is None or not parts:
         raise ValueError("PNG missing IHDR/IDAT")
@@ -252,29 +256,53 @@ def _decode_png(payload: bytes) -> np.ndarray:
             f"PNG depth={depth} color_type={color_type} interlace={interlace}: "
             "only 1/2/4/8/16-bit gray/GA/RGB/RGBA/palette supported"
         )
+    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20) or w * h > 1 << 28:
+        # corrupt headers claiming absurd rasters must not allocate
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
     if depth == 16 and color_type == 3:
         # spec-invalid combination (PNG §11.2.2): palette is 8-bit max
         raise ValueError("16-bit palette PNG is not a legal combination")
-    if depth < 8 and (interlace == 1 or color_type not in (0, 3)):
-        raise NotImplementedError(
-            "sub-byte PNG decodes non-interlaced gray/palette only"
-        )
+    if depth < 8 and color_type not in (0, 3):
+        raise NotImplementedError("sub-byte PNG decodes gray/palette only")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
     if depth < 8:
         # bit-packed scanlines (MSB-first pixels); the byte-wise
-        # filters run at distance 1 on the PACKED bytes per the spec
-        row_bytes = (w * depth + 7) // 8
-        raw = zlib.decompress(b"".join(parts))
-        if len(raw) != h * (row_bytes + 1):
-            raise ValueError("PNG IDAT size mismatch")
-        packed = _png_unfilter(raw, h, row_bytes, 1).reshape(h, row_bytes)
-        bits = np.unpackbits(packed, axis=1)
-        vals = np.zeros((h, (row_bytes * 8) // depth), np.uint8)
-        for b in range(depth):
-            vals = (vals << 1) | bits[:, b::depth]
-        v = vals[:, :w]
+        # filters run at distance 1 on the PACKED bytes per the spec —
+        # per Adam7 pass when interlaced, each reduced image packed and
+        # filtered independently
+        try:
+            raw = zlib.decompress(b"".join(parts))
+        except zlib.error as e:  # quarantine contract: only ValueError
+            raise ValueError(f"corrupt PNG IDAT: {e}") from e
+
+        def _unpack_pass(chunk: bytes, ph_: int, pw_: int) -> np.ndarray:
+            prb = (pw_ * depth + 7) // 8
+            packed = _png_unfilter(chunk, ph_, prb, 1).reshape(ph_, prb)
+            pbits = np.unpackbits(packed, axis=1)
+            pv = np.zeros((ph_, (prb * 8) // depth), np.uint8)
+            for b in range(depth):
+                pv = (pv << 1) | pbits[:, b::depth]
+            return pv[:, :pw_]
+
+        if interlace == 0:
+            row_bytes = (w * depth + 7) // 8
+            if len(raw) != h * (row_bytes + 1):
+                raise ValueError("PNG IDAT size mismatch")
+            v = _unpack_pass(raw, h, w)
+        else:
+            v = np.zeros((h, w), np.uint8)
+            off = 0
+            for x0, y0, xs, ys, pw, ph in _adam7_dims(w, h):
+                prb = (pw * depth + 7) // 8
+                span = ph * (prb + 1)
+                if off + span > len(raw):
+                    raise ValueError("PNG IDAT size mismatch (interlaced)")
+                v[y0::ys, x0::xs] = _unpack_pass(raw[off : off + span], ph, pw)
+                off += span
+            if off != len(raw):
+                raise ValueError("PNG IDAT size mismatch (interlaced tail)")
         if color_type == 3:
             if int(v.max()) >= len(plte):
                 raise ValueError("PNG palette index out of range")
@@ -285,7 +313,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
     # the 8-bit unfilter generalizes to 16-bit by doubling the channel
     # count and taking each big-endian sample's high byte afterwards
     bch = ch * (depth // 8)
-    raw = zlib.decompress(b"".join(parts))
+    try:
+        raw = zlib.decompress(b"".join(parts))
+    except zlib.error as e:  # quarantine contract: only ValueError
+        raise ValueError(f"corrupt PNG IDAT: {e}") from e
     if interlace == 0:
         if len(raw) != h * (w * bch + 1):
             raise ValueError("PNG IDAT size mismatch")

@@ -536,7 +536,10 @@ def _expand_object_streams(objs: dict[int, bytes]) -> dict[int, bytes]:
         if b"/Filter" in head:
             if b"/FlateDecode" not in head:
                 raise NotImplementedError("ObjStm filter beyond FlateDecode")
-            data = zlib.decompress(data)
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:  # corrupt Flate data must stay ValueError
+                raise ValueError(f"corrupt ObjStm Flate stream: {e}") from e
         first = int(f_m.group(1))
         nums = [int(x) for x in data[:first].split()]
         pairs = list(zip(nums[0::2], nums[1::2]))[: int(n_m.group(1))]
@@ -820,7 +823,10 @@ def decode_pdf(payload: bytes) -> list[list[tuple[float, float, str]]]:
                 raise NotImplementedError(
                     f"unsupported stream filter in obj {int(ref.group(1))}"
                 )
-            data = zlib.decompress(data)
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:  # corrupt Flate data must stay ValueError
+                raise ValueError(f"corrupt content Flate stream: {e}") from e
         pages.append(parse_content_text(data))
     return pages
 

@@ -118,8 +118,8 @@ def _decode_tiff_impl(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"{bits}-bit samples")
     if bits == 1 and spp != 1:
         raise NotImplementedError("multi-sample bilevel")
-    if bits == 16 and spp != 1:
-        raise NotImplementedError("16-bit TIFF decodes grayscale only")
+    if bits == 16 and spp not in (1, 3):
+        raise NotImplementedError(f"16-bit TIFF with {spp} samples")
     if bits == 4 and (
         spp != 1 or _T_TILE_WIDTH in tags or tags.get(_T_PREDICTOR, [1])[0] == 2
     ):
@@ -142,16 +142,23 @@ def _decode_tiff_impl(payload: bytes) -> np.ndarray:
 
     if bits == 16:
         # archival/microscopy masters: decode honestly at 16 bit, then
-        # rescale to the pipeline's 8-bit feature space (65535 → 255)
-        g16 = np.frombuffer(grid.tobytes(), dtype=bo + "u2").reshape(h, w)
+        # rescale to the pipeline's 8-bit feature space (65535 → 255);
+        # predictor-2 differencing runs per SAMPLE CHANNEL (spec §14:
+        # "each component of each pixel")
+        g16 = np.frombuffer(grid.tobytes(), dtype=bo + "u2").reshape(
+            h, w, spp
+        )
         if tags.get(_T_PREDICTOR, [1])[0] == 2:
             g16 = (np.cumsum(g16.astype(np.int64), axis=1) % 65536).astype(
                 np.uint16
             )
         g8 = np.round(g16 / 257.0).astype(np.uint8)
-        if photo == 0:
-            g8 = 255 - g8
-        return np.stack([g8, g8, g8], axis=-1)
+        if spp == 1:
+            g8 = g8[:, :, 0]
+            if photo == 0:
+                g8 = 255 - g8
+            return np.stack([g8, g8, g8], axis=-1)
+        return g8
 
     if bits == 4:
         # old-scan 16-level layouts: two samples per byte, high nibble
@@ -678,8 +685,6 @@ def encode_tiff(
     bilevel = arr.dtype == bool
     gray = arr.ndim == 2 and not bilevel
     if arr.dtype == np.uint16:
-        if not gray:
-            raise ValueError("16-bit TIFF write is grayscale only")
         arr = arr.astype("<u2")  # match the little-endian header
     h, w = arr.shape[:2]
     spp = 1 if (gray or bilevel) else 3

@@ -1694,3 +1694,87 @@ def test_png_16bit_interlaced():
 
     with _pytest.raises(ValueError):
         decode_image(bytes(bad))
+
+
+def test_png_sub_byte_interlaced():
+    """Adam7 + 1/2/4-bit packing: each reduced image packs and filters
+    its own scanlines — closing the 'sub-byte interlaced PNG'
+    boundary.  Gray ramps and palette, filter 0 per pass."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark.operators.multimodal import (
+        _adam7_dims,
+        decode_image,
+    )
+
+    def pack_rows(vals, depth):
+        hh, ww = vals.shape
+        per = 8 // depth
+        padded_w = -(-ww // per) * per
+        padded = np.zeros((hh, padded_w), np.uint8)
+        padded[:, :ww] = vals
+        bits = np.zeros((hh, padded_w * depth), np.uint8)
+        for b in range(depth):
+            bits[:, b::depth] = (padded >> (depth - 1 - b)) & 1
+        return np.packbits(bits, axis=1)
+
+    def png_sub_i(vals, depth, palette=None):
+        hh, ww = vals.shape
+        ct = 3 if palette is not None else 0
+        ihdr = struct.pack(">IIBBBBB", ww, hh, depth, ct, 0, 0, 1)
+        lines = []
+        for x0, y0, xs, ys, pw, ph in _adam7_dims(ww, hh):
+            sub = vals[y0::ys, x0::xs]
+            packed = pack_rows(sub, depth)
+            for y in range(ph):
+                lines.append(b"\x00" + packed[y].tobytes())
+        raw = b"".join(lines)
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d))
+            )
+
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if palette is not None:
+            out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    rng = np.random.Generator(np.random.PCG64(73))
+    for depth in (1, 2, 4):
+        lv = (1 << depth) - 1
+        vals = rng.integers(0, lv + 1, (11, 9)).astype(np.uint8)
+        got = decode_image(png_sub_i(vals, depth))
+        want = (vals * (255 // lv)).astype(np.uint8)
+        assert np.array_equal(got[:, :, 0], want), depth
+        # palette variant
+        pal = rng.integers(0, 256, (lv + 1, 3)).astype(np.uint8)
+        gotp = decode_image(png_sub_i(vals, depth, palette=pal))
+        assert np.array_equal(gotp, pal[vals]), depth
+    # corrupt (truncated) zlib stream inside IDAT raises ValueError —
+    # the quarantine contract, not a raw zlib.error
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    vals = rng.integers(0, 2, (9, 9)).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 9, 9, 1, 0, 0, 0, 1)
+    lines = []
+    for x0, y0, xs, ys, pw, ph in _adam7_dims(9, 9):
+        packed = pack_rows(vals[y0::ys, x0::xs], 1)
+        for y in range(ph):
+            lines.append(b"\x00" + packed[y].tobytes())
+    bad_idat = zlib.compress(b"".join(lines))[:-5]
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bad_idat) + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="IDAT"):
+        decode_image(blob)

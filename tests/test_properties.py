@@ -225,6 +225,7 @@ def test_archive_codec_fuzz_contract(seed, cut, flip_val, flip_pos):
     from reading_the_unreadable_spark.operators.multimodal import (
         decode_image,
         encode_gif,
+        encode_png,
     )
     from reading_the_unreadable_spark.operators.jpeg import (
         encode_jpeg,
@@ -238,6 +239,8 @@ def test_archive_codec_fuzz_contract(seed, cut, flip_val, flip_pos):
     bil = rng.random((9, 14)) > 0.5
     payloads = [
         encode_gif(img),
+        encode_png(img, filter_type=4),
+        encode_png(img, interlace=True),
         encode_tiff(img, "lzw"),
         encode_tiff(img, "packbits"),
         encode_tiff(bil, "g4"),

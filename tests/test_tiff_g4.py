@@ -498,3 +498,40 @@ def test_tiff_16bit_tiled():
     rgb16 = rng.integers(0, 65536, (8, 8, 3)).astype(np.uint16)
     with pytest.raises(ValueError, match="grayscale"):
         encode_tiff(rgb16, tile=(8, 8))
+
+
+def test_tiff_16bit_rgb_strips():
+    """16-bit RGB strips (microscopy/archival masters): decode across
+    compressions with the per-channel rescale, and predictor-2 running
+    per sample CHANNEL (spec §14) via a hand-built LZW fixture."""
+    from reading_the_unreadable_spark.operators.tiff import _tiff_lzw_encode
+
+    rng = np.random.Generator(np.random.PCG64(71))
+    img16 = rng.integers(0, 65536, (9, 11, 3)).astype(np.uint16)
+    want = np.round(img16 / 257.0).astype(np.uint8)
+    for c in ("none", "packbits", "lzw"):
+        got = decode_tiff(encode_tiff(img16, c, rows_per_strip=4))
+        assert np.array_equal(got, want), c
+
+    # predictor-2: per-channel differencing mod 65536
+    diff = img16.astype(np.int64).copy()
+    diff[:, 1:] -= img16.astype(np.int64)[:, :-1]
+    strip = _tiff_lzw_encode((diff % 65536).astype("<u2").tobytes())
+    tags = [
+        (256, 4, 1, 11), (257, 4, 1, 9), (258, 3, 1, 16), (259, 3, 1, 5),
+        (262, 3, 1, 2), (273, 4, 1, 0), (277, 3, 1, 3), (278, 4, 1, 9),
+        (279, 4, 1, len(strip)), (284, 3, 1, 1), (317, 3, 1, 2),
+    ]
+    ifd = struct.pack("<H", len(tags))
+    data_off = 8 + 2 + len(tags) * 12 + 4
+    for tid, typ, cnt, val in tags:
+        if tid == 273:
+            val = data_off
+        ifd += struct.pack("<HHII", tid, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    payload = struct.pack("<2sHI", b"II", 42, 8) + ifd + strip
+    assert np.array_equal(decode_tiff(payload), want)
+
+    # tiled 16-bit color stays a loud boundary (writer refuses too)
+    with pytest.raises(ValueError, match="grayscale"):
+        encode_tiff(img16, "none", tile=(8, 8))
