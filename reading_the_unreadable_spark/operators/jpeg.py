@@ -6,11 +6,13 @@ this container has no PIL/cv2, so — same policy as the PNG/PDF codecs in
 this repo — the profile real corpora actually use is implemented from
 the public JPEG spec (ITU-T T.81): baseline sequential DCT and
 progressive DCT (SOF2 — spectral selection + successive approximation,
-DC/AC first and refinement scans, EOB runs), 8-bit, Huffman-coded,
+DC/AC first and refinement scans, EOB runs), 8-bit AND 12-bit sample
+precision (12-bit folds into the dequantization step via IDCT
+linearity; a 12-bit SOF1 encoder ships for round trips), Huffman-coded,
 grayscale or YCbCr with the full T.81 sampling-factor range (Hi/Vi in
 [1, 4], Σ Hi×Vi ≤ 10 — 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 / 4:4:0 and any
 other integer-ratio layout), restart markers.  Arithmetic coding,
-12-bit precision, hierarchical/lossless modes, and fractional
+hierarchical/lossless modes, and fractional
 upsampling ratios (no real encoder emits them) raise
 ``NotImplementedError`` loudly.  All constant tables below are the
 spec's public Annex K examples (quantization) and K.3.3 typical
@@ -224,8 +226,9 @@ def _encode_plane_block(
     dc_codes: dict,
     ac_codes: dict,
     bw: _BitWriter,
+    shift: float = 128.0,
 ) -> int:
-    coeffs = _A @ (block - 128.0) @ _A.T
+    coeffs = _A @ (block - shift) @ _A.T
     quant = np.round(coeffs.flatten() / q).astype(np.int32)[ZIGZAG]
     # DC: differential
     diff = int(quant[0]) - pred
@@ -559,7 +562,7 @@ def _decode_block(
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline or progressive (SOF2) JFIF bytes → HxWx3 uint8 RGB
     (grayscale replicated).  Raises NotImplementedError on
-    arithmetic/hierarchical/12-bit profiles, ValueError on
+    arithmetic/hierarchical profiles, ValueError on
     malformed/truncated data (a quarantining caller catches exactly
     those two — nothing else may escape)."""
     try:
@@ -578,6 +581,7 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    frame_precision = 8
     progressive = False
     prog_state: dict | None = None
     restart_interval = 0
@@ -625,8 +629,12 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 i += 17 + nval
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = seg[0]
-            if precision != 8:
+            if precision not in (8, 12):
                 raise NotImplementedError(f"{precision}-bit precision")
+            if precision == 12 and marker == 0xC0:
+                # T.81 table B.2: baseline is 8-bit; 12-bit needs
+                # extended sequential (SOF1) or progressive (SOF2)
+                raise ValueError("12-bit sample precision in baseline SOF0")
             fh, fw = struct.unpack_from(">HH", seg, 1)
             if fh == 0 or fw == 0 or fh * fw > 1 << 28:
                 # corrupt frame headers must not drive allocations
@@ -637,6 +645,7 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + c * 3 : 9 + c * 3]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
             frame = (fh, fw, comps)
+            frame_precision = precision
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -656,7 +665,7 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             if not progressive:
                 return _decode_scan(
                     payload, pos + 2 + seglen, frame, scan_tabs,
-                    qtables, htables, restart_interval,
+                    qtables, htables, restart_interval, frame_precision,
                 )
             ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
             ah_al = seg[3 + ns * 2]
@@ -671,7 +680,7 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
         # APPn/COM/others: skip
         pos += 2 + seglen
     if progressive and prog_state is not None:
-        return _prog_reconstruct(frame, prog_state, qtables)
+        return _prog_reconstruct(frame, prog_state, qtables, frame_precision)
     raise ValueError("no SOS marker found")
 
 
@@ -704,9 +713,15 @@ def _decode_scan(
     qtables: dict,
     htables: dict,
     restart_interval: int,
+    precision: int = 8,
 ) -> np.ndarray:
     fh, fw, comps = frame
     _check_sampling(comps)
+    # 12-bit: IDCT is linear, so folding the 2^4 range difference into
+    # the dequantization step reuses the whole 8-bit pipeline — the
+    # level shift (+128 after /16 ≡ +2048 before) and the 0..255 clamp
+    # below are then already correct
+    q_div = 16.0 if precision == 12 else 1.0
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -733,7 +748,7 @@ def _decode_scan(
                 for cid, ch, cv, tq in comps:
                     dc_tab = htables[(0, scan_tabs[cid][0])]
                     ac_tab = htables[(1, scan_tabs[cid][1])]
-                    q = qtables[tq]
+                    q = qtables[tq] / q_div if q_div != 1.0 else qtables[tq]
                     for dy in range(cv):
                         for dx in range(ch):
                             block, preds[cid] = _decode_block(
@@ -990,15 +1005,20 @@ def _decode_prog_scan(
     return _next_marker_pos(payload, br.pos)
 
 
-def _prog_reconstruct(frame: tuple, state: dict, qtables: dict) -> np.ndarray:
+def _prog_reconstruct(
+    frame: tuple, state: dict, qtables: dict, precision: int = 8
+) -> np.ndarray:
     """Dequantize + IDCT the accumulated coefficients, upsample, crop,
-    color-convert — mirrors the tail of :func:`_decode_scan`."""
+    color-convert — mirrors the tail of :func:`_decode_scan` (including
+    the 12-bit fold-into-dequantization trick)."""
     fh, fw, comps = frame
     geo, hmax, vmax = _comp_geometry(frame)
     full = []
     for cid, ch, cv, tq in comps:
         bw_mcu, bh_mcu, *_ = geo[cid]
         q = qtables[tq].astype(np.float64)
+        if precision == 12:
+            q = q / 16.0
         coefs = state[cid].astype(np.float64) * q  # both zigzag-ordered
         plane = np.zeros((bh_mcu * 8, bw_mcu * 8))
         dez = np.zeros(64)
@@ -1388,5 +1408,58 @@ def encode_jpeg_progressive(
         _run_prog_scan(scomps, hmax, vmax, ss, se, ah, al, emit_sym, emit_bits)
         bw.flush()
         out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_12(arr12: np.ndarray, quality: int = 75) -> bytes:
+    """HxW uint16 grayscale (12-bit range, 0..4095) → extended-
+    sequential (SOF1) JFIF bytes with 12-bit sample precision — the
+    archival-master / medical-scan profile.
+
+    Same DCT path as the 8-bit encoder with the level shift at 2048;
+    the quantization table is floored at 32 so every coefficient
+    category stays within the standard 8-bit Huffman tables (T.81
+    lets 12-bit streams need categories up to 15; flooring q keeps
+    |DC diff| ≤ 1024 → category ≤ 11, the std table's last row —
+    documented trade: archival 12-bit masters use strong quantization
+    anyway)."""
+    if arr12.ndim != 2:
+        raise ValueError("12-bit JPEG encode is grayscale only")
+    if int(arr12.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples exceed 4095")
+    h, w = arr12.shape
+    ql = np.maximum(_scale_q(Q_LUMA, quality), 32)
+    ql_z = ql[ZIGZAG]
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    # Pq=1 16-bit DQT (B.2.4.1): 12-bit streams conventionally carry it
+    out += b"\xff\xdb" + struct.pack(">H", 131) + b"\x10"
+    out += np.asarray(ql_z, dtype=">u2").tobytes()
+    sof = struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc1" + struct.pack(">H", len(sof) + 2) + sof
+    for tclass, tid, (bits, values) in ((0, 0, DC_LUMA), (1, 0, AC_LUMA)):
+        seg = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(values)
+        out += b"\xff\xc4" + struct.pack(">H", len(seg) + 2) + seg
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_codes = _huff_codes(*DC_LUMA)
+    ac_codes = _huff_codes(*AC_LUMA)
+    bw = _BitWriter()
+    grid = _block_grid(arr12.astype(np.float64))
+    by, bx = grid.shape[:2]
+    pred = 0
+    for yy in range(by):
+        for xx in range(bx):
+            pred = _encode_plane_block(
+                grid[yy, xx], ql, pred, dc_codes, ac_codes, bw, shift=2048.0
+            )
+    bw.flush()
+    out += bw.buf
     out += b"\xff\xd9"
     return bytes(out)

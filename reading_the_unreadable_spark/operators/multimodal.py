@@ -11,7 +11,8 @@ Group 4 via :mod:`tiff` + :mod:`g4`), and baseline-sequential +
 progressive JPEG via the from-scratch codec in :mod:`jpeg` — so the
 full pipeline (binary column → decode → resize → feature-extract) runs
 end-to-end over Arrow batches on the formats real corpora actually
-use.  Exotic variants (arithmetic-coded JPEG, 16-bit PNG, tiled TIFF,
+use — including 12/16-bit depths, tiled TIFF, and interlaced PNG.
+The genuinely rare tails (arithmetic-coded JPEG, planar TIFF tiles,
 …) raise NotImplementedError with a clear message; swapping in PIL
 later changes only ``decode_image``.
 

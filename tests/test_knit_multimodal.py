@@ -1778,3 +1778,56 @@ def test_png_sub_byte_interlaced():
     )
     with _pytest.raises(ValueError, match="IDAT"):
         decode_image(blob)
+
+
+def test_jpeg_12bit_precision():
+    """12-bit JPEG: extended-sequential (SOF1) encode→decode round
+    trip within lossy tolerance, the fold-into-dequantization identity
+    on a progressive stream, and the precision gates."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from reading_the_unreadable_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_12,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(79))
+    base = rng.integers(0, 4096, (6, 8)).astype(np.float64)
+    img12 = np.clip(
+        np.kron(base, np.ones((8, 8))) + rng.normal(0, 40, (48, 64)),
+        0, 4095,
+    ).astype(np.uint16)
+    dec = decode_jpeg(encode_jpeg_12(img12, quality=90))
+    err = np.abs(
+        dec[:, :, 0].astype(np.int32) - (img12 >> 4).astype(np.int32)
+    ).mean()
+    assert err < 2.0, err
+    # decoder consistency: an 8-bit progressive stream re-labelled as
+    # 12-bit must decode to (x - 128)/16 + 128 (IDCT linearity — the
+    # exact identity the 12-bit path is built on)
+    gray8 = (img12 >> 4).astype(np.uint8)
+    prog = bytearray(encode_jpeg_progressive(gray8))
+    sof = prog.index(b"\xff\xc2")
+    assert prog[sof + 4] == 8
+    prog[sof + 4] = 12
+    got = decode_jpeg(bytes(prog))[:, :, 0].astype(np.float64)
+    want = (decode_jpeg(encode_jpeg_progressive(gray8))[:, :, 0].astype(
+        np.float64) - 128.0) / 16.0 + 128.0
+    assert np.abs(got - want).max() <= 1.0
+    # gates
+    seq = bytearray(encode_jpeg_12(img12))
+    sof1 = seq.index(b"\xff\xc1")
+    bad0 = seq.copy(); bad0[sof1 + 1] = 0xC0  # 12-bit in baseline SOF0
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(bad0))
+    bad10 = seq.copy(); bad10[sof1 + 4] = 10
+    with _pytest.raises(NotImplementedError, match="10-bit"):
+        decode_jpeg(bytes(bad10))
+    with _pytest.raises(ValueError, match="grayscale"):
+        encode_jpeg_12(np.zeros((8, 8, 3), np.uint16))
+    with _pytest.raises(ValueError, match="4095"):
+        encode_jpeg_12(np.full((8, 8), 5000, np.uint16))

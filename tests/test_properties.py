@@ -229,6 +229,7 @@ def test_archive_codec_fuzz_contract(seed, cut, flip_val, flip_pos):
     )
     from reading_the_unreadable_spark.operators.jpeg import (
         encode_jpeg,
+        encode_jpeg_12,
         encode_jpeg_progressive,
     )
     from reading_the_unreadable_spark.operators.tiff import encode_tiff
@@ -249,6 +250,7 @@ def test_archive_codec_fuzz_contract(seed, cut, flip_val, flip_pos):
         encode_tiff(img, "lzw", tile=(8, 8)),
         encode_jpeg(img, subsample="422"),
         encode_jpeg_progressive(img),
+        encode_jpeg_12((rng.integers(0, 4096, (9, 14))).astype(np.uint16)),
     ]
     for enc in payloads:
         mut = bytearray(enc[: max(8, len(enc) - cut)])
