@@ -414,6 +414,61 @@ def q_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.9)
 
 
+def q_bpe_merges(spark, sf):
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): five
+    merge rules learned from the corpus word-frequency table.  The
+    DuckDB replica chains five CTE blocks, applying each learned rule
+    by recursing a leftmost-single-occurrence boundary-anchored
+    regexp_replace to its fixed point — provably the same greedy
+    left-to-right semantics as the Spark-side F.aggregate fold."""
+    from reading_the_unreadable_spark.operators.textstats import bpe_train
+
+    return bpe_train(_t(spark, sf, "documents"), n_merges=5)
+
+
+def _bpe_oracle_sql(n_merges: int = 5) -> str:
+    head = """
+        WITH RECURSIVE words AS (
+          SELECT w, count(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' GROUP BY w),
+        v0 AS (
+          SELECT array_to_string(string_split(w, ''), ' ') || ' </w>'
+                   AS syms, freq
+          FROM words)"""
+    blocks = []
+    for k in range(n_merges):
+        blocks.append(f""",
+        p{k} AS (
+          SELECT pr AS pair, sum(freq) AS c FROM (
+            SELECT freq, unnest(list_transform(
+                     generate_series(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1])) AS pr
+            FROM (SELECT string_split(syms, ' ') AS t, freq FROM v{k}))
+          GROUP BY pr),
+        top{k} AS (SELECT pair, c FROM p{k} ORDER BY c DESC, pair LIMIT 1),
+        a{k}(syms, freq, it) AS (
+          SELECT ' ' || syms || ' ', freq, 0 FROM v{k}
+          UNION ALL
+          SELECT regexp_replace(a.syms, '( )' || t.pair || '( )',
+                                '\\1' || replace(t.pair, ' ', '') || '\\2'),
+                 a.freq, a.it + 1
+          FROM a{k} a, top{k} t
+          WHERE position(' ' || t.pair || ' ' IN a.syms) > 0),
+        v{k + 1} AS (
+          SELECT trim(syms) AS syms, freq FROM (
+            SELECT syms, freq,
+                   row_number() OVER (PARTITION BY replace(syms, ' ', '')
+                                      ORDER BY it DESC) AS rn
+            FROM a{k}) WHERE rn = 1)""")
+    finals = "\n            UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, pair, replace(pair, ' ', '') AS merged, "
+        f"c::BIGINT AS pair_count FROM top{k}"
+        for k in range(n_merges)
+    )
+    return head + "".join(blocks) + "\n        " + finals
+
+
 def q_cms_heavy_hitters(spark, sf):
     """Count-min sketch heavy hitters: a 4×256 integer sketch over all
     token occurrences, point-queried at the 20 most frequent tokens
@@ -1815,6 +1870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                (green r04, pytest-replicated).  cms_heavy_hitters
     #                (count-min sketch, new operator) joins the window;
     #                merge_overlap shifts behind (green r04,
+    #                pytest-replicated).  bpe_merges (distributed BPE
+    #                tokenizer training, new operator) joins the
+    #                window; fill_gaps shifts behind (green r04,
     #                pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
@@ -1848,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bpe_merges": q_bpe_merges,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2357,6 +2416,10 @@ def oracle_sql() -> dict[str, str]:
                    md5(body) AS payload_md5
             FROM base
         """,
+        # BPE training: five chained merge steps; rule application
+        # recurses a boundary-anchored first-occurrence replace to its
+        # fixed point (== the Spark-side greedy fold); counts integer
+        "bpe_merges": _bpe_oracle_sql(5),
         # CMS: integer cells keyed by seeded md5 — exact replica, and the
         # min-over-depth query shows the upper-bound guarantee
         "cms_heavy_hitters": """

@@ -169,3 +169,110 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+def bpe_train(
+    documents: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    ``n_merges`` merge rules from corpus word frequencies — the actual
+    tokenizer-training computation, not a proxy.
+
+    Shape per merge step (the scale story): symbol pairs explode from
+    the word-frequency table (vocab-sized, NOT corpus-sized — the one
+    groupBy(word) up front collapses 100 TB of text to a vocabulary),
+    pair counts partial-aggregate map-side, and only the argmax row
+    reaches the driver.  The merge applies as a greedy left-to-right
+    fold over each vocab entry's symbol array (``F.aggregate`` with a
+    (out, pending) accumulator — token-boundary-safe, the exact BPE
+    semantics; a plain substring replace would merge across token
+    boundaries, e.g. pair "a b" inside "xa b").  The DuckDB replica
+    applies each rule by recursing a leftmost-single-occurrence
+    boundary-anchored regexp_replace to its fixed point — provably the
+    same greedy result.  Tie-break: (count DESC, pair ASC).
+
+    Output: (merge_rank, pair, merged, pair_count) — the merge table a
+    tokenizer would broadcast."""
+    spark = documents.sparkSession
+    words = (
+        documents.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    # symbol string: chars space-separated, end-of-word marker
+    vocab = words.select(
+        F.concat(
+            F.array_join(F.split(F.col("w"), ""), " "), F.lit(" </w>")
+        ).alias("syms"),
+        "freq",
+    ).localCheckpoint()
+    rules = []
+    for rank in range(n_merges):
+        toks = F.split(F.col("syms"), " ")
+        pairs = vocab.select(
+            "freq",
+            F.explode_outer(
+                F.when(
+                    F.size(toks) < 2, F.array().cast("array<string>")
+                ).otherwise(
+                    F.transform(
+                        F.slice(toks, 1, F.size(toks) - 1),
+                        lambda t, i: F.concat_ws(
+                            " ", t, F.element_at(toks, i + 2)
+                        ),
+                    )
+                )
+            ).alias("pair"),
+        ).filter(F.col("pair").isNotNull())
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, count = top[0]["pair"], int(top[0]["c"])
+        a_sym, b_sym = pair.split(" ", 1)
+        merged = pair.replace(" ", "")
+        rules.append((rank, pair, merged, count))
+        # greedy left-to-right merge: fold with a one-token lookbehind
+        # ('' = nothing pending; symbols are never empty)
+        folded = F.aggregate(
+            F.split(F.col("syms"), " "),
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit("").alias("prev"),
+            ),
+            lambda acc, t: F.when(
+                acc["prev"] == "", F.struct(acc["out"].alias("out"), t.alias("prev"))
+            )
+            .when(
+                (acc["prev"] == a_sym) & (t == b_sym),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit("").alias("prev"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["prev"])).alias("out"),
+                    t.alias("prev"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["prev"] == "", acc["out"]
+            ).otherwise(F.concat(acc["out"], F.array(acc["prev"]))),
+        )
+        vocab = vocab.select(
+            F.array_join(folded, " ").alias("syms"), "freq"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rules, "merge_rank int, pair string, merged string, pair_count long"
+    )

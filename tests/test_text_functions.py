@@ -108,3 +108,62 @@ def test_knit():
         knit_string_list(["Hello world", "world of Python", "Python is great"])
         == "Hello world of Python is great"
     )
+
+
+def test_bpe_train_matches_scalar_reference(spark):
+    """Distributed BPE training == a pure-python transcription of the
+    same greedy algorithm (word-freq weighting, (count DESC, pair ASC)
+    tie-break, left-to-right non-overlapping merge application)."""
+    from collections import Counter
+
+    from reading_the_unreadable_spark.operators.textstats import bpe_train
+
+    texts = [
+        "low lower lowest low low newer new",
+        "wider wide new newer abab abab",
+        "aaaa aaaa aa",  # repeated-pair runs exercise greedy semantics
+    ]
+
+    def ref(texts, n):
+        wf = Counter(w for t in texts for w in t.split(" ") if w)
+        vocab = Counter()
+        for w, f in wf.items():
+            vocab[" ".join(list(w)) + " </w>"] += f
+        rules = []
+        for rank in range(n):
+            pc = Counter()
+            for syms, f in vocab.items():
+                t = syms.split(" ")
+                for i in range(len(t) - 1):
+                    pc[f"{t[i]} {t[i + 1]}"] += f
+            if not pc:
+                break
+            pair, c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            a, b = pair.split(" ", 1)
+            rules.append((rank, pair, a + b, c))
+            nv = Counter()
+            for syms, f in vocab.items():
+                out, prev = [], None
+                for tok in syms.split(" "):
+                    if prev is None:
+                        prev = tok
+                    elif prev == a and tok == b:
+                        out.append(a + b)
+                        prev = None
+                    else:
+                        out.append(prev)
+                        prev = tok
+                if prev is not None:
+                    out.append(prev)
+                nv[" ".join(out)] += f
+            vocab = nv
+        return rules
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["pair"], r["merged"], r["pair_count"])
+        for r in bpe_train(df, n_merges=6).collect()
+    ]
+    assert got == ref(texts, 6)
