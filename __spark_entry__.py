@@ -469,6 +469,73 @@ def _bpe_oracle_sql(n_merges: int = 5) -> str:
     return head + "".join(blocks) + "\n        " + finals
 
 
+# The five rules bpe_train learns on this corpus at sf0.01, frozen as
+# tokenizer configuration — the realistic 100 TB shape: train once,
+# ship the rule list to every encode job (rules live in the plan, not
+# in a join).
+_PRETRAINED_MERGES = [
+    ("e", "r"),
+    ("e", "</w>"),
+    ("n", "</w>"),
+    ("er", "</w>"),
+    ("o", "w"),
+]
+
+
+def q_bpe_encode(spark, sf):
+    """BPE tokenization with a pretrained rule list — the other half
+    of the tokenizer loop (bpe_merges trains; this applies).  Encoding
+    runs over the DISTINCT-WORD vocabulary and joins back to word
+    occurrences (the vocab trick), so 100 TB of text tokenizes its
+    vocabulary once.  DuckDB replays each rule as a leftmost-match
+    regexp_replace recursed to fixed point over the same vocabulary —
+    provably the greedy left-to-right fold (see _bpe_oracle_sql)."""
+    from reading_the_unreadable_spark.operators.textstats import bpe_encode
+
+    return bpe_encode(_t(spark, sf, "documents"), _PRETRAINED_MERGES)
+
+
+def _bpe_encode_oracle_sql(merges) -> str:
+    head = """
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, pos, t[pos] AS w FROM (
+            SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents))
+          WHERE t[pos] <> ''),
+        v0 AS (
+          SELECT w,
+                 array_to_string(string_split(w, ''), ' ') || ' </w>'
+                   AS syms
+          FROM (SELECT DISTINCT w FROM tok))"""
+    blocks = []
+    for k, (a_sym, b_sym) in enumerate(merges):
+        pair = f"{a_sym} {b_sym}"
+        merged = a_sym + b_sym
+        blocks.append(f""",
+        a{k}(w, syms, it) AS (
+          SELECT w, ' ' || syms || ' ', 0 FROM v{k}
+          UNION ALL
+          SELECT w, regexp_replace(syms, '( ){pair}( )',
+                                   '\\1{merged}\\2'), it + 1
+          FROM a{k} WHERE position(' {pair} ' IN syms) > 0),
+        v{k + 1} AS (
+          SELECT w, trim(syms) AS syms FROM (
+            SELECT w, syms,
+                   row_number() OVER (PARTITION BY w ORDER BY it DESC)
+                     AS rn
+            FROM a{k}) WHERE rn = 1)""")
+    return head + "".join(blocks) + f""",
+        enc AS (
+          SELECT t.doc_id, t.pos, v.syms
+          FROM tok t JOIN v{len(merges)} v USING (w))
+        SELECT doc_id,
+               count(*)::BIGINT AS n_words,
+               sum(len(string_split(syms, ' ')))::BIGINT AS n_bpe_tokens,
+               string_agg(syms, ' ' ORDER BY pos) AS bpe_text
+        FROM enc GROUP BY doc_id"""
+
+
 def q_cms_heavy_hitters(spark, sf):
     """Count-min sketch heavy hitters: a 4×256 integer sketch over all
     token occurrences, point-queried at the 20 most frequent tokens
@@ -1873,6 +1940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                pytest-replicated).  bpe_merges (distributed BPE
     #                tokenizer training, new operator) joins the
     #                window; fill_gaps shifts behind (green r04,
+    #                pytest-replicated).  bpe_encode (pretrained-rule
+    #                tokenization, new operator) joins the window;
+    #                label_centroids shifts behind (green r04,
     #                pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
@@ -1907,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2420,6 +2491,9 @@ def oracle_sql() -> dict[str, str]:
         # recurses a boundary-anchored first-occurrence replace to its
         # fixed point (== the Spark-side greedy fold); counts integer
         "bpe_merges": _bpe_oracle_sql(5),
+        # BPE encode: same fixed-point rule replay over the distinct
+        # vocabulary, then words rejoin (doc, pos) and re-assemble
+        "bpe_encode": _bpe_encode_oracle_sql(_PRETRAINED_MERGES),
         # CMS: integer cells keyed by seeded md5 — exact replica, and the
         # min-over-depth query shows the upper-bound guarantee
         "cms_heavy_hitters": """

@@ -171,6 +171,47 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def _merge_fold_expr(syms: Column, a_sym: str, b_sym: str) -> Column:
+    """Greedy left-to-right application of one BPE merge rule over a
+    space-joined symbol string: ``F.aggregate`` with a (out, pending)
+    accumulator — token-boundary-safe ('' marks nothing pending;
+    symbols are never empty).  Returns the new symbol ARRAY."""
+    merged = a_sym + b_sym
+
+    def step(acc: Column, t: Column) -> Column:
+        return (
+            F.when(
+                acc["prev"] == "",
+                F.struct(acc["out"].alias("out"), t.alias("prev")),
+            )
+            .when(
+                (acc["prev"] == a_sym) & (t == b_sym),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit("").alias("prev"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["prev"])).alias("out"),
+                    t.alias("prev"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        F.split(syms, " "),
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit("").alias("prev"),
+        ),
+        step,
+        lambda acc: F.when(acc["prev"] == "", acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        ),
+    )
+
+
 def bpe_train(
     documents: DataFrame,
     n_merges: int = 5,
@@ -240,39 +281,60 @@ def bpe_train(
             break
         pair, count = top[0]["pair"], int(top[0]["c"])
         a_sym, b_sym = pair.split(" ", 1)
-        merged = pair.replace(" ", "")
-        rules.append((rank, pair, merged, count))
-        # greedy left-to-right merge: fold with a one-token lookbehind
-        # ('' = nothing pending; symbols are never empty)
-        folded = F.aggregate(
-            F.split(F.col("syms"), " "),
-            F.struct(
-                F.array().cast("array<string>").alias("out"),
-                F.lit("").alias("prev"),
-            ),
-            lambda acc, t: F.when(
-                acc["prev"] == "", F.struct(acc["out"].alias("out"), t.alias("prev"))
-            )
-            .when(
-                (acc["prev"] == a_sym) & (t == b_sym),
-                F.struct(
-                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
-                    F.lit("").alias("prev"),
-                ),
-            )
-            .otherwise(
-                F.struct(
-                    F.concat(acc["out"], F.array(acc["prev"])).alias("out"),
-                    t.alias("prev"),
-                )
-            ),
-            lambda acc: F.when(
-                acc["prev"] == "", acc["out"]
-            ).otherwise(F.concat(acc["out"], F.array(acc["prev"]))),
-        )
+        rules.append((rank, pair, pair.replace(" ", ""), count))
+        folded = _merge_fold_expr(F.col("syms"), a_sym, b_sym)
         vocab = vocab.select(
             F.array_join(folded, " ").alias("syms"), "freq"
         ).localCheckpoint()
     return spark.createDataFrame(
         rules, "merge_rank int, pair string, merged string, pair_count long"
+    )
+
+
+def bpe_encode(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merge rules (:func:`bpe_train` output) —
+    tokenization, the other half of the tokenizer loop.
+
+    Scale shape: rules apply over the DISTINCT-WORD table, not word
+    occurrences (the vocab trick — 100 TB of text tokenizes its
+    vocabulary once), then words join back to (doc, position) and
+    re-assemble in order.  Each rule is one greedy left-to-right
+    ``F.aggregate`` fold (same boundary-safe semantics as training);
+    the rule list is configuration-sized and lives in the plan.
+
+    Output: (doc_id, n_words, n_bpe_tokens, bpe_text) with tokens
+    space-joined and words separated by the ``</w>`` markers."""
+    words = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    vocab = words.select("w").distinct().withColumn(
+        "syms",
+        F.concat(F.array_join(F.split(F.col("w"), ""), " "), F.lit(" </w>")),
+    )
+    for a_sym, b_sym in merges:
+        folded = _merge_fold_expr(F.col("syms"), a_sym, b_sym)
+        vocab = vocab.select("w", F.array_join(folded, " ").alias("syms"))
+    tokenized = words.join(vocab, "w")
+    return (
+        tokenized.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size(F.split(F.col("syms"), " ")))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "syms"))
+                    ),
+                    lambda s: s["syms"],
+                ),
+                " ",
+            ).alias("bpe_text"),
+        )
     )

@@ -167,3 +167,29 @@ def test_bpe_train_matches_scalar_reference(spark):
         for r in bpe_train(df, n_merges=6).collect()
     ]
     assert got == ref(texts, 6)
+
+
+def test_bpe_encode_applies_learned_rules(spark):
+    from reading_the_unreadable_spark.operators.textstats import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low lower low"), (2, "newer new lowest")],
+        "doc_id long, text string",
+    )
+    rules = bpe_train(df, n_merges=3).collect()
+    merges = [tuple(r["pair"].split(" ", 1)) for r in rules]
+    got = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    assert got[1]["n_words"] == 3
+    # every word ends with its </w> marker and merges were applied:
+    # with rules learned from this corpus, "low" collapses to few tokens
+    toks1 = got[1]["bpe_text"].split(" ")
+    assert toks1.count("</w>") + sum(
+        1 for t in toks1 if t.endswith("</w>")
+    ) >= 3  # one word boundary per word survives
+    assert got[1]["n_bpe_tokens"] == len(toks1)
+    # tokens reassemble to the original characters
+    joined = "".join(got[1]["bpe_text"].split(" "))
+    assert joined == "low</w>lower</w>low</w>"
