@@ -536,6 +536,113 @@ def _bpe_encode_oracle_sql(merges) -> str:
         FROM enc GROUP BY doc_id"""
 
 
+# BM25 query set, frozen as configuration (retrieval queries are
+# config-sized and broadcast — never a shuffle side).  'spill' is
+# absent from the corpus: inner-join semantics drop the term in both
+# engines, evidencing missing-term handling.
+_BM25_QUERIES = [
+    (1, "hash join"),
+    (2, "window agg spill"),
+    (3, "fast scan filter"),
+    (4, "customer order line"),
+    (5, "vector stream batch"),
+]
+
+
+def q_bm25(spark, sf):
+    """Okapi BM25 top-10 per query (Lucene idf variant).  Postings are
+    pruned to query terms by broadcast BEFORE joining per-doc state;
+    term stats are query-bounded and broadcast back — the term key is
+    never shuffled.  Oracle mirrors the exact expression shape; 4 dp
+    rounding absorbs libm/summation-order ulps (repo convention)."""
+    from reading_the_unreadable_spark.operators.retrieval import bm25_topk
+
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query_text string"
+    )
+    return bm25_topk(_t(spark, sf, "documents"), queries, k=10)
+
+
+def _bm25_oracle_sql() -> str:
+    values = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, t AS term FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents)
+          WHERE t <> ''),
+        doc_tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        doc_len AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        corpus AS (
+          SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_len),
+        q(query_id, query_text) AS (VALUES {values}),
+        qterms AS (
+          SELECT DISTINCT query_id, t AS term FROM (
+            SELECT query_id,
+                   unnest(string_split(lower(query_text), ' ')) AS t
+            FROM q)
+          WHERE t <> ''),
+        term_df AS (
+          SELECT term, count(*) AS df FROM doc_tf
+          WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+        scored AS (
+          SELECT qt.query_id, t.doc_id,
+                 round(sum(
+                   ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * ((t.tf * (1.2 + 1))
+                      / (t.tf + 1.2 * ((1 - 0.75)
+                                       + (0.75 * l.dl) / c.avgdl)))
+                 ), 4) AS bm25
+          FROM doc_tf t
+          JOIN qterms qt USING (term)
+          JOIN term_df d USING (term)
+          JOIN doc_len l USING (doc_id)
+          CROSS JOIN corpus c
+          GROUP BY qt.query_id, t.doc_id)
+        SELECT query_id, doc_id, bm25, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+          FROM scored)
+        WHERE rank <= 10
+    """
+
+
+def q_tfidf_terms(spark, sf):
+    """Top-3 characteristic terms per document by tf-idf.  The full
+    vocabulary df table is NOT broadcast-safe at web scale, so the df
+    join is a term equi-join (AQE skew-split) whose probe side is the
+    pre-collapsed (doc, term) tf table — unigram_logprob's Zipf
+    defense."""
+    from reading_the_unreadable_spark.operators.retrieval import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
+_TFIDF_ORACLE_SQL = """
+    WITH tok AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents)
+      WHERE t <> ''),
+    doc_tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    term_df AS (SELECT term, count(*) AS df FROM doc_tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf,
+             round(t.tf * ln(n.n_docs / d.df), 4) AS tfidf
+      FROM doc_tf t JOIN term_df d USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, tfidf, term_rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
+      FROM scored)
+    WHERE term_rank <= 3
+"""
+
+
 def q_cms_heavy_hitters(spark, sf):
     """Count-min sketch heavy hitters: a 4×256 integer sketch over all
     token occurrences, point-queried at the 20 most frequent tokens
@@ -1943,6 +2050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                pytest-replicated).  bpe_encode (pretrained-rule
     #                tokenization, new operator) joins the window;
     #                label_centroids shifts behind (green r04,
+    #                pytest-replicated).  bm25 + tfidf_terms (lexical
+    #                retrieval family, new operators) join the window;
+    #                ann_ivf + ann_quantized shift behind (green r04,
     #                pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
@@ -1978,6 +2088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "bm25": q_bm25,
+        "tfidf_terms": q_tfidf_terms,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2494,6 +2606,10 @@ def oracle_sql() -> dict[str, str]:
         # BPE encode: same fixed-point rule replay over the distinct
         # vocabulary, then words rejoin (doc, pos) and re-assemble
         "bpe_encode": _bpe_encode_oracle_sql(_PRETRAINED_MERGES),
+        # BM25/tf-idf: expression shapes mirrored term-for-term; 4 dp
+        # rounding absorbs libm/summation-order ulps
+        "bm25": _bm25_oracle_sql(),
+        "tfidf_terms": _TFIDF_ORACLE_SQL,
         # CMS: integer cells keyed by seeded md5 — exact replica, and the
         # min-over-depth query shows the upper-bound guarantee
         "cms_heavy_hitters": """

@@ -462,3 +462,48 @@ def test_dsir_ratio_join_is_broadcast(spark):
     # recomputed md5 chain below the exchange
     gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
     assert gen and all("explode_outer" in ln or "true" in ln for ln in gen), gen
+
+
+def test_bm25_query_side_broadcast_and_bounded(spark):
+    """BM25's scale contract: the query/term-stat side is BROADCAST
+    (≥3 BroadcastHashJoins: qterms prune, qterms candidate join,
+    term_df join-back), the corpus-stat cross join is a broadcast
+    nested loop over ONE row — never a CartesianProduct — and the
+    Zipf term key is never the partition key of a shuffle."""
+    plan = _plan(entrymod.q_bm25(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    assert "CartesianProduct" not in plan
+    # bare-term hash exchanges are allowed only for QUERY-BOUNDED
+    # frames (the qterm distinct and the broadcast-pruned term_df agg,
+    # both ≤ |query terms| after partial aggregation) — the corpus
+    # itself only ever shuffles on (doc_id, term) or doc_id
+    bare_term = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "term" in ln
+        and "doc_id" not in ln
+        and "query_id" not in ln
+    ]
+    assert len(bare_term) <= 2, bare_term
+
+
+def test_tfidf_df_join_not_forced_broadcast(spark):
+    """tf-idf joins the FULL vocabulary df table — at web scale that
+    side is ~1e9 terms, so the plan must not hard-pin a broadcast
+    (ResolvedHint); AQE may still pick one at toy scale.  Probe side
+    is the collapsed (doc, term) tf table: the explode output is
+    aggregated before any join."""
+    from reading_the_unreadable_spark.operators.retrieval import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = tfidf_top_terms(docs, k=3)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one broadcast hint: the 1-row n_docs frame
+    assert logical.count("ResolvedHint") <= 1, logical[:2000]
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # partial aggregation collapses (doc, term) before the df join
+    assert "HashAggregate" in plan
