@@ -1496,6 +1496,94 @@ def q_cer_eval(spark, sf):
     return M.cer_spans(pred, gt)
 
 
+def q_bleu_eval(spark, sf):
+    """Per-document BLEU of a deterministically corrupted rendition
+    (every literal word 'merge' dropped, 'data'→'info') against the
+    original — the n-gram half of the evaluation family (cer_eval is
+    the edit-distance half).  Counts are integer-exact; bp/bleu mirror
+    the exact expression shape, 4 dp rounding (repo convention)."""
+    d = _t(spark, sf, "documents")
+    gt = d.select("doc_id", "text")
+    pred = gt.select(
+        "doc_id",
+        F.regexp_replace(
+            F.array_join(
+                F.filter(F.split("text", " "), lambda w: w != "merge"), " "
+            ),
+            "data",
+            "info",
+        ).alias("text"),
+    )
+    return M.bleu(pred, gt, max_n=4)
+
+
+def _bleu_oracle_sql(max_n: int = 4) -> str:
+    ns = range(1, max_n + 1)
+    gram_blocks = []
+    for n in ns:
+        for side, src in (("p", "pt"), ("g", "gtt")):
+            gram_blocks.append(f""",
+        {side}c{n} AS (
+          SELECT doc_id, gram, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(len(t) - {n} + 1, 0)),
+              i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gram
+            FROM {src})
+          GROUP BY 1, 2)""")
+        gram_blocks.append(f""",
+        m{n} AS (
+          SELECT p.doc_id, sum(least(p.c, g.c)) AS match_{n}
+          FROM pc{n} p JOIN gc{n} g USING (doc_id, gram) GROUP BY 1),
+        t{n} AS (
+          SELECT doc_id, sum(c) AS total_{n} FROM pc{n} GROUP BY 1)""")
+    joins = " ".join(
+        (f"JOIN t{n} USING (doc_id)" if n == 1 else f"LEFT JOIN t{n} USING (doc_id)")
+        + f" LEFT JOIN m{n} USING (doc_id)"
+        for n in ns
+    )
+    cols = ", ".join(
+        f"coalesce(match_{n}, 0)::BIGINT AS match_{n}, "
+        f"coalesce(total_{n}, 0)::BIGINT AS total_{n}"
+        for n in ns
+    )
+    zero = " OR ".join(f"match_{n} = 0 OR total_{n} = 0" for n in ns)
+    logs = " + ".join(f"ln(match_{n} * 1.0 / total_{n})" for n in ns)
+    return f"""
+        WITH pred AS (
+          SELECT doc_id,
+                 regexp_replace(array_to_string(
+                   list_filter(string_split(text, ' '),
+                               w -> w <> 'merge'), ' '),
+                   'data', 'info', 'g') AS text
+          FROM documents),
+        pt AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM pred),
+        gtt AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM documents){"".join(gram_blocks)},
+        lens AS (SELECT doc_id, len(t)::BIGINT AS len_ref FROM gtt),
+        d AS (
+          SELECT doc_id, len_ref, {cols}
+          FROM lens {joins}),
+        scored AS (
+          SELECT *,
+                 CASE WHEN total_1 >= len_ref THEN 1.0
+                      ELSE exp(1 - len_ref / total_1) END AS bp
+          FROM d)
+        SELECT doc_id, total_1 AS len_pred, len_ref,
+               {", ".join(f"match_{n}" for n in ns)},
+               {", ".join(f"total_{n}" for n in ns)},
+               round(bp, 4) AS brevity_penalty,
+               CASE WHEN {zero} THEN 0.0
+                    ELSE round(bp * exp(({logs}) / {max_n}), 4)
+               END AS bleu
+        FROM scored
+    """
+
+
 # --------------------------------------------------------------- similarity
 def q_cosine_topk(spark, sf):
     return S.cosine_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
@@ -2053,6 +2141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                pytest-replicated).  bm25 + tfidf_terms (lexical
     #                retrieval family, new operators) join the window;
     #                ann_ivf + ann_quantized shift behind (green r04,
+    #                pytest-replicated).  bleu_eval (n-gram eval
+    #                metric, new operator) joins the window;
+    #                ann_multiprobe shifts behind (green r04,
     #                pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
@@ -2090,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "bm25": q_bm25,
         "tfidf_terms": q_tfidf_terms,
+        "bleu_eval": q_bleu_eval,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2610,6 +2702,8 @@ def oracle_sql() -> dict[str, str]:
         # rounding absorbs libm/summation-order ulps
         "bm25": _bm25_oracle_sql(),
         "tfidf_terms": _TFIDF_ORACLE_SQL,
+        # BLEU: integer-exact clipped n-gram counts; bp/bleu mirrored
+        "bleu_eval": _bleu_oracle_sql(4),
         # CMS: integer cells keyed by seeded md5 — exact replica, and the
         # min-over-depth query shows the upper-bound guarantee
         "cms_heavy_hitters": """

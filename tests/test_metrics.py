@@ -120,3 +120,77 @@ def test_cer_spans_pure_hallucination_doc_not_null(spark):
     assert got["ghost"]["cer"] == float(len("made up text"))
     s = cer_summary(cer_spans(pred, gt)).first()
     assert s["n_docs"] == 2  # hallucinated doc participates in summary
+
+
+def _py_bleu(pred: str, ref: str, max_n: int = 4):
+    """Independent textbook BLEU (Papineni et al. 2002), no smoothing."""
+    import math
+    from collections import Counter
+
+    p, r = pred.split(), ref.split()
+    stats = {}
+    for n in range(1, max_n + 1):
+        pg = Counter(tuple(p[i : i + n]) for i in range(len(p) - n + 1))
+        rg = Counter(tuple(r[i : i + n]) for i in range(len(r) - n + 1))
+        match = sum(min(c, rg[g]) for g, c in pg.items())
+        stats[n] = (match, sum(pg.values()))
+    bp = 1.0 if len(p) >= len(r) else math.exp(1 - len(r) / len(p))
+    if any(m == 0 or t == 0 for m, t in stats.values()):
+        score = 0.0
+    else:
+        score = round(
+            bp
+            * math.exp(
+                sum(math.log(m / t) for m, t in stats.values()) / max_n
+            ),
+            4,
+        )
+    return stats, round(bp, 4), score
+
+
+def test_bleu_matches_python_reference(spark):
+    from reading_the_unreadable_spark.operators.metrics import bleu
+
+    cases = [
+        ("a", "the cat sat on the mat", "the cat sat on the mat"),  # 1.0
+        ("b", "the cat the cat on mat", "the cat sat on the mat"),  # clip
+        ("c", "cat on mat", "the cat sat on the mat"),  # short → BP
+        ("d", "dog barks loud", "the cat sat on the mat"),  # 0 match
+        ("e", "x y", "x y z w"),  # fewer than 4 tokens → total_4 = 0
+    ]
+    gt = spark.createDataFrame(
+        [(d, r) for d, _, r in cases], "doc_id string, text string"
+    )
+    pred = spark.createDataFrame(
+        [(d, p) for d, p, _ in cases], "doc_id string, text string"
+    )
+    got = {r["doc_id"]: r for r in bleu(pred, gt).collect()}
+    assert set(got) == {d for d, _, _ in cases}
+    for doc_id, p, r in cases:
+        stats, bp, score = _py_bleu(p, r)
+        row = got[doc_id]
+        assert row["len_pred"] == len(p.split())
+        assert row["len_ref"] == len(r.split())
+        for n in range(1, 5):
+            assert (row[f"match_{n}"], row[f"total_{n}"]) == stats[n], (
+                doc_id,
+                n,
+            )
+        assert row["brevity_penalty"] == bp, doc_id
+        assert row["bleu"] == score, doc_id
+    assert got["a"]["bleu"] == 1.0
+    assert got["d"]["bleu"] == 0.0 and got["e"]["bleu"] == 0.0
+
+
+def test_bleu_empty_prediction_drops_doc(spark):
+    from reading_the_unreadable_spark.operators.metrics import bleu
+
+    gt = spark.createDataFrame(
+        [("a", "some text"), ("b", "more text")],
+        "doc_id string, text string",
+    )
+    pred = spark.createDataFrame(
+        [("a", "some text"), ("b", "")], "doc_id string, text string"
+    )
+    rows = bleu(pred, gt).collect()
+    assert [r["doc_id"] for r in rows] == ["a"]  # b has no candidates
