@@ -643,6 +643,38 @@ _TFIDF_ORACLE_SQL = """
 """
 
 
+def q_pmi_collocations(spark, sf):
+    """Top-20 adjacent-word collocations by PMI (min bigram count 5) —
+    the phrase-mining pass before tokenizer training.  Cutoff ordered
+    by ROUNDED pmi then the pair, so the top-k set is engine-portable;
+    TakeOrdered, never a global sort."""
+    from reading_the_unreadable_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_t(spark, sf, "documents"), min_count=5, k=20)
+
+
+_PMI_ORACLE_SQL = """
+    WITH flat AS (
+      SELECT w[i] AS prev, w[i+1] AS cur
+      FROM (SELECT string_split(text, ' ') AS w FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i)),
+    big AS (SELECT prev, cur, count(*) AS c_ab FROM flat GROUP BY 1, 2),
+    l AS (SELECT prev, sum(c_ab) AS c_a FROM big GROUP BY 1),
+    r AS (SELECT cur, sum(c_ab) AS c_b FROM big GROUP BY 1),
+    t AS (SELECT sum(c_ab) AS n_big FROM big),
+    scored AS (
+      SELECT prev, cur, c_ab::BIGINT AS c_ab,
+             round(ln((c_ab * 1.0 * n_big) / (c_a * 1.0 * c_b)), 4)
+               AS pmi
+      FROM big JOIN l USING (prev) JOIN r USING (cur), t
+      WHERE c_ab >= 5)
+    SELECT prev, cur, c_ab, pmi FROM scored
+    ORDER BY pmi DESC, prev, cur LIMIT 20
+"""
+
+
 def q_cms_heavy_hitters(spark, sf):
     """Count-min sketch heavy hitters: a 4×256 integer sketch over all
     token occurrences, point-queried at the 20 most frequent tokens
@@ -1230,6 +1262,19 @@ def q_bigram_logprob(spark, sf):
     from reading_the_unreadable_spark.operators.quality import bigram_logprob
 
     return bigram_logprob(_t(spark, sf, "documents"))
+
+
+def q_kn_logprob(spark, sf):
+    """Interpolated Kneser-Ney bigram LM score — the smoothing KenLM
+    uses (continuation counts: 'how many contexts does this word
+    complete'), one rung above the add-one bigram scorer.  Every KN
+    statistic aggregates over the collapsed bigram TYPE table; only
+    one corpus-wide shuffle exists in the plan."""
+    from reading_the_unreadable_spark.operators.quality import (
+        kneser_ney_logprob,
+    )
+
+    return kneser_ney_logprob(_t(spark, sf, "documents"))
 
 
 def q_source_mix(spark, sf):
@@ -2144,6 +2189,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                pytest-replicated).  bleu_eval (n-gram eval
     #                metric, new operator) joins the window;
     #                ann_multiprobe shifts behind (green r04,
+    #                pytest-replicated).  kn_logprob (Kneser-Ney LM
+    #                scoring, new operator) joins the window;
+    #                ann_lsh shifts behind (green r04,
+    #                pytest-replicated).  pmi_collocations (PMI phrase
+    #                mining, new operator) joins the window;
+    #                cosine_topk shifts behind (green r04,
     #                pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
@@ -2158,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": q_para_dedup,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
+        "kn_logprob": q_kn_logprob,
         "source_mix": q_source_mix,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -2182,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "tfidf_terms": q_tfidf_terms,
         "bleu_eval": q_bleu_eval,
+        "pmi_collocations": q_pmi_collocations,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2704,6 +2757,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _TFIDF_ORACLE_SQL,
         # BLEU: integer-exact clipped n-gram counts; bp/bleu mirrored
         "bleu_eval": _bleu_oracle_sql(4),
+        # PMI: double-product mirrored; cutoff on rounded pmi
+        "pmi_collocations": _PMI_ORACLE_SQL,
         # CMS: integer cells keyed by seeded md5 — exact replica, and the
         # min-over-depth query shows the upper-bound guarantee
         "cms_heavy_hitters": """
@@ -3483,6 +3538,29 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_bigram_logprob,
                    count(*)::BIGINT AS n_bigrams
             FROM flat JOIN big USING (prev, cur) JOIN ctx USING (prev), v
+            GROUP BY doc_id
+        """,
+        # Kneser-Ney: all statistics over the collapsed bigram TYPE
+        # table; probability expression mirrored term-for-term
+        "kn_logprob": """
+            WITH flat AS (
+              SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+                   LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i)),
+            big AS (SELECT prev, cur, count(*) AS c_ab FROM flat GROUP BY 1, 2),
+            ctx AS (SELECT prev, sum(c_ab) AS c_a, count(*) AS n1p_fwd
+                    FROM big GROUP BY 1),
+            cont AS (SELECT cur, count(*) AS n1p_rev FROM big GROUP BY 1),
+            types AS (SELECT count(*) AS n_types FROM big)
+            SELECT doc_id,
+                   round(avg(ln(
+                     greatest(c_ab - 0.75, 0.0) / c_a
+                     + (0.75 * n1p_fwd / c_a) * (n1p_rev / n_types))), 4)
+                     AS avg_kn_logprob,
+                   count(*)::BIGINT AS n_bigrams
+            FROM flat JOIN big USING (prev, cur) JOIN ctx USING (prev)
+                 JOIN cont USING (cur), types
             GROUP BY doc_id
         """,
         "source_mix": """

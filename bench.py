@@ -110,6 +110,10 @@ HEADLINE = [
     "dedup_substrings",
     "dup_clusters",
     "warc_extract",
+    "bpe_encode",
+    "bm25",
+    "tfidf_terms",
+    "bleu_eval",
 ]
 
 

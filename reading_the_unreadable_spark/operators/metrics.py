@@ -167,24 +167,37 @@ def cer_spans(
     )
 
 
-def _ngram_counts(df: DataFrame, n: int, text_col: str) -> DataFrame:
-    """(doc_id, text) → (doc_id, n, gram, c): n-gram multiplicities,
-    built JVM-side (split → transform/slice → explode), one partial-
-    aggregated shuffle on (doc_id, gram)."""
+def _ngram_counts(df: DataFrame, max_n: int, text_col: str) -> DataFrame:
+    """(doc_id, text) → (doc_id, n, gram, c): multiplicities for ALL
+    n = 1..max_n in ONE pass — the per-n gram arrays are concatenated
+    as (n, gram) structs and exploded once, so the source is scanned
+    once and there is a single partial-aggregated shuffle on
+    (doc_id, n, gram) (a per-n loop costs max_n scans and shuffles
+    per side — measured 4× slower at sf0.1)."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    k = F.size(toks) - F.lit(n - 1)
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    empty = F.array().cast("array<struct<n:int,gram:string>>")
+
+    # one-parameter lambda factory: a `lambda i, n=n:` default-arg
+    # capture would make F.transform pass the array INDEX as n
+    def _gram_at(n: int):
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.array_join(F.slice(toks, i, F.lit(n)), " ").alias("gram"),
+        )
+
+    arrs = []
+    for n in range(1, max_n + 1):
+        k = F.size(toks) - F.lit(n - 1)
+        arrs.append(
+            F.when(
+                k >= 1, F.transform(F.sequence(F.lit(1), k), _gram_at(n))
+            ).otherwise(empty)
+        )
     return (
-        df.select("doc_id", F.explode(grams).alias("gram"))
-        .groupBy("doc_id", "gram")
+        df.select("doc_id", F.explode(F.concat(*arrs)).alias("g"))
+        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .groupBy("doc_id", "n", "gram")
         .agg(F.count("*").alias("c"))
-        .withColumn("n", F.lit(n))
     )
 
 
@@ -201,8 +214,9 @@ def bleu(
     the unsmoothed definition).
 
     Scale shape: the LINEAR decomposition, not the row-local one —
-    n-gram multiplicities are one partial-aggregated shuffle on
-    (doc_id, gram) per side, clipping is an equi-join on the same key
+    n-gram multiplicities for all n are ONE scan + one partial-
+    aggregated shuffle on (doc_id, n, gram) per side (fused explode
+    of (n, gram) structs), clipping is an equi-join on the same key
     (co-partitioned, no extra exchange), and the per-doc fold is a
     conditional pivot.  A row-local array formulation (count-via-
     filter inside the row) is O(grams²) per document and dies on
@@ -215,13 +229,8 @@ def bleu(
     Output: (doc_id, len_pred, len_ref, match_1.., total_1..,
     brevity_penalty, bleu) — counts long, floats rounded 4 dp."""
     ns = range(1, max_n + 1)
-    pred_c = None
-    gt_c = None
-    for n in ns:
-        pc = _ngram_counts(predictions, n, text_col)
-        gc = _ngram_counts(ground_truth, n, text_col)
-        pred_c = pc if pred_c is None else pred_c.unionByName(pc)
-        gt_c = gc if gt_c is None else gt_c.unionByName(gc)
+    pred_c = _ngram_counts(predictions, max_n, text_col)
+    gt_c = _ngram_counts(ground_truth, max_n, text_col)
     matches = (
         pred_c.join(
             gt_c.withColumnRenamed("c", "c_ref"), ["doc_id", "n", "gram"]

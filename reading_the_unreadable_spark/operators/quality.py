@@ -206,6 +206,66 @@ def bigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def kneser_ney_logprob(
+    documents: DataFrame, discount: float = 0.75, text_col: str = "text"
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score (Kneser & Ney 1995;
+    Chen & Goodman 1998) — the smoothing KenLM actually uses, one rung
+    above :func:`bigram_logprob`'s add-one:
+
+        P(cur|prev) = max(c(prev,cur) - D, 0) / c(prev)
+                      + (D · N1+(prev,·) / c(prev)) · N1+(·,cur) / T
+
+    with N1+(prev,·) the distinct-successor count, N1+(·,cur) the
+    distinct-PREDECESSOR count (the continuation probability — 'how
+    many contexts does this word complete', the KN insight), and T the
+    total number of distinct bigram types.
+
+    Plan shape: ONE corpus-wide shuffle builds the bigram TYPE table
+    (map-side partials collapse Zipf-hot pairs); every KN statistic —
+    context totals, successor fan-out, predecessor fan-in, the type
+    count — is an aggregate over that already-collapsed table, never
+    over raw occurrences.  The probe side is the per-doc
+    pre-aggregated bigram counts (unigram_logprob's skew defense), T
+    is a 1-row broadcast.  All counts integer; the probability is one
+    fused expression, so 4 dp rounding makes the score engine-exact.
+    Docs with fewer than two tokens have no bigrams and no output row."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    pairs = F.arrays_zip(
+        F.slice(words, 1, n - 1).alias("prev"),
+        F.slice(words, 2, n - 1).alias("cur"),
+    )
+    flat = documents.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    big = flat.groupBy("prev", "cur").agg(F.count("*").alias("c_ab"))
+    ctx = big.groupBy("prev").agg(
+        F.sum("c_ab").alias("c_a"), F.count("*").alias("n1p_fwd")
+    )
+    cont = big.groupBy("cur").agg(F.count("*").alias("n1p_rev"))
+    types = big.agg(F.count("*").alias("n_types"))
+    doc_big = flat.groupBy("doc_id", "prev", "cur").agg(
+        F.count("*").alias("n")
+    )
+    p = F.greatest(F.col("c_ab") - discount, F.lit(0.0)) / F.col("c_a") + (
+        discount * F.col("n1p_fwd") / F.col("c_a")
+    ) * (F.col("n1p_rev") / F.col("n_types"))
+    scored = (
+        doc_big.join(big, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(cont, "cur")
+        .join(F.broadcast(types))
+        .select("doc_id", "n", F.log(p).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("n") * F.col("lp")) / F.sum("n"), 4).alias(
+            "avg_kn_logprob"
+        ),
+        F.sum("n").cast("long").alias("n_bigrams"),
+    )
+
+
 def source_mix(
     documents: DataFrame,
     source_col: str = "source",

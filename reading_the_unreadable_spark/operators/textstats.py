@@ -338,3 +338,63 @@ def bpe_encode(
             ).alias("bpe_text"),
         )
     )
+
+
+def pmi_collocations(
+    documents: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information (Church & Hanks 1990) — the statistical phrase-mining
+    pass tokenizer/phrase-list pipelines run before training:
+
+        pmi(a, b) = ln( P(a,b) / (P(a)·P(b)) )
+                  = ln( c_ab · N / (c_a · c_b) )
+
+    with marginals taken over the BIGRAM stream (c_a = left
+    occurrences, c_b = right occurrences, N = total bigrams).
+
+    Scale shape: one corpus shuffle builds the bigram type table
+    (map-side partials); marginals and N are aggregates over that
+    collapsed table; the two marginal joins key on single words
+    (vocabulary-sized frames, AQE-broadcastable but not pinned — same
+    reasoning as tf-idf's df join).  The product is computed in
+    doubles (c_ab·N overflows int64 at corpus scale).  Top-k orders
+    by the ROUNDED pmi (then the pair) so the cutoff is engine-
+    portable, and runs as TakeOrdered — never a global sort.
+    ``min_count`` suppresses the noise floor (PMI's known bias toward
+    hapax pairs)."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    pairs = F.arrays_zip(
+        F.slice(words, 1, n - 1).alias("prev"),
+        F.slice(words, 2, n - 1).alias("cur"),
+    )
+    flat = documents.select(F.explode(pairs).alias("p")).select(
+        F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    big = flat.groupBy("prev", "cur").agg(F.count("*").alias("c_ab"))
+    left = big.groupBy("prev").agg(F.sum("c_ab").alias("c_a"))
+    right = big.groupBy("cur").agg(F.sum("c_ab").alias("c_b"))
+    total = big.agg(F.sum("c_ab").alias("n_big"))
+    scored = (
+        big.filter(F.col("c_ab") >= min_count)
+        .join(left, "prev")
+        .join(right, "cur")
+        .join(F.broadcast(total))
+        .select(
+            "prev",
+            "cur",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") * 1.0 * F.col("n_big"))
+                    / (F.col("c_a") * 1.0 * F.col("c_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "prev", "cur").limit(k)

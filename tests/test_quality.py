@@ -342,3 +342,54 @@ def test_dsir_sample_is_gumbel_top_k(spark):
         .collect()
     ]
     assert {r["doc_id"] for r in got} != set(plain)
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    """Interpolated-KN bigram score vs an independent plain-Python
+    implementation of the textbook formula (Chen & Goodman 1998) on a
+    small corpus with repeated and unique bigrams."""
+    import math
+    from collections import Counter
+
+    from reading_the_unreadable_spark.operators.quality import (
+        kneser_ney_logprob,
+    )
+
+    texts = {
+        "a": "the cat sat on the mat",
+        "b": "the dog sat on the rug",
+        "c": "a cat and a dog",
+        "d": "one",  # single token: no bigrams, no output row
+    }
+    D = 0.75
+    bigrams = []
+    for t in texts.values():
+        w = t.split()
+        bigrams += list(zip(w, w[1:]))
+    c_ab = Counter(bigrams)
+    c_a = Counter(a for a, _ in bigrams)
+    n1p_fwd = Counter(a for a, _ in set(c_ab))
+    n1p_rev = Counter(b for _, b in set(c_ab))
+    T = len(c_ab)
+
+    def kn(a, b):
+        return max(c_ab[(a, b)] - D, 0) / c_a[a] + (
+            D * n1p_fwd[a] / c_a[a]
+        ) * (n1p_rev[b] / T)
+
+    expected = {}
+    for doc, t in texts.items():
+        w = t.split()
+        lps = [math.log(kn(a, b)) for a, b in zip(w, w[1:])]
+        if lps:
+            expected[doc] = (round(sum(lps) / len(lps), 4), len(lps))
+
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["avg_kn_logprob"], r["n_bigrams"])
+        for r in kneser_ney_logprob(df).collect()
+    }
+    assert got == expected
+    assert "d" not in got

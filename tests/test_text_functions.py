@@ -193,3 +193,24 @@ def test_bpe_encode_applies_learned_rules(spark):
     # tokens reassemble to the original characters
     joined = "".join(got[1]["bpe_text"].split(" "))
     assert joined == "low</w>lower</w>low</w>"
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from reading_the_unreadable_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    # "x y" always adjacent (3x); "a b" once; fillers break adjacency
+    df = spark.createDataFrame(
+        [(1, "x y q a b q x y"), (2, "x y q b a")],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(df, min_count=3, k=5).collect()
+    assert [(r["prev"], r["cur"]) for r in rows] == [("x", "y")]
+    r = rows[0]
+    # bigram stream: doc1 has 7, doc2 has 4 -> N=11; c_xy=3
+    # left marginal c_x = 3 (x always precedes y); right c_y = 3
+    assert r["c_ab"] == 3
+    assert r["pmi"] == round(math.log(3 * 1.0 * 11 / (3 * 1.0 * 3)), 4)
