@@ -169,33 +169,26 @@ def cer_spans(
 
 def _ngram_counts(df: DataFrame, max_n: int, text_col: str) -> DataFrame:
     """(doc_id, text) → (doc_id, n, gram, c): multiplicities for ALL
-    n = 1..max_n in ONE pass — the per-n gram arrays are concatenated
-    as (n, gram) structs and exploded once, so the source is scanned
-    once and there is a single partial-aggregated shuffle on
-    (doc_id, n, gram) (a per-n loop costs max_n scans and shuffles
-    per side — measured 4× slower at sf0.1)."""
+    n = 1..max_n in ONE pass — n is exploded from a literal array
+    first, then the grams for that n (the slice length is the n
+    COLUMN), so the source is scanned once and there is a single
+    partial-aggregated shuffle on (doc_id, n, gram).  A/B at sf0.1
+    (best-of-2, interleaved): this shape 2.0 s vs 2.5 s for a per-n
+    loop (max_n scans/shuffles per side) vs 8.2 s for concatenating
+    per-n (n, gram)-struct arrays (struct-array copies dominate)."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    empty = F.array().cast("array<struct<n:int,gram:string>>")
-
-    # one-parameter lambda factory: a `lambda i, n=n:` default-arg
-    # capture would make F.transform pass the array INDEX as n
-    def _gram_at(n: int):
-        return lambda i: F.struct(
-            F.lit(n).alias("n"),
-            F.array_join(F.slice(toks, i, F.lit(n)), " ").alias("gram"),
-        )
-
-    arrs = []
-    for n in range(1, max_n + 1):
-        k = F.size(toks) - F.lit(n - 1)
-        arrs.append(
-            F.when(
-                k >= 1, F.transform(F.sequence(F.lit(1), k), _gram_at(n))
-            ).otherwise(empty)
-        )
+    ns = F.array(*[F.lit(i) for i in range(1, max_n + 1)])
+    base = df.select("doc_id", toks.alias("toks"), F.explode(ns).alias("n"))
+    k = F.size("toks") - F.col("n") + F.lit(1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, F.col("n")), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select("doc_id", F.explode(F.concat(*arrs)).alias("g"))
-        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        base.select("doc_id", "n", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "n", "gram")
         .agg(F.count("*").alias("c"))
     )
@@ -215,8 +208,8 @@ def bleu(
 
     Scale shape: the LINEAR decomposition, not the row-local one —
     n-gram multiplicities for all n are ONE scan + one partial-
-    aggregated shuffle on (doc_id, n, gram) per side (fused explode
-    of (n, gram) structs), clipping is an equi-join on the same key
+    aggregated shuffle on (doc_id, n, gram) per side (n exploded
+    before the grams), clipping is an equi-join on the same key
     (co-partitioned, no extra exchange), and the per-doc fold is a
     conditional pivot.  A row-local array formulation (count-via-
     filter inside the row) is O(grams²) per document and dies on
