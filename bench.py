@@ -114,6 +114,8 @@ HEADLINE = [
     "bm25",
     "tfidf_terms",
     "bleu_eval",
+    "kn_logprob",
+    "pmi_collocations",
 ]
 
 

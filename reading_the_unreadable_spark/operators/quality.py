@@ -221,15 +221,23 @@ def kneser_ney_logprob(
     many contexts does this word complete', the KN insight), and T the
     total number of distinct bigram types.
 
-    Plan shape: ONE corpus-wide shuffle builds the bigram TYPE table
-    (map-side partials collapse Zipf-hot pairs); every KN statistic —
-    context totals, successor fan-out, predecessor fan-in, the type
-    count — is an aggregate over that already-collapsed table, never
-    over raw occurrences.  The probe side is the per-doc
-    pre-aggregated bigram counts (unigram_logprob's skew defense), T
-    is a 1-row broadcast.  All counts integer; the probability is one
-    fused expression, so 4 dp rounding makes the score engine-exact.
-    Docs with fewer than two tokens have no bigrams and no output row."""
+    Plan shape: the raw corpus is scanned ONCE and shuffled ONCE —
+    into the per-doc bigram-count frame, which lands behind a scratch
+    stage boundary (a naive five-consumer lineage re-scans and
+    re-shuffles the raw text per statistic: measured 10 parquet scans
+    with ZERO exchange reuse in the final AQE plan, because each
+    consumer's column pruning defeats canonicalization).  The corpus
+    bigram TYPE table is a re-aggregation of that boundary, itself
+    boundary-backed (four consumers); every KN statistic — context
+    totals, successor fan-out, predecessor fan-in, the type count —
+    aggregates the small type table.  The probe side is the same
+    per-doc frame (unigram_logprob's skew defense: Zipf-hot pairs
+    collapse before the network), T is a 1-row broadcast.  All counts
+    integer; the probability is one fused expression, so 4 dp rounding
+    makes the score engine-exact.  Docs with fewer than two tokens
+    have no bigrams and no output row."""
+    from .dedup import _stage_boundary
+
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     pairs = F.arrays_zip(
@@ -239,15 +247,19 @@ def kneser_ney_logprob(
     flat = documents.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
     )
-    big = flat.groupBy("prev", "cur").agg(F.count("*").alias("c_ab"))
+    doc_big = _stage_boundary(
+        flat.groupBy("doc_id", "prev", "cur").agg(F.count("*").alias("n")),
+        "kn_doc_bigrams",
+    )
+    big = _stage_boundary(
+        doc_big.groupBy("prev", "cur").agg(F.sum("n").alias("c_ab")),
+        "kn_bigram_types",
+    )
     ctx = big.groupBy("prev").agg(
         F.sum("c_ab").alias("c_a"), F.count("*").alias("n1p_fwd")
     )
     cont = big.groupBy("cur").agg(F.count("*").alias("n1p_rev"))
     types = big.agg(F.count("*").alias("n_types"))
-    doc_big = flat.groupBy("doc_id", "prev", "cur").agg(
-        F.count("*").alias("n")
-    )
     p = F.greatest(F.col("c_ab") - discount, F.lit(0.0)) / F.col("c_a") + (
         discount * F.col("n1p_fwd") / F.col("c_a")
     ) * (F.col("n1p_rev") / F.col("n_types"))

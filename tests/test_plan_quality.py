@@ -507,3 +507,61 @@ def test_tfidf_df_join_not_forced_broadcast(spark):
     assert "CartesianProduct" not in plan
     # partial aggregation collapses (doc, term) before the df join
     assert "HashAggregate" in plan
+
+
+def test_pmi_topk_is_take_ordered(spark):
+    """PMI's top-k must run as TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows), never a global Sort of the whole
+    scored bigram table; the only keyless join is the broadcast of the
+    1-row bigram-total frame."""
+    from reading_the_unreadable_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pmi_collocations(docs, min_count=5, k=20))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    # no exchange introduced by a global orderBy: Sort appears only
+    # inside TakeOrdered, so no "Exchange rangepartitioning"
+    assert "rangepartitioning" not in plan, plan[:2000]
+
+
+def test_kn_raw_corpus_never_rescanned(spark):
+    """Kneser-Ney: the raw text is consumed only inside the eager
+    stage-boundary job (once); the returned plan reads scratch parquet
+    exclusively — a lineage that re-derived each KN statistic from the
+    raw corpus measured 10 raw scans with zero exchange reuse in the
+    final AQE plan.  Scratch reads stay column-pruned and nothing
+    cartesian sneaks in via the keyless 1-row type-count join."""
+    from reading_the_unreadable_spark.operators.quality import (
+        kneser_ney_logprob,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(kneser_ney_logprob(docs))
+    assert "CartesianProduct" not in plan
+    scan_lines = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert scan_lines and not any(
+        "documents" in ln for ln in scan_lines
+    ), f"raw corpus rescanned:\n{plan[:2000]}"
+    # the text column never reaches any post-boundary scan
+    assert "text" not in "".join(scan_lines)
+
+
+def test_bleu_stays_jvm_side(spark):
+    """BLEU's hot path (n-gram explode, clip join, conditional pivot)
+    must be whole-stage-codegen JVM work — no Python eval anywhere in
+    the plan — and the n-explode shape means each side scans its
+    source exactly once."""
+    from reading_the_unreadable_spark.operators.metrics import bleu
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    preds = docs.withColumn("text", F.col("text"))
+    plan = _plan(bleu(preds, docs))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 4, f"{n_scans} scans:\n{plan[:2000]}"
