@@ -1629,6 +1629,178 @@ def _bleu_oracle_sql(max_n: int = 4) -> str:
     """
 
 
+# the same deterministic corruption bleu_eval uses — shared by the
+# recall-side metrics so all three eval rows grade one rendition
+_CORRUPT_PRED_CTE = """
+        pred AS (
+          SELECT doc_id,
+                 regexp_replace(array_to_string(
+                   list_filter(string_split(text, ' '),
+                               w -> w <> 'merge'), ' '),
+                   'data', 'info', 'g') AS text
+          FROM documents)"""
+
+
+def q_rouge_eval(spark, sf):
+    """Per-document ROUGE-1/2 (precision, RECALL, F1 — clipped n-gram
+    counts integer-exact) of the bleu_eval corruption against the
+    original: the recall half of the n-gram eval family (BLEU is the
+    precision half; a pipeline that silently DROPS text scores high
+    BLEU but low ROUGE recall)."""
+    d = _t(spark, sf, "documents")
+    gt = d.select("doc_id", "text")
+    pred = gt.select(
+        "doc_id",
+        F.regexp_replace(
+            F.array_join(
+                F.filter(F.split("text", " "), lambda w: w != "merge"), " "
+            ),
+            "data",
+            "info",
+        ).alias("text"),
+    )
+    return M.rouge_n(pred, gt, max_n=2)
+
+
+def _rouge_oracle_sql(max_n: int = 2) -> str:
+    ns = range(1, max_n + 1)
+    blocks = []
+    for n in ns:
+        for side, src in (("p", "pt"), ("g", "gtt")):
+            blocks.append(f""",
+        {side}c{n} AS (
+          SELECT doc_id, gram, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(len(t) - {n} + 1, 0)),
+              i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gram
+            FROM {src})
+          GROUP BY 1, 2)""")
+        blocks.append(f""",
+        m{n} AS (
+          SELECT p.doc_id, sum(least(p.c, g.c)) AS match_{n}
+          FROM pc{n} p JOIN gc{n} g USING (doc_id, gram) GROUP BY 1),
+        ptot{n} AS (
+          SELECT doc_id, sum(c) AS p_total_{n} FROM pc{n} GROUP BY 1),
+        rtot{n} AS (
+          SELECT doc_id, sum(c) AS r_total_{n} FROM gc{n} GROUP BY 1)""")
+    joins = " ".join(
+        f"LEFT JOIN ptot{n} USING (doc_id) "
+        f"LEFT JOIN rtot{n} USING (doc_id) "
+        f"LEFT JOIN m{n} USING (doc_id)"
+        for n in ns
+    )
+    ratio_cols = []
+    for n in ns:
+        m, pt, rt = f"match_{n}", f"p_total_{n}", f"r_total_{n}"
+        p = f"CASE WHEN {pt} > 0 THEN {m} * 1.0 / {pt} ELSE 0.0 END"
+        r = f"CASE WHEN {rt} > 0 THEN {m} * 1.0 / {rt} ELSE 0.0 END"
+        ratio_cols.append(
+            f"{m}::BIGINT AS {m}, {pt}::BIGINT AS {pt}, {rt}::BIGINT AS {rt},\n"
+            f"               round({p}, 4) AS rouge_p_{n},\n"
+            f"               round({r}, 4) AS rouge_r_{n},\n"
+            f"               CASE WHEN ({p}) + ({r}) > 0\n"
+            f"                    THEN round(2 * ({p}) * ({r}) / (({p}) + ({r})), 4)\n"
+            f"                    ELSE 0.0 END AS rouge_f_{n}"
+        )
+    fills = ", ".join(
+        f"coalesce({c}_{n}, 0) AS {c}_{n}"
+        for n in ns
+        for c in ("match", "p_total", "r_total")
+    )
+    return f"""
+        WITH {_CORRUPT_PRED_CTE.strip()},
+        pt AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM pred),
+        gtt AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM documents){"".join(blocks)},
+        spine AS (
+          SELECT doc_id FROM gtt WHERE len(t) > 0
+          UNION SELECT doc_id FROM pt WHERE len(t) > 0),
+        d AS (
+          SELECT doc_id, {fills}
+          FROM spine {joins})
+        SELECT doc_id, {", ".join(ratio_cols)}
+        FROM d
+    """
+
+
+def q_chrf_eval(spark, sf):
+    """Per-document chrF (β=2, character n = 1..6, whitespace
+    stripped, effective-order averaging) of the same corruption —
+    the tokenization-free eval metric; completes the family (CER =
+    edit distance, BLEU = word precision, ROUGE = word recall,
+    chrF = character F-score)."""
+    d = _t(spark, sf, "documents")
+    gt = d.select("doc_id", "text")
+    pred = gt.select(
+        "doc_id",
+        F.regexp_replace(
+            F.array_join(
+                F.filter(F.split("text", " "), lambda w: w != "merge"), " "
+            ),
+            "data",
+            "info",
+        ).alias("text"),
+    )
+    return M.chrf(pred, gt, max_n=6, beta=2.0)
+
+
+def _chrf_oracle_sql(max_n: int = 6) -> str:
+    ns = range(1, max_n + 1)
+    blocks = []
+    for n in ns:
+        for side, src in (("p", "ps"), ("g", "gs")):
+            blocks.append(f""",
+        {side}cc{n} AS (
+          SELECT doc_id, gram, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(length(s) - {n} + 1, 0)),
+              i -> substring(s, i, {n}))) AS gram
+            FROM {src})
+          GROUP BY 1, 2)""")
+        blocks.append(f""",
+        cm{n} AS (
+          SELECT p.doc_id, sum(least(p.c, g.c)) AS m
+          FROM pcc{n} p JOIN gcc{n} g USING (doc_id, gram) GROUP BY 1),
+        cs{n} AS (
+          SELECT doc_id, {n} AS n,
+                 coalesce(any_value(pt.p_total), 0) AS p_total,
+                 coalesce(any_value(rt.r_total), 0) AS r_total,
+                 coalesce(any_value(cm{n}.m), 0) AS m
+          FROM (SELECT doc_id, sum(c) AS p_total FROM pcc{n} GROUP BY 1) pt
+          FULL JOIN (SELECT doc_id, sum(c) AS r_total FROM gcc{n}
+                     GROUP BY 1) rt USING (doc_id)
+          LEFT JOIN cm{n} USING (doc_id)
+          GROUP BY doc_id)""")
+    union = " UNION ALL ".join(f"SELECT * FROM cs{n}" for n in ns)
+    return f"""
+        WITH {_CORRUPT_PRED_CTE.strip()},
+        ps AS (
+          SELECT doc_id, regexp_replace(text, '[ \t\n\r]+', '', 'g') AS s
+          FROM pred),
+        gs AS (
+          SELECT doc_id, regexp_replace(text, '[ \t\n\r]+', '', 'g') AS s
+          FROM documents){"".join(blocks)},
+        stats AS ({union}),
+        folded AS (
+          SELECT doc_id,
+                 sum(CASE WHEN p_total > 0 THEN m * 1.0 / p_total
+                          ELSE 0.0 END) / count(*) AS cp,
+                 sum(CASE WHEN r_total > 0 THEN m * 1.0 / r_total
+                          ELSE 0.0 END) / count(*) AS cr
+          FROM stats GROUP BY 1)
+        SELECT doc_id, round(cp, 4) AS chrp, round(cr, 4) AS chrr,
+               CASE WHEN cp + cr > 0
+                    THEN round(5 * cp * cr / (4 * cp + cr), 4)
+                    ELSE 0.0 END AS chrf
+        FROM folded
+    """
+
+
 # --------------------------------------------------------------- similarity
 def q_cosine_topk(spark, sf):
     return S.cosine_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
@@ -2195,7 +2367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                pytest-replicated).  pmi_collocations (PMI phrase
     #                mining, new operator) joins the window;
     #                cosine_topk shifts behind (green r04,
-    #                pytest-replicated).
+    #                pytest-replicated).  rouge_eval + chrf_eval
+    #                (recall/char halves of the eval family, new
+    #                operators) join the window; monthly_revenue +
+    #                page_coverage shift behind (monthly_revenue was an
+    #                r05 rotation candidate — still pytest-replicated;
+    #                page_coverage green r04).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -2234,6 +2411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "tfidf_terms": q_tfidf_terms,
         "bleu_eval": q_bleu_eval,
+        "rouge_eval": q_rouge_eval,
+        "chrf_eval": q_chrf_eval,
         "pmi_collocations": q_pmi_collocations,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
@@ -2757,6 +2936,10 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _TFIDF_ORACLE_SQL,
         # BLEU: integer-exact clipped n-gram counts; bp/bleu mirrored
         "bleu_eval": _bleu_oracle_sql(4),
+        # ROUGE: clipped counts integer-exact; P/R/F expression-mirrored
+        "rouge_eval": _rouge_oracle_sql(2),
+        # chrF: char-gram stats per effective order; fold mirrored
+        "chrf_eval": _chrf_oracle_sql(6),
         # PMI: double-product mirrored; cutoff on rounded pmi
         "pmi_collocations": _PMI_ORACLE_SQL,
         # CMS: integer cells keyed by seeded md5 — exact replica, and the

@@ -116,6 +116,8 @@ HEADLINE = [
     "bleu_eval",
     "kn_logprob",
     "pmi_collocations",
+    "rouge_eval",
+    "chrf_eval",
 ]
 
 

@@ -284,3 +284,144 @@ def cer_summary(cer_df: DataFrame) -> DataFrame:
         F.round(F.avg("cer"), 6).alias("mean_cer"),
         F.count("*").alias("n_docs"),
     )
+
+
+def _char_ngram_counts(df: DataFrame, max_n: int, text_col: str) -> DataFrame:
+    """(doc_id, text) → (doc_id, n, gram, c): CHARACTER n-gram
+    multiplicities for n = 1..max_n over the whitespace-stripped text
+    (chrF's convention), same one-scan/one-shuffle shape as the word
+    counter: n exploded first, the slice length is the n column.  The
+    whitespace class is spelled explicitly ([ \\t\\n\\r]) so the Spark
+    (Java regex) and oracle (RE2) engines agree byte-for-byte."""
+    s = F.regexp_replace(F.col(text_col), "[ \t\n\r]+", "")
+    ns = F.array(*[F.lit(i) for i in range(1, max_n + 1)])
+    base = df.select("doc_id", s.alias("s"), F.explode(ns).alias("n"))
+    k = F.length("s") - F.col("n") + F.lit(1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.substring(F.col("s"), i, F.col("n")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        base.select("doc_id", "n", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def _clip_stats(pred_c: DataFrame, gt_c: DataFrame) -> DataFrame:
+    """Two (doc_id, n, gram, c) frames → (doc_id, n, match, p_total,
+    r_total): clipped overlap plus per-side totals — the shared core
+    of the ROUGE/chrF family.  The clip join and both totals key on
+    the same (doc_id, n[, gram]) prefix, so all three aggregations
+    are co-partitioned with the counting shuffle; the full-outer total
+    join keeps docs whose prediction (or reference) is empty."""
+    matches = (
+        pred_c.join(
+            gt_c.withColumnRenamed("c", "c_ref"), ["doc_id", "n", "gram"]
+        )
+        .groupBy("doc_id", "n")
+        .agg(F.sum(F.least("c", "c_ref")).alias("match"))
+    )
+    p_tot = pred_c.groupBy("doc_id", "n").agg(F.sum("c").alias("p_total"))
+    r_tot = gt_c.groupBy("doc_id", "n").agg(F.sum("c").alias("r_total"))
+    return (
+        r_tot.join(p_tot, ["doc_id", "n"], "full")
+        .join(matches, ["doc_id", "n"], "left")
+        .na.fill(0, ["match", "p_total", "r_total"])
+    )
+
+
+def rouge_n(
+    predictions: DataFrame,
+    ground_truth: DataFrame,
+    max_n: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document ROUGE-N (Lin 2004) for n = 1..max_n: clipped
+    n-gram precision, RECALL (the summarization-eval headline number —
+    matches over REFERENCE totals, where BLEU divides by candidate
+    totals), and their F1.  Counts integer-exact; same linear
+    one-scan/one-shuffle n-gram decomposition as :func:`bleu`.
+
+    Output: (doc_id, match_n, p_total_n, r_total_n, rouge_p_n,
+    rouge_r_n, rouge_f_n) per n — counts long, ratios rounded 4 dp,
+    zero denominators score 0."""
+    ns = range(1, max_n + 1)
+    stats = _clip_stats(
+        _ngram_counts(predictions, max_n, text_col),
+        _ngram_counts(ground_truth, max_n, text_col),
+    )
+    wide = stats.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("n") == n, F.col(col))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"{col}_{n}")
+            for n in ns
+            for col in ("match", "p_total", "r_total")
+        ]
+    )
+    cols = [F.col("doc_id")]
+    for n in ns:
+        m, pt, rt = (F.col(f"{c}_{n}") for c in ("match", "p_total", "r_total"))
+        p = F.when(pt > 0, m / pt).otherwise(F.lit(0.0))
+        r = F.when(rt > 0, m / rt).otherwise(F.lit(0.0))
+        f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+        cols += [
+            m.alias(f"match_{n}"),
+            pt.alias(f"p_total_{n}"),
+            rt.alias(f"r_total_{n}"),
+            F.round(p, 4).alias(f"rouge_p_{n}"),
+            F.round(r, 4).alias(f"rouge_r_{n}"),
+            F.round(f1, 4).alias(f"rouge_f_{n}"),
+        ]
+    return wide.select(*cols)
+
+
+def chrf(
+    predictions: DataFrame,
+    ground_truth: DataFrame,
+    max_n: int = 6,
+    beta: float = 2.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document chrF (Popović 2015): character n-gram F-score for
+    n = 1..max_n over whitespace-stripped text — the eval metric of
+    record for morphology-rich MT, robust where word-level BLEU/ROUGE
+    shatter on tokenization.  chrP/chrR are the ARITHMETIC MEANS of
+    the per-order precisions/recalls over the EFFECTIVE orders — the
+    n with at least one gram on either side (sacrebleu's effective-
+    order reduction: without it a 2-char identity scores 0.33, not
+    1.0); an order present on only one side contributes 0 with a full
+    divisor share.  chrF_β = (1+β²)·chrP·chrR / (β²·chrP + chrR),
+    β = 2.
+
+    Same scale shape as the word metrics: one scan + one partial-
+    aggregated shuffle per side, clip join co-partitioned.  The fold
+    is a straight groupBy (no pivot — only the per-order SUMS feed the
+    score).  Output: (doc_id, chrp, chrr, chrf) rounded 4 dp."""
+    stats = _clip_stats(
+        _char_ngram_counts(predictions, max_n, text_col),
+        _char_ngram_counts(ground_truth, max_n, text_col),
+    )
+    p = F.when(F.col("p_total") > 0, F.col("match") / F.col("p_total")).otherwise(F.lit(0.0))
+    r = F.when(F.col("r_total") > 0, F.col("match") / F.col("r_total")).otherwise(F.lit(0.0))
+    per_doc = stats.groupBy("doc_id").agg(
+        (F.sum(p) / F.count("*")).alias("chrp_raw"),
+        (F.sum(r) / F.count("*")).alias("chrr_raw"),
+    )
+    b2 = beta * beta
+    cp, cr = F.col("chrp_raw"), F.col("chrr_raw")
+    score = F.when(
+        cp + cr > 0, (1 + b2) * cp * cr / (b2 * cp + cr)
+    ).otherwise(F.lit(0.0))
+    return per_doc.select(
+        "doc_id",
+        F.round(cp, 4).alias("chrp"),
+        F.round(cr, 4).alias("chrr"),
+        F.round(score, 4).alias("chrf"),
+    )

@@ -194,3 +194,88 @@ def test_bleu_empty_prediction_drops_doc(spark):
     )
     rows = bleu(pred, gt).collect()
     assert [r["doc_id"] for r in rows] == ["a"]  # b has no candidates
+
+
+def test_rouge_matches_python_reference(spark):
+    """ROUGE-1/2 vs an independent plain-Python clipped-overlap
+    implementation (Lin 2004), including an empty prediction (scores
+    0, doc retained via the full-outer totals join)."""
+    from collections import Counter
+
+    from reading_the_unreadable_spark.operators.metrics import rouge_n
+
+    gts = {
+        "a": "the cat sat on the mat",
+        "b": "hello world",
+        "c": "a b a b a",
+    }
+    preds = {"a": "the cat on the mat", "b": "", "c": "a b a"}
+
+    def grams(t, n):
+        w = [x for x in t.split(" ") if x != ""]
+        return Counter(
+            tuple(w[i : i + n]) for i in range(len(w) - n + 1)
+        )
+
+    expected = {}
+    for d in gts:
+        row = {}
+        for n in (1, 2):
+            p, g = grams(preds[d], n), grams(gts[d], n)
+            m = sum(min(c, g[k]) for k, c in p.items() if k in g)
+            pt, rt = sum(p.values()), sum(g.values())
+            prec = m / pt if pt else 0.0
+            rec = m / rt if rt else 0.0
+            f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+            row[n] = (m, pt, rt, round(prec, 4), round(rec, 4), round(f1, 4))
+        expected[d] = row
+
+    df_g = spark.createDataFrame(list(gts.items()), "doc_id string, text string")
+    df_p = spark.createDataFrame(list(preds.items()), "doc_id string, text string")
+    for r in rouge_n(df_p, df_g).collect():
+        for n in (1, 2):
+            got = (
+                r[f"match_{n}"], r[f"p_total_{n}"], r[f"r_total_{n}"],
+                r[f"rouge_p_{n}"], r[f"rouge_r_{n}"], r[f"rouge_f_{n}"],
+            )
+            assert got == expected[r["doc_id"]][n], (r["doc_id"], n, got)
+
+
+def test_chrf_matches_python_reference(spark):
+    """chrF (β=2, n=1..6, whitespace stripped, zero-denominator orders
+    contribute 0 with divisor always max_n) vs plain Python."""
+    from collections import Counter
+
+    from reading_the_unreadable_spark.operators.metrics import chrf
+
+    gts = {"a": "the cat sat", "b": "ab", "c": "hello world"}
+    preds = {"a": "the cat sit", "b": "ab", "c": ""}
+
+    def cgrams(t, n):
+        s = "".join(t.split())
+        return Counter(s[i : i + n] for i in range(len(s) - n + 1))
+
+    expected = {}
+    for d in gts:
+        ps, rs = [], []
+        for n in range(1, 7):
+            p, g = cgrams(preds[d], n), cgrams(gts[d], n)
+            m = sum(min(c, g[k]) for k, c in p.items() if k in g)
+            pt, rt = sum(p.values()), sum(g.values())
+            if pt == 0 and rt == 0:  # effective-order reduction
+                continue
+            ps.append(m / pt if pt else 0.0)
+            rs.append(m / rt if rt else 0.0)
+        cp, cr = sum(ps) / len(ps), sum(rs) / len(rs)
+        f = 5 * cp * cr / (4 * cp + cr) if cp + cr else 0.0
+        expected[d] = (round(cp, 4), round(cr, 4), round(f, 4))
+
+    df_g = spark.createDataFrame(list(gts.items()), "doc_id string, text string")
+    df_p = spark.createDataFrame(list(preds.items()), "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["chrp"], r["chrr"], r["chrf"])
+        for r in chrf(df_p, df_g).collect()
+    }
+    assert got == expected
+    # identical strings score a perfect 1.0
+    assert got["b"] == (1.0, 1.0, 1.0)
