@@ -414,6 +414,16 @@ def q_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.9)
 
 
+def q_allpairs_sim(spark, sf):
+    """EXACT all-pairs Jaccard join (prefix filtering, Bayardo et al.
+    2007) at t=0.95 — the deterministic complement to the LSH dedup
+    rows.  The oracle is a deliberately algorithm-independent BRUTE
+    FORCE over all doc pairs: hash-equality certifies the
+    no-false-negative theorem end-to-end, not a mirrored
+    implementation."""
+    return D.allpairs_jaccard(_t(spark, sf, "documents"), threshold=0.95)
+
+
 def q_bpe_merges(spark, sf):
     """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): five
     merge rules learned from the corpus word-frequency table.  The
@@ -2372,7 +2382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                operators) join the window; monthly_revenue +
     #                page_coverage shift behind (monthly_revenue was an
     #                r05 rotation candidate — still pytest-replicated;
-    #                page_coverage green r04).
+    #                page_coverage green r04).  allpairs_sim (exact
+    #                prefix-filter similarity join, new operator) joins
+    #                the window; rank_and_median shifts behind (r05
+    #                rotation candidate, pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -2414,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_eval": q_rouge_eval,
         "chrf_eval": q_chrf_eval,
         "pmi_collocations": q_pmi_collocations,
+        "allpairs_sim": q_allpairs_sim,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2936,6 +2950,23 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _TFIDF_ORACLE_SQL,
         # BLEU: integer-exact clipped n-gram counts; bp/bleu mirrored
         "bleu_eval": _bleu_oracle_sql(4),
+        # all-pairs: BRUTE-FORCE oracle (algorithm-independent) — the
+        # hash match certifies prefix filtering finds every pair >= t
+        "allpairs_sim": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(string_split(text, ' '),
+                                               t -> t <> '')) AS s
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.s, b.s)) AS i,
+                     len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+              FROM toks a JOIN toks b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, i::BIGINT AS n_common,
+                   u::BIGINT AS n_union, round(i * 1.0 / u, 4) AS jaccard
+            FROM pairs WHERE i * 1.0 / u >= 0.95
+        """,
         # ROUGE: clipped counts integer-exact; P/R/F expression-mirrored
         "rouge_eval": _rouge_oracle_sql(2),
         # chrF: char-gram stats per effective order; fold mirrored

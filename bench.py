@@ -118,6 +118,7 @@ HEADLINE = [
     "pmi_collocations",
     "rouge_eval",
     "chrf_eval",
+    "allpairs_sim",
 ]
 
 

@@ -858,3 +858,109 @@ def near_dedup(
         F.col("doc_id") != F.col("cluster_id")
     )
     return documents.join(losers.select("doc_id"), "doc_id", "left_anti")
+
+
+def allpairs_jaccard(
+    documents: DataFrame, threshold: float = 0.9, text_col: str = "text"
+) -> DataFrame:
+    """EXACT all-pairs Jaccard similarity join via prefix filtering
+    (Bayardo, Ma & Srikant 2007, "Scaling Up All Pairs Similarity
+    Search") — the deterministic complement to the LSH families: no
+    false negatives, no tuning of bands/rows, at the cost of a
+    candidate set that grows as the threshold drops.
+
+    The prefix-filter theorem: order every document's distinct-token
+    set by GLOBAL rarity (ascending document frequency, ties on the
+    token); two sets with Jaccard ≥ t MUST share at least one token in
+    their first |d| − ⌈t·|d|⌉ + 1 tokens.  Candidates are therefore
+    the pairs co-occurring in a prefix-token bucket — the join
+    replicates each document only (1−t)·|d|+1 times, and the rarity
+    ordering puts the LEAST frequent tokens in prefixes, so bucket
+    sizes shrink toward singletons exactly where the corpus is hot.
+
+    Plan shape: one shuffle computes document frequencies (vocabulary-
+    sized, token-keyed equi-join back — same AQE-skew reasoning as
+    tf-idf); one doc_id shuffle folds the rarity-sorted set array; the
+    candidate join keys on single prefix tokens; verification is an
+    array_intersect over the candidate pairs only (never all pairs —
+    plan-asserted), with sizes pre-checked (min/max ≥ t is implied by
+    Jaccard ≥ t) before any intersection is computed.
+
+    Output: (doc_a, doc_b, n_common, n_union, jaccard) for every pair
+    with jaccard ≥ threshold, doc_a < doc_b, 4 dp rounding."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            )
+        ).alias("token"),
+    )
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    sets = (
+        toks.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "token"))),
+                lambda s: s["token"],
+            ).alias("toks")
+        )
+        .select("doc_id", "toks", F.size("toks").alias("sz"))
+    )
+    prefix_len = (F.col("sz") - F.ceil(threshold * F.col("sz")) + 1).cast(
+        "int"
+    )
+    prefix = sets.select(
+        "doc_id", F.explode(F.slice("toks", 1, prefix_len)).alias("token")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    uni = F.col("sz_a") + F.col("sz_b") - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        # size filter first: jaccard >= t forces min(sz)/max(sz) >= t,
+        # pruning before the O(|A|+|B|) intersection runs
+        .filter(
+            F.least("sz_a", "sz_b")
+            >= F.ceil(threshold * F.greatest("sz_a", "sz_b"))
+        )
+        .withColumn("n_common", inter.cast("long"))
+        .withColumn(
+            "n_union",
+            (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("long"),
+        )
+        # threshold on the UNROUNDED ratio (integer/integer double
+        # division is IEEE-identical across engines; a rounded cutoff
+        # would admit pairs just below t)
+        .filter(F.col("n_common") / F.col("n_union") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_union",
+            F.round(F.col("n_common") / F.col("n_union"), 4).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -113,3 +113,44 @@ def test_cc_nonconvergence_raises(spark):
         assert "converge" in str(e)
     else:
         raise AssertionError("expected RuntimeError on round exhaustion")
+
+
+def test_allpairs_jaccard_exact_vs_bruteforce(spark):
+    """Prefix-filter all-pairs join is EXACT: every pair with
+    Jaccard >= t is found (the no-false-negative theorem) and nothing
+    below t leaks in — checked against a plain-Python brute force on
+    a corpus mixing near-identical, overlapping, and disjoint docs."""
+    from itertools import combinations
+
+    from reading_the_unreadable_spark.operators.dedup import (
+        allpairs_jaccard,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "alpha beta gamma delta epsilon eta",   # 5/7 with 1
+        3: "alpha beta gamma delta epsilon zeta",  # identical to 1
+        4: "one two three four five six",          # disjoint
+        5: "alpha beta gamma delta epsilon zeta theta",  # 6/7 with 1
+        6: "x",                                    # singleton set
+        7: "x",                                    # identical singleton
+    }
+    sets = {k: set(v.split()) for k, v in texts.items()}
+    t = 0.7
+    expected = {}
+    for a, b in combinations(sorted(texts), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if i / u >= t:
+            expected[(a, b)] = (i, u, round(i / u, 4))
+
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_union"], r["jaccard"])
+        for r in allpairs_jaccard(df, threshold=t).collect()
+    }
+    assert got == expected
+    # sanity: the identical pairs are present at jaccard 1.0
+    assert got[(1, 3)][2] == 1.0 and got[(6, 7)][2] == 1.0

@@ -565,3 +565,27 @@ def test_bleu_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan
     n_scans = plan.count("Scan parquet")
     assert n_scans <= 4, f"{n_scans} scans:\n{plan[:2000]}"
+
+
+def test_allpairs_verify_is_candidate_bounded(spark):
+    """Prefix-filter all-pairs: the candidate join keys on single
+    prefix tokens; the verification joins (where array_intersect
+    runs) must key on doc_a/doc_b — bounded by the candidate list —
+    and nothing in the plan may be cartesian."""
+    from reading_the_unreadable_spark.operators.dedup import (
+        allpairs_jaccard,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(allpairs_jaccard(docs, threshold=0.95))
+    assert "CartesianProduct" not in plan
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", ln)
+    ]
+    # every join keyed on the token array columns must be doc-bounded
+    verify = [ln for ln in join_lines if "toks" in ln]
+    assert verify, "expected the verify joins in the plan"
+    for ln in verify:
+        assert re.search(r"doc_[ab]", ln.split("Join")[1]), ln
