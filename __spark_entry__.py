@@ -1287,6 +1287,35 @@ def q_kn_logprob(spark, sf):
     return kneser_ney_logprob(_t(spark, sf, "documents"))
 
 
+def q_dataset_split(spark, sf):
+    """Deterministic hash train/val/test split (90/5/5) audited per
+    source: the zero-shuffle-per-doc assignment rule (md5(doc_id)
+    uniform) plus the (source, split) doc/token balance table."""
+    from reading_the_unreadable_spark.operators.quality import dataset_split
+
+    return dataset_split(_t(spark, sf, "documents"))
+
+
+def q_source_overlap(spark, sf):
+    """Cross-source contamination matrix over 8-token shingle
+    fingerprints — which source pairs share verbatim runs (a crawl
+    slice ingested twice, shared boilerplate) before training
+    double-counts them."""
+    from reading_the_unreadable_spark.operators.quality import source_overlap
+
+    return source_overlap(_t(spark, sf, "documents"), shingle_len=8)
+
+
+def q_zipf_fit(spark, sf):
+    """One-row Zipf diagnostic: ln(freq)~ln(rank) least-squares over
+    the top-1000 token types (TakeOrdered cut; the ranking window runs
+    post-limit on a k-row frame).  Natural text sits near slope −1;
+    this templated corpus reports its slope honestly."""
+    from reading_the_unreadable_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf, "documents"), top_k=1000)
+
+
 def q_source_mix(spark, sf):
     """Training-mixture statistics: per-source doc/token counts, token
     share, and the temperature-scaled (alpha=0.7) sampling weight."""
@@ -2386,6 +2415,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                prefix-filter similarity join, new operator) joins
     #                the window; rank_and_median shifts behind (r05
     #                rotation candidate, pytest-replicated).
+    #                dataset_split + source_overlap + zipf_fit (corpus
+    #                curation/diagnostics, new operators) join the
+    #                window; scan_preprocess + page_blocks_pixels +
+    #                xy_cut_pixels shift behind (green r04,
+    #                pytest-replicated) so the three fresh TPC rotation
+    #                rows stay inside the 50.
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -2431,9 +2466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
-        "scan_preprocess": q_scan_preprocess,
-        "page_blocks_pixels": q_page_blocks_pixels,
-        "xy_cut_pixels": q_xy_cut_pixels,
+        "dataset_split": q_dataset_split,
+        "source_overlap": q_source_overlap,
+        "zipf_fit": q_zipf_fit,
         "snapshot_incremental": q_snapshot_incremental,
         # -- r05 rotated-in TPC rows (fresh driver check this round) --
         "pricing_summary": q_pricing_summary,
@@ -2441,7 +2476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "rank_and_median": q_rank_and_median,
         "monthly_revenue": q_monthly_revenue,
-        # -- remaining operator-family queries (driver-green r02/r03) --
+        # -- remaining operator-family queries (driver-green r02-r04) --
+        "scan_preprocess": q_scan_preprocess,
+        "page_blocks_pixels": q_page_blocks_pixels,
+        "xy_cut_pixels": q_xy_cut_pixels,
         "page_coverage": q_page_coverage,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -3776,6 +3814,61 @@ def oracle_sql() -> dict[str, str]:
             FROM flat JOIN big USING (prev, cur) JOIN ctx USING (prev)
                  JOIN cont USING (cur), types
             GROUP BY doc_id
+        """,
+        # hash split: md5-uniform mirrored; counts integer-exact
+        "dataset_split": """
+            WITH d AS (
+              SELECT source,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       / 4294967296.0 AS u,
+                     len(list_filter(string_split(text, ' '),
+                                     t -> t <> '')) AS nt
+              FROM documents)
+            SELECT source,
+                   CASE WHEN u < 0.9 THEN 'train'
+                        WHEN u < 0.95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*)::BIGINT AS n_docs,
+                   sum(nt)::BIGINT AS n_tokens
+            FROM d GROUP BY 1, 2
+        """,
+        # shingle fingerprints 16-byte; pair join mirrored
+        "source_overlap": """
+            WITH t AS (
+              SELECT source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT source,
+                     md5(array_to_string(w[i:i+7], ' ')) AS f
+              FROM t, LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(w) - 7, 0))) AS i))
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS n_shared_shingles
+            FROM sh a JOIN sh b ON a.f = b.f AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        # Zipf: identical rank tie-break (freq desc, token); regr_*
+        # aggregates over the same 4-dp-rounded log pairs
+        "zipf_fit": """
+            WITH tok AS (
+              SELECT unnest(list_filter(string_split(text, ' '),
+                            t -> t <> '')) AS token
+              FROM documents),
+            freq AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+            top AS (SELECT token, c FROM freq
+                    ORDER BY c DESC, token LIMIT 1000),
+            ranked AS (
+              SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank
+              FROM top)
+            SELECT count(*)::BIGINT AS n_types_fitted,
+                   sum(c)::BIGINT AS n_tokens_fitted,
+                   round(regr_slope(ln(c::DOUBLE), ln(rank::DOUBLE)), 4)
+                     AS zipf_slope,
+                   round(regr_intercept(ln(c::DOUBLE), ln(rank::DOUBLE)), 4)
+                     AS zipf_intercept,
+                   round(regr_r2(ln(c::DOUBLE), ln(rank::DOUBLE)), 4) AS r2
+            FROM ranked
         """,
         "source_mix": """
             WITH per AS (

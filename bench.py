@@ -119,6 +119,9 @@ HEADLINE = [
     "rouge_eval",
     "chrf_eval",
     "allpairs_sim",
+    "dataset_split",
+    "source_overlap",
+    "zipf_fit",
 ]
 
 

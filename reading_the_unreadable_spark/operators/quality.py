@@ -809,3 +809,98 @@ def dsir_sample(
         F.round(F.col("log_weight") - F.log(-F.log(u)), 4).alias("gumbel_key"),
     )
     return keyed.orderBy(F.col("gumbel_key").desc(), "doc_id").limit(k)
+
+
+def dataset_split(
+    documents: DataFrame,
+    fractions: tuple[float, float] = (0.9, 0.05),
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic train/val/test assignment + the per-(source,
+    split) balance table every training pipeline reports.
+
+    Assignment is a pure hash rule — ``u = md5(doc_id)`` scaled to
+    [0, 1), train if u < f_train, val if u < f_train+f_val, else test
+    — so it is reproducible across engines AND runs, needs ZERO
+    shuffle per document (a window-ranked exact-quota split would
+    serialize each stratum through one window partition — the very
+    skew a 100 TB corpus cannot afford; the hash rule stratifies in
+    expectation because md5(doc_id) is independent of the source).
+    The output here is the audit aggregate: doc/token counts per
+    (source, split) — one groupBy.
+
+    Output: (source, split, n_docs, n_tokens), split ∈
+    {train, val, test}."""
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    split = (
+        F.when(u < fractions[0], F.lit("train"))
+        .when(u < fractions[0] + fractions[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    n_tok = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    return (
+        documents.select(
+            F.col(source_col).alias("source"),
+            split.alias("split"),
+            n_tok.alias("_nt"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def source_overlap(
+    documents: DataFrame,
+    shingle_len: int = 8,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many DISTINCT ``shingle_len``-token shingle fingerprints appear in
+    both — the audit that catches a crawl slice ingested twice under
+    two names, or boilerplate shared across domains, BEFORE training
+    double-counts it.  Token shingles (the decontamination-family
+    grain, GPT-3 §C uses 13-grams) rather than paragraphs: structural
+    grains go blind on corpora whose documents are single-block.
+
+    Scale shape: shingles explode map-side and are immediately
+    16-byte-fingerprinted (the shuffle never carries shingle text);
+    (source, fp) is made distinct with ONE shuffle (map-side partials
+    collapse within-source repeats); the pair join keys on fp and is
+    bounded per fingerprint by the SOURCE dimension's cardinality
+    (≤ n_sources rows per key, so a boilerplate shingle in every
+    source costs n_sources², never corpus²).
+
+    Output: (source_a, source_b, n_shared_shingles), a < b; source
+    pairs with zero overlap emit no row."""
+    w = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    k = F.size(w) - F.lit(shingle_len - 1)
+    shingles = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(w, i, F.lit(shingle_len)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sfp = (
+        documents.select(
+            F.col(source_col).alias("source"),
+            F.explode(shingles).alias("sh"),
+        )
+        .select("source", F.md5("sh").alias("fp"))
+        .distinct()
+    )
+    a = sfp.select(F.col("source").alias("source_a"), "fp")
+    b = sfp.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )

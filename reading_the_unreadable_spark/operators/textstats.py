@@ -398,3 +398,49 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "prev", "cur").limit(k)
+
+
+def zipf_fit(
+    documents: DataFrame, top_k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Zipf's-law diagnostic: least-squares slope/intercept/R² of
+    ln(frequency) against ln(rank) over the ``top_k`` most frequent
+    tokens — the one-row corpus health check (natural language sits
+    near slope −1; a slope collapsing toward 0 means templated or
+    deduplicated-to-death text, a cliff past rank ~100 means a
+    truncated vocabulary).
+
+    Scale shape: ONE shuffle builds the token frequency table; the
+    top-k cut is TakeOrdered (per-partition heaps, never a global
+    sort); ranking happens on the k-row frame AFTER the limit (the
+    only unpartitioned window, size-bounded by construction — fitting
+    on all 1e9 ranks would serialize the vocabulary through one
+    partition for a statistic the head determines anyway).  The fit
+    itself is the built-in regr_* aggregates.
+
+    Output: 1 row (n_types_fitted, n_tokens_fitted, zipf_slope,
+    zipf_intercept, r2), floats rounded 4 dp; ties broken on token so
+    ranks are engine-exact."""
+    freq = (
+        documents.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    top = freq.orderBy(F.col("c").desc(), "token").limit(top_k)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), "token")),
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_types_fitted"),
+        F.sum("c").cast("long").alias("n_tokens_fitted"),
+        F.round(F.expr("regr_slope(ln(cast(c as double)), ln(cast(rank as double)))"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(ln(cast(c as double)), ln(cast(rank as double)))"), 4).alias("zipf_intercept"),
+        F.round(F.expr("regr_r2(ln(cast(c as double)), ln(cast(rank as double)))"), 4).alias("r2"),
+    )

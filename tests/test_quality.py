@@ -393,3 +393,57 @@ def test_kneser_ney_matches_python_reference(spark):
     }
     assert got == expected
     assert "d" not in got
+
+
+def test_dataset_split_deterministic_and_total(spark):
+    """Hash split: every doc lands in exactly one split, assignment is
+    run-stable, and fractions are honored in expectation."""
+    from reading_the_unreadable_spark.operators.quality import dataset_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = {tuple(r) for r in dataset_split(docs).collect()}
+    b = {tuple(r) for r in dataset_split(docs).collect()}
+    assert a == b  # deterministic
+    total = sum(r[2] for r in a)
+    assert total == docs.count()  # partition of the corpus
+    by_split = {}
+    for _, split, n, _ in a:
+        by_split[split] = by_split.get(split, 0) + n
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split["train"] / total > 0.8  # 0.9 nominal
+
+
+def test_source_overlap_hand_computed(spark):
+    """Two sources sharing one 3-token run, a third sharing nothing."""
+    from reading_the_unreadable_spark.operators.quality import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "the quick brown fox jumps"),
+            (2, "s2", "lazy the quick brown cat"),
+            (3, "s3", "completely different words here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = source_overlap(df, shingle_len=3).collect()
+    assert [(r["source_a"], r["source_b"], r["n_shared_shingles"]) for r in rows] == [
+        ("s1", "s2", 1)  # only 'the quick brown'
+    ]
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from reading_the_unreadable_spark.operators.textstats import zipf_fit
+
+    # frequencies 8,4,2,1 by construction
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_fit(df, top_k=10).collect()[0]
+    assert r["n_types_fitted"] == 4 and r["n_tokens_fitted"] == 15
+    x = np.log(np.arange(1, 5, dtype=float))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert r["zipf_slope"] == round(float(slope), 4)
+    assert r["zipf_intercept"] == round(float(intercept), 4)
+    assert 0.9 < r["r2"] <= 1.0
