@@ -750,6 +750,38 @@ def q_pagerank(spark, sf):
     return pagerank(edges)
 
 
+def q_hits(spark, sf):
+    """HITS hubs & authorities over the same deterministic 2-out-link
+    graph as pagerank, 2 fixed unnormalized steps — every score an
+    exact integer (alternating path counts), so the oracle needs no
+    rounding discipline at all."""
+    from reading_the_unreadable_spark.operators.graph import hits
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    linkers = docs.filter(d % 17 != 0)
+    edges = linkers.select(
+        d.alias("src"), F.pmod(d * 7 + 3, F.lit(n)).alias("dst")
+    ).union(
+        linkers.select(
+            d.alias("src"), F.pmod(d * 13 + 5, F.lit(n)).alias("dst")
+        )
+    )
+    return hits(edges, iters=2)
+
+
+def q_tokenizer_stats(spark, sf):
+    """Per-source tokenizer fertility/compression table (BPE-class
+    tokens per whitespace word, chars per token) — the capacity
+    numbers a pre-training run budgets from."""
+    from reading_the_unreadable_spark.operators.textstats import (
+        tokenizer_stats,
+    )
+
+    return tokenizer_stats(_t(spark, sf, "documents"))
+
+
 def q_anchor_texts(spark, sf):
     """Anchor-text aggregation onto link targets (the classic web
     relevance side-channel): distinct anchors sorted and slice-bounded
@@ -2420,7 +2452,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                window; scan_preprocess + page_blocks_pixels +
     #                xy_cut_pixels shift behind (green r04,
     #                pytest-replicated) so the three fresh TPC rotation
-    #                rows stay inside the 50.
+    #                rows stay inside the 50.  hits +
+    #                tokenizer_stats (link-graph + capacity families,
+    #                new operators) join the window; gopher_signals +
+    #                bigram_logprob shift behind (green r04; the gopher
+    #                and LM families keep fresh rows via gopher_filter
+    #                and kn_logprob).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -2429,11 +2466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "html_blocks": q_html_blocks,
         "c4_filters": q_c4_filters,
-        "gopher_signals": q_gopher_signals,
         "gopher_filter": q_gopher_filter,
         "para_dedup": q_para_dedup,
         "unigram_logprob": q_unigram_logprob,
-        "bigram_logprob": q_bigram_logprob,
         "kn_logprob": q_kn_logprob,
         "source_mix": q_source_mix,
         "pack_sequences": q_pack_sequences,
@@ -2452,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "pagerank": q_pagerank,
         "anchor_texts": q_anchor_texts,
+        "hits": q_hits,
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bpe_merges": q_bpe_merges,
@@ -2469,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "source_overlap": q_source_overlap,
         "zipf_fit": q_zipf_fit,
+        "tokenizer_stats": q_tokenizer_stats,
         "snapshot_incremental": q_snapshot_incremental,
         # -- r05 rotated-in TPC rows (fresh driver check this round) --
         "pricing_summary": q_pricing_summary,
@@ -2477,6 +2514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_and_median": q_rank_and_median,
         "monthly_revenue": q_monthly_revenue,
         # -- remaining operator-family queries (driver-green r02-r04) --
+        "gopher_signals": q_gopher_signals,
+        "bigram_logprob": q_bigram_logprob,
         "scan_preprocess": q_scan_preprocess,
         "page_blocks_pixels": q_page_blocks_pixels,
         "xy_cut_pixels": q_xy_cut_pixels,
@@ -3125,6 +3164,59 @@ def oracle_sql() -> dict[str, str]:
                          + 0.85 * coalesce(i2.inflow, 0), 9) AS rank
             FROM nodes n CROSS JOIN nc CROSS JOIN d2
             LEFT JOIN i2 ON n.node = i2.dst
+        """,
+        # HITS: integer path counts — no rounding anywhere
+        "hits": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst
+              FROM documents, nn WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 5) % n
+              FROM documents, nn WHERE doc_id % 17 <> 0),
+            nodes AS (
+              SELECT DISTINCT node FROM
+                (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+            h0 AS (SELECT node, 1::BIGINT AS hub FROM nodes),
+            a1 AS (SELECT n.node, coalesce(t.s, 0)::BIGINT AS auth
+                   FROM nodes n LEFT JOIN (
+                     SELECT e.dst, sum(h0.hub) AS s
+                     FROM e JOIN h0 ON e.src = h0.node GROUP BY 1) t
+                   ON n.node = t.dst),
+            h1 AS (SELECT n.node, coalesce(t.s, 0)::BIGINT AS hub
+                   FROM nodes n LEFT JOIN (
+                     SELECT e.src, sum(a1.auth) AS s
+                     FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1) t
+                   ON n.node = t.src),
+            a2 AS (SELECT n.node, coalesce(t.s, 0)::BIGINT AS auth
+                   FROM nodes n LEFT JOIN (
+                     SELECT e.dst, sum(h1.hub) AS s
+                     FROM e JOIN h1 ON e.src = h1.node GROUP BY 1) t
+                   ON n.node = t.dst),
+            h2 AS (SELECT n.node, coalesce(t.s, 0)::BIGINT AS hub
+                   FROM nodes n LEFT JOIN (
+                     SELECT e.src, sum(a2.auth) AS s
+                     FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1) t
+                   ON n.node = t.src)
+            SELECT a2.node, a2.auth AS authority, h2.hub
+            FROM a2 JOIN h2 ON a2.node = h2.node
+        """,
+        # tokenizer stats: BPE_PATTERN shared verbatim; ratios from
+        # summed longs, 4 dp
+        "tokenizer_stats": """
+            WITH per AS (
+              SELECT source, length(text) AS chars,
+                     len(regexp_extract_all(lower(text),
+                         '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe,
+                     len(string_split(text, ' ')) AS ws
+              FROM documents)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(chars)::BIGINT AS n_chars,
+                   sum(ws)::BIGINT AS n_ws_tokens,
+                   sum(bpe)::BIGINT AS n_bpe_tokens,
+                   round(sum(bpe) * 1.0 / sum(ws), 4) AS fertility,
+                   round(sum(chars) * 1.0 / sum(bpe), 4) AS chars_per_token
+            FROM per GROUP BY 1
         """,
         "anchor_texts": """
             WITH nn AS (SELECT count(*) AS n FROM documents),

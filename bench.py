@@ -122,6 +122,8 @@ HEADLINE = [
     "dataset_split",
     "source_overlap",
     "zipf_fit",
+    "hits",
+    "tokenizer_stats",
 ]
 
 

@@ -911,7 +911,10 @@ def allpairs_jaccard(
         ).alias("token"),
     )
     dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
-    sets = (
+    # three consumers (prefix explode + both verify sides) with three
+    # different required partitionings — boundary the sorted-set frame
+    # so the tokenize/df-join/fold chain runs once, not three times
+    sets = _stage_boundary(
         toks.join(dfreq, "token")
         .groupBy("doc_id")
         .agg(
@@ -920,7 +923,8 @@ def allpairs_jaccard(
                 lambda s: s["token"],
             ).alias("toks")
         )
-        .select("doc_id", "toks", F.size("toks").alias("sz"))
+        .select("doc_id", "toks", F.size("toks").alias("sz")),
+        "allpairs_sets",
     )
     prefix_len = (F.col("sz") - F.ceil(threshold * F.col("sz")) + 1).cast(
         "int"

@@ -107,3 +107,64 @@ def anchor_texts(
             ).alias("anchors"),
         )
     )
+
+
+def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over (src, dst) edges,
+    ``iters`` fixed mutual-reinforcement steps, UNNORMALIZED: with a
+    fixed iteration count the normalization constant scales every
+    score identically (rankings are invariant), and dropping it makes
+    every score an exact INTEGER — authority_k counts the alternating
+    in-paths of length 2k−1, hub_k the out-paths of length 2k — so the
+    result is engine-exact with no rounding discipline at all (the
+    pagerank operator needs 9-dp per-step rounding; this needs
+    nothing).
+
+    Shapes: each half-step is one edge⋈scores equi-join on a node id
+    plus one groupBy on the other endpoint — rank mass shuffles once
+    per half-step, exactly the pagerank pattern; plans are lineage-cut
+    per step.  Parallel edges vote multiply (web multigraph).
+
+    Output: (node, authority, hub) for every node incident to an
+    edge, both longs."""
+    e = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a_in = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+        )
+        auth = (
+            nodes.join(a_in, nodes["node"] == a_in["dst"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("auth"),
+            )
+            .localCheckpoint()
+        )
+        h_in = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+        )
+        hub = (
+            nodes.join(h_in, nodes["node"] == h_in["src"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    return auth.join(hub, "node").select(
+        "node", F.col("auth").alias("authority"), "hub"
+    )

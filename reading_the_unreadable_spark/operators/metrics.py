@@ -222,6 +222,10 @@ def bleu(
     Output: (doc_id, len_pred, len_ref, match_1.., total_1..,
     brevity_penalty, bleu) — counts long, floats rounded 4 dp."""
     ns = range(1, max_n + 1)
+    # pred_c feeds the clip join AND the totals under different
+    # required partitionings (no exchange reuse possible), so its
+    # explode runs twice — measured CHEAPER than materializing the
+    # counts frame either way (see _clip_stats docstring)
     pred_c = _ngram_counts(predictions, max_n, text_col)
     gt_c = _ngram_counts(ground_truth, max_n, text_col)
     matches = (
@@ -314,10 +318,20 @@ def _char_ngram_counts(df: DataFrame, max_n: int, text_col: str) -> DataFrame:
 def _clip_stats(pred_c: DataFrame, gt_c: DataFrame) -> DataFrame:
     """Two (doc_id, n, gram, c) frames → (doc_id, n, match, p_total,
     r_total): clipped overlap plus per-side totals — the shared core
-    of the ROUGE/chrF family.  The clip join and both totals key on
-    the same (doc_id, n[, gram]) prefix, so all three aggregations
-    are co-partitioned with the counting shuffle; the full-outer total
-    join keeps docs whose prediction (or reference) is empty."""
+    of the ROUGE/chrF family.  Each side is consumed twice (clip join
+    + its totals) under DIFFERENT required partitionings
+    ((doc,n,gram) vs (doc,n)), so exchange reuse can never connect
+    them and the gram explode genuinely runs twice per side (measured
+    on chrF: 8 scans, 16 exchanges, zero reuse in the final AQE
+    plan).  Measured verdict: LEAVE IT — the counts frame is larger
+    than the work that rebuilds it, so both materialization flavors
+    lose to recompute at sf0.1 (chrF 20.7 s recompute vs 29.6 s
+    scratch-parquet boundary vs 34.2 s lazy localCheckpoint; BLEU
+    3.5 → 6.3/6.8 s).  The opposite call — boundary wins — holds when
+    the reused frame is SMALLER than its rebuild cost (allpairs_sim's
+    thrice-consumed sorted-set fold: 20.8 → 6.4 s, dedup.py).  The
+    full-outer total join keeps docs whose prediction (or reference)
+    is empty."""
     matches = (
         pred_c.join(
             gt_c.withColumnRenamed("c", "c_ref"), ["doc_id", "n", "gram"]

@@ -444,3 +444,40 @@ def zipf_fit(
         F.round(F.expr("regr_intercept(ln(cast(c as double)), ln(cast(rank as double)))"), 4).alias("zipf_intercept"),
         F.round(F.expr("regr_r2(ln(cast(c as double)), ln(cast(rank as double)))"), 4).alias("r2"),
     )
+
+
+def tokenizer_stats(
+    documents: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source tokenizer efficiency table — the capacity-planning
+    numbers every pre-training run budgets from: how many BPE-class
+    tokens a source yields per whitespace word (FERTILITY — high
+    fertility flags sources whose text shatters under the tokenizer:
+    code, non-Latin scripts, OCR noise) and per character
+    (compression).  Same token classes as :func:`bpe_token_stats`.
+
+    Pure map stage feeding one groupBy on the low-cardinality source
+    key — partial aggregation collapses everything node-local; ratios
+    are computed from the summed longs AFTER aggregation, so 4 dp
+    rounding is engine-exact.
+
+    Output: (source, n_docs, n_chars, n_ws_tokens, n_bpe_tokens,
+    fertility, chars_per_token)."""
+    lower = F.lower(F.col(text_col))
+    toks = F.regexp_extract_all(lower, F.lit(BPE_PATTERN), 0)
+    per = documents.select(
+        F.col(source_col).alias("source"),
+        F.length(F.col(text_col)).alias("_chars"),
+        F.size(toks).alias("_bpe"),
+        F.size(tokens_col(F.col(text_col))).alias("_ws"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.sum("_ws").cast("long").alias("n_ws_tokens"),
+        F.sum("_bpe").cast("long").alias("n_bpe_tokens"),
+        F.round(F.sum("_bpe") / F.sum("_ws"), 4).alias("fertility"),
+        F.round(F.sum("_chars") / F.sum("_bpe"), 4).alias(
+            "chars_per_token"
+        ),
+    )

@@ -68,3 +68,21 @@ def test_anchor_texts_bounded_and_sorted(spark):
     assert hub["n_inlinks"] == 12 and hub["n_src"] == 12
     assert hub["anchors"] == "w0 | w1"  # distinct, sorted, sliced to 2
     assert rows[7]["anchors"] == "only" and rows[7]["n_inlinks"] == 1
+
+
+def test_hits_hand_computed(spark):
+    """2 fixed steps on a 3-node chain + hub: a->b, a->c, b->c.
+    auth1 = indegree: a:0 b:1 c:2.  hub1: a = auth1(b)+auth1(c) = 3,
+    b = auth1(c) = 2, c = 0.  auth2: b = hub1(a) = 3,
+    c = hub1(a)+hub1(b) = 5, a = 0.  hub2: a = auth2(b)+auth2(c) = 8,
+    b = auth2(c) = 5, c = 0."""
+    from reading_the_unreadable_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["authority"], r["hub"])
+        for r in hits(edges, iters=2).collect()
+    }
+    assert got == {1: (0, 8), 2: (3, 5), 3: (5, 0)}
