@@ -167,30 +167,88 @@ def cer_spans(
     )
 
 
-def _ngram_counts(df: DataFrame, max_n: int, text_col: str) -> DataFrame:
-    """(doc_id, text) → (doc_id, n, gram, c): multiplicities for ALL
-    n = 1..max_n in ONE pass — n is exploded from a literal array
-    first, then the grams for that n (the slice length is the n
-    COLUMN), so the source is scanned once and there is a single
-    partial-aggregated shuffle on (doc_id, n, gram).  A/B at sf0.1
-    (best-of-2, interleaved): this shape 2.0 s vs 2.5 s for a per-n
-    loop (max_n scans/shuffles per side) vs 8.2 s for concatenating
-    per-n (n, gram)-struct arrays (struct-array copies dominate)."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+def _union_gram_stats(
+    predictions: DataFrame,
+    ground_truth: DataFrame,
+    max_n: int,
+    text_col: str,
+    char_level: bool = False,
+) -> DataFrame:
+    """(doc_id, n, match, p_total, r_total) for n = 1..max_n — the
+    shared core of the BLEU/ROUGE/chrF family, built so that NO GRAM
+    EVER CROSSES THE NETWORK:
+
+    The two sides union with a side tag and the raw TEXT repartitions
+    once on doc_id; every downstream aggregation — per-(doc,n,gram)
+    side counts, the clipped match (least of the two side counts, so
+    the clip JOIN disappears entirely), the per-(doc,n) totals — keys
+    on a superset of doc_id, so hash(doc_id) satisfies each required
+    clustering and the whole cascade is partition-local: exactly ONE
+    exchange in the plan (plan-asserted), carrying text bytes, not the
+    ~20× larger gram streams.
+
+    History, measured at sf0.1: the previous shape (per-side counts
+    frames + clip equi-join) shuffled grams and — because the clip
+    join and the totals require DIFFERENT partitionings, so exchange
+    reuse can never connect them (measured: 8 scans, 16 exchanges,
+    zero ReusedExchange in the final AQE plan) — ran every gram
+    explode twice per side; materializing the counts frames lost even
+    worse (chrF 20.7 s recompute vs 29.6 s scratch parquet vs 34.2 s
+    lazy localCheckpoint — the frame is bigger than the explode that
+    rebuilds it).  This union shape replaces all of it: one text
+    shuffle, one explode per side, zero joins.  Honest local verdict:
+    same-session interleaved A/B at sf0.1 reads PARITY (old 22.8 s vs
+    new 24.0 s) — in a single JVM the gram shuffle was never paid;
+    the union shape is chosen for the CLUSTER profile, where the old
+    plan moves the ~20×-larger gram streams across the network four
+    times and this plan moves text bytes twice.  Within the per-n
+    explode, n comes from a literal array and the slice length is the
+    n COLUMN (the earlier per-n loop cost max_n scans; concatenating
+    per-n (n, gram)-struct arrays cost 4× in struct copies).
+
+    Docs whose two sides are entirely empty emit no rows; a (doc, n)
+    present on one side only emits with the other side's counts 0."""
+    p = predictions.select(
+        "doc_id", F.col(text_col).alias("_t"), F.lit(1).alias("_s")
+    )
+    g = ground_truth.select(
+        "doc_id", F.col(text_col).alias("_t"), F.lit(0).alias("_s")
+    )
+    both = p.unionByName(g).repartition("doc_id")
     ns = F.array(*[F.lit(i) for i in range(1, max_n + 1)])
-    base = df.select("doc_id", toks.alias("toks"), F.explode(ns).alias("n"))
-    k = F.size("toks") - F.col("n") + F.lit(1)
+    if char_level:
+        # whitespace-stripped chars (chrF's convention); the class is
+        # spelled explicitly so Java regex and RE2 oracles agree
+        src = F.regexp_replace(F.col("_t"), "[ \t\n\r]+", "")
+        base = both.select(
+            "doc_id", "_s", src.alias("_x"), F.explode(ns).alias("n")
+        )
+        k = F.length("_x") - F.col("n") + F.lit(1)
+        gram_at = lambda i: F.substring(F.col("_x"), i, F.col("n"))  # noqa: E731
+    else:
+        toks = F.filter(F.split(F.col("_t"), " "), lambda t: t != "")
+        base = both.select(
+            "doc_id", "_s", toks.alias("_x"), F.explode(ns).alias("n")
+        )
+        k = F.size("_x") - F.col("n") + F.lit(1)
+        gram_at = lambda i: F.array_join(  # noqa: E731
+            F.slice(F.col("_x"), i, F.col("n")), " "
+        )
     grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(F.col("toks"), i, F.col("n")), " "),
-        ),
+        k >= 1, F.transform(F.sequence(F.lit(1), k), gram_at)
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        base.select("doc_id", "n", F.explode(grams).alias("gram"))
+    counts = (
+        base.select("doc_id", "n", "_s", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "n", "gram")
-        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum("_s").alias("c_p"),
+            F.sum(1 - F.col("_s")).alias("c_g"),
+        )
+    )
+    return counts.groupBy("doc_id", "n").agg(
+        F.sum(F.least("c_p", "c_g")).alias("match"),
+        F.sum("c_p").alias("p_total"),
+        F.sum("c_g").alias("r_total"),
     )
 
 
@@ -207,11 +265,12 @@ def bleu(
     the unsmoothed definition).
 
     Scale shape: the LINEAR decomposition, not the row-local one —
-    n-gram multiplicities for all n are ONE scan + one partial-
-    aggregated shuffle on (doc_id, n, gram) per side (n exploded
-    before the grams), clipping is an equi-join on the same key
-    (co-partitioned, no extra exchange), and the per-doc fold is a
-    conditional pivot.  A row-local array formulation (count-via-
+    the :func:`_union_gram_stats` core (one text repartition, then
+    every gram aggregation partition-local, clip join replaced by a
+    per-gram least of the side counts), folded per doc with a
+    conditional pivot.  len_ref falls out of the stats frame for free
+    (the reference's unigram total IS its token count — no second
+    scan of ground_truth).  A row-local array formulation (count-via-
     filter inside the row) is O(grams²) per document and dies on
     100 k-token documents; this stays O(grams).
 
@@ -222,23 +281,7 @@ def bleu(
     Output: (doc_id, len_pred, len_ref, match_1.., total_1..,
     brevity_penalty, bleu) — counts long, floats rounded 4 dp."""
     ns = range(1, max_n + 1)
-    # pred_c feeds the clip join AND the totals under different
-    # required partitionings (no exchange reuse possible), so its
-    # explode runs twice — measured CHEAPER than materializing the
-    # counts frame either way (see _clip_stats docstring)
-    pred_c = _ngram_counts(predictions, max_n, text_col)
-    gt_c = _ngram_counts(ground_truth, max_n, text_col)
-    matches = (
-        pred_c.join(
-            gt_c.withColumnRenamed("c", "c_ref"), ["doc_id", "n", "gram"]
-        )
-        .groupBy("doc_id", "n")
-        .agg(F.sum(F.least("c", "c_ref")).alias("match"))
-    )
-    totals = pred_c.groupBy("doc_id", "n").agg(F.sum("c").alias("total"))
-    stats = totals.join(matches, ["doc_id", "n"], "left").na.fill(
-        0, ["match"]
-    )
+    stats = _union_gram_stats(predictions, ground_truth, max_n, text_col)
     pivoted = stats.groupBy("doc_id").agg(
         *[
             F.coalesce(
@@ -247,16 +290,16 @@ def bleu(
             .cast("long")
             .alias(f"{col}_{n}")
             for n in ns
-            for col in ("match", "total")
+            for col in (("match", "p_total") if n > 1 else ("match", "p_total", "r_total"))
         ]
     )
-    ref_len = ground_truth.select(
-        "doc_id",
-        F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
-        .cast("long")
-        .alias("len_ref"),
+    d = (
+        pivoted.filter(F.col("p_total_1") > 0)  # empty predictions drop
+        .withColumn("len_ref", F.col("r_total_1"))
+        .drop("r_total_1")
     )
-    d = pivoted.join(ref_len, "doc_id")
+    for n in ns:  # historical column names: total_n = candidate totals
+        d = d.withColumnRenamed(f"p_total_{n}", f"total_{n}")
     len_pred = F.col("total_1")
     bp = F.when(len_pred >= F.col("len_ref"), F.lit(1.0)).otherwise(
         F.exp(1 - F.col("len_ref") / len_pred)
@@ -290,64 +333,6 @@ def cer_summary(cer_df: DataFrame) -> DataFrame:
     )
 
 
-def _char_ngram_counts(df: DataFrame, max_n: int, text_col: str) -> DataFrame:
-    """(doc_id, text) → (doc_id, n, gram, c): CHARACTER n-gram
-    multiplicities for n = 1..max_n over the whitespace-stripped text
-    (chrF's convention), same one-scan/one-shuffle shape as the word
-    counter: n exploded first, the slice length is the n column.  The
-    whitespace class is spelled explicitly ([ \\t\\n\\r]) so the Spark
-    (Java regex) and oracle (RE2) engines agree byte-for-byte."""
-    s = F.regexp_replace(F.col(text_col), "[ \t\n\r]+", "")
-    ns = F.array(*[F.lit(i) for i in range(1, max_n + 1)])
-    base = df.select("doc_id", s.alias("s"), F.explode(ns).alias("n"))
-    k = F.length("s") - F.col("n") + F.lit(1)
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.substring(F.col("s"), i, F.col("n")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        base.select("doc_id", "n", F.explode(grams).alias("gram"))
-        .groupBy("doc_id", "n", "gram")
-        .agg(F.count("*").alias("c"))
-    )
-
-
-def _clip_stats(pred_c: DataFrame, gt_c: DataFrame) -> DataFrame:
-    """Two (doc_id, n, gram, c) frames → (doc_id, n, match, p_total,
-    r_total): clipped overlap plus per-side totals — the shared core
-    of the ROUGE/chrF family.  Each side is consumed twice (clip join
-    + its totals) under DIFFERENT required partitionings
-    ((doc,n,gram) vs (doc,n)), so exchange reuse can never connect
-    them and the gram explode genuinely runs twice per side (measured
-    on chrF: 8 scans, 16 exchanges, zero reuse in the final AQE
-    plan).  Measured verdict: LEAVE IT — the counts frame is larger
-    than the work that rebuilds it, so both materialization flavors
-    lose to recompute at sf0.1 (chrF 20.7 s recompute vs 29.6 s
-    scratch-parquet boundary vs 34.2 s lazy localCheckpoint; BLEU
-    3.5 → 6.3/6.8 s).  The opposite call — boundary wins — holds when
-    the reused frame is SMALLER than its rebuild cost (allpairs_sim's
-    thrice-consumed sorted-set fold: 20.8 → 6.4 s, dedup.py).  The
-    full-outer total join keeps docs whose prediction (or reference)
-    is empty."""
-    matches = (
-        pred_c.join(
-            gt_c.withColumnRenamed("c", "c_ref"), ["doc_id", "n", "gram"]
-        )
-        .groupBy("doc_id", "n")
-        .agg(F.sum(F.least("c", "c_ref")).alias("match"))
-    )
-    p_tot = pred_c.groupBy("doc_id", "n").agg(F.sum("c").alias("p_total"))
-    r_tot = gt_c.groupBy("doc_id", "n").agg(F.sum("c").alias("r_total"))
-    return (
-        r_tot.join(p_tot, ["doc_id", "n"], "full")
-        .join(matches, ["doc_id", "n"], "left")
-        .na.fill(0, ["match", "p_total", "r_total"])
-    )
-
-
 def rouge_n(
     predictions: DataFrame,
     ground_truth: DataFrame,
@@ -357,17 +342,15 @@ def rouge_n(
     """Per-document ROUGE-N (Lin 2004) for n = 1..max_n: clipped
     n-gram precision, RECALL (the summarization-eval headline number —
     matches over REFERENCE totals, where BLEU divides by candidate
-    totals), and their F1.  Counts integer-exact; same linear
-    one-scan/one-shuffle n-gram decomposition as :func:`bleu`.
+    totals), and their F1.  Counts integer-exact; the
+    :func:`_union_gram_stats` core — one text shuffle, no gram ever
+    crosses the network, no clip join.
 
     Output: (doc_id, match_n, p_total_n, r_total_n, rouge_p_n,
     rouge_r_n, rouge_f_n) per n — counts long, ratios rounded 4 dp,
     zero denominators score 0."""
     ns = range(1, max_n + 1)
-    stats = _clip_stats(
-        _ngram_counts(predictions, max_n, text_col),
-        _ngram_counts(ground_truth, max_n, text_col),
-    )
+    stats = _union_gram_stats(predictions, ground_truth, max_n, text_col)
     wide = stats.groupBy("doc_id").agg(
         *[
             F.coalesce(
@@ -414,13 +397,13 @@ def chrf(
     divisor share.  chrF_β = (1+β²)·chrP·chrR / (β²·chrP + chrR),
     β = 2.
 
-    Same scale shape as the word metrics: one scan + one partial-
-    aggregated shuffle per side, clip join co-partitioned.  The fold
-    is a straight groupBy (no pivot — only the per-order SUMS feed the
+    Same scale core as the word metrics (:func:`_union_gram_stats`,
+    char_level: whitespace-stripped substrings): one text shuffle,
+    every char-gram aggregation partition-local.  The fold is a
+    straight groupBy (no pivot — only the per-order SUMS feed the
     score).  Output: (doc_id, chrp, chrr, chrf) rounded 4 dp."""
-    stats = _clip_stats(
-        _char_ngram_counts(predictions, max_n, text_col),
-        _char_ngram_counts(ground_truth, max_n, text_col),
+    stats = _union_gram_stats(
+        predictions, ground_truth, max_n, text_col, char_level=True
     )
     p = F.when(F.col("p_total") > 0, F.col("match") / F.col("p_total")).otherwise(F.lit(0.0))
     r = F.when(F.col("r_total") > 0, F.col("match") / F.col("r_total")).otherwise(F.lit(0.0))

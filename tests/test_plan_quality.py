@@ -549,22 +549,32 @@ def test_kn_raw_corpus_never_rescanned(spark):
     assert "text" not in "".join(scan_lines)
 
 
-def test_bleu_stays_jvm_side(spark):
-    """BLEU's hot path (n-gram explode, clip join, conditional pivot)
-    must be whole-stage-codegen JVM work — no Python eval anywhere in
-    the plan — and the n-explode shape means each side scans its
-    source exactly once."""
-    from reading_the_unreadable_spark.operators.metrics import bleu
+def test_eval_metrics_grams_never_shuffle(spark):
+    """BLEU/ROUGE/chrF run on the union-stats core: the ONLY
+    exchanges in the plan are the doc_id text repartitions (one per
+    union leg) — no exchange may ever carry a gram column — and the
+    hot path is whole-stage-codegen JVM work (no Python eval)."""
+    import re as _re
+
+    from reading_the_unreadable_spark.operators.metrics import (
+        bleu,
+        chrf,
+        rouge_n,
+    )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select(
         "doc_id", "text"
     )
     preds = docs.withColumn("text", F.col("text"))
-    plan = _plan(bleu(preds, docs))
-    assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
-    n_scans = plan.count("Scan parquet")
-    assert n_scans <= 4, f"{n_scans} scans:\n{plan[:2000]}"
+    for fn in (bleu, rouge_n, chrf):
+        plan = _plan(fn(preds, docs))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        ex = [ln for ln in plan.splitlines() if _re.search(r"Exchange hash", ln)]
+        assert len(ex) <= 2, (fn.__name__, ex)
+        for ln in ex:
+            assert "gram" not in ln, (fn.__name__, ln)
+            assert "doc_id" in ln, (fn.__name__, ln)
 
 
 def test_allpairs_verify_is_candidate_bounded(spark):
