@@ -771,6 +771,17 @@ def q_hits(spark, sf):
     return hits(edges, iters=2)
 
 
+def q_length_quantiles(spark, sf):
+    """Exact per-source token-length p50/p90/p99 via the collapsed-
+    histogram pattern (no percentile_approx sketch, no window over raw
+    docs): lower-rank convention, pure integer arithmetic."""
+    from reading_the_unreadable_spark.operators.textstats import (
+        length_quantiles,
+    )
+
+    return length_quantiles(_t(spark, sf, "documents"))
+
+
 def q_tokenizer_stats(spark, sf):
     """Per-source tokenizer fertility/compression table (BPE-class
     tokens per whitespace word, chars per token) — the capacity
@@ -2457,7 +2468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                new operators) join the window; gopher_signals +
     #                bigram_logprob shift behind (green r04; the gopher
     #                and LM families keep fresh rows via gopher_filter
-    #                and kn_logprob).
+    #                and kn_logprob).  length_quantiles (exact
+    #                collapsed-histogram percentiles, new operator)
+    #                joins the window; para_dedup shifts behind (green
+    #                r04, pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -2467,7 +2481,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_blocks": q_html_blocks,
         "c4_filters": q_c4_filters,
         "gopher_filter": q_gopher_filter,
-        "para_dedup": q_para_dedup,
         "unigram_logprob": q_unigram_logprob,
         "kn_logprob": q_kn_logprob,
         "source_mix": q_source_mix,
@@ -2506,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "zipf_fit": q_zipf_fit,
         "tokenizer_stats": q_tokenizer_stats,
+        "length_quantiles": q_length_quantiles,
         "snapshot_incremental": q_snapshot_incremental,
         # -- r05 rotated-in TPC rows (fresh driver check this round) --
         "pricing_summary": q_pricing_summary,
@@ -2516,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- remaining operator-family queries (driver-green r02-r04) --
         "gopher_signals": q_gopher_signals,
         "bigram_logprob": q_bigram_logprob,
+        "para_dedup": q_para_dedup,
         "scan_preprocess": q_scan_preprocess,
         "page_blocks_pixels": q_page_blocks_pixels,
         "xy_cut_pixels": q_xy_cut_pixels,
@@ -3200,6 +3215,29 @@ def oracle_sql() -> dict[str, str]:
                    ON n.node = t.src)
             SELECT a2.node, a2.auth AS authority, h2.hub
             FROM a2 JOIN h2 ON a2.node = h2.node
+        """,
+        # quantiles: lower-rank convention mirrored — min length whose
+        # cumulative histogram count reaches ceil(q*N); all integers
+        "length_quantiles": """
+            WITH hist AS (
+              SELECT source,
+                     len(list_filter(string_split(text, ' '),
+                                     t -> t <> '')) AS l,
+                     count(*) AS c
+              FROM documents GROUP BY 1, 2),
+            cum AS (
+              SELECT source, l, c,
+                     sum(c) OVER (PARTITION BY source ORDER BY l) AS cum,
+                     sum(c) OVER (PARTITION BY source) AS n
+              FROM hist)
+            SELECT source, max(n)::BIGINT AS n_docs,
+                   min(CASE WHEN cum >= ceil(0.5 * n) THEN l END)::BIGINT
+                     AS p50,
+                   min(CASE WHEN cum >= ceil(0.9 * n) THEN l END)::BIGINT
+                     AS p90,
+                   min(CASE WHEN cum >= ceil(0.99 * n) THEN l END)::BIGINT
+                     AS p99
+            FROM cum GROUP BY 1
         """,
         # tokenizer stats: BPE_PATTERN shared verbatim; ratios from
         # summed longs, 4 dp

@@ -124,6 +124,7 @@ HEADLINE = [
     "zipf_fit",
     "hits",
     "tokenizer_stats",
+    "length_quantiles",
 ]
 
 

@@ -481,3 +481,57 @@ def tokenizer_stats(
             "chars_per_token"
         ),
     )
+
+
+def length_quantiles(
+    documents: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT per-source token-length quantiles — the length-
+    distribution audit behind truncation budgets and packing
+    efficiency — computed scalably via the collapsed-histogram
+    pattern: never percentile_approx (engine-specific sketch), never
+    a window over raw documents (that serializes each source's docs
+    through one partition).
+
+    Shape: one groupBy collapses the corpus to the (source, length)
+    HISTOGRAM — bounded by distinct lengths, not documents; the
+    cumulative rank runs as a window over that small frame; the
+    quantile is the lower-rank convention value = min length whose
+    cumulative count ≥ ⌈q·N⌉ (pure integer arithmetic — engine-exact,
+    no interpolation).
+
+    Output: (source, n_docs, plus one `p<q>` long column per
+    quantile)."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    )
+    hist = (
+        documents.select(
+            F.col(source_col).alias("source"), n_tok.alias("len")
+        )
+        .groupBy("source", "len")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy("len")
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("source"))
+    )
+    aggs = [F.max("n").cast("long").alias("n_docs")]
+    for q in quantiles:
+        name = f"p{int(round(q * 100))}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("n")),
+                    F.col("len"),
+                )
+            )
+            .cast("long")
+            .alias(name)
+        )
+    return cum.groupBy("source").agg(*aggs)

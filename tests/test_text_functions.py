@@ -214,3 +214,16 @@ def test_pmi_collocations_hand_computed(spark):
     # left marginal c_x = 3 (x always precedes y); right c_y = 3
     assert r["c_ab"] == 3
     assert r["pmi"] == round(math.log(3 * 1.0 * 11 / (3 * 1.0 * 3)), 4)
+
+
+def test_length_quantiles_hand_computed(spark):
+    """Lower-rank convention on a known distribution: lengths
+    1..10 once each → p50 = 5, p90 = 9, p99 = 10."""
+    from reading_the_unreadable_spark.operators.textstats import (
+        length_quantiles,
+    )
+
+    rows = [(i, "s", " ".join(["w"] * i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    r = length_quantiles(df).collect()[0]
+    assert (r["n_docs"], r["p50"], r["p90"], r["p99"]) == (10, 5, 9, 10)
