@@ -1359,6 +1359,26 @@ def q_zipf_fit(spark, sf):
     return zipf_fit(_t(spark, sf, "documents"), top_k=1000)
 
 
+def q_ngram_novelty(spark, sf):
+    """Per-doc novelty: fraction of a doc's distinct 8-token shingles
+    first seen (min doc_id) in that doc — the marginal-value-decay
+    curve of a crawl."""
+    from reading_the_unreadable_spark.operators.quality import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf, "documents"), shingle_len=8)
+
+
+def q_split_leakage(spark, sf):
+    """Train→held-out shingle leakage under the dataset_split hash
+    rule: how many val/test docs share an 8-token shingle with any
+    train doc (semi join bounded by the held-out side)."""
+    from reading_the_unreadable_spark.operators.quality import (
+        cross_split_leakage,
+    )
+
+    return cross_split_leakage(_t(spark, sf, "documents"), shingle_len=8)
+
+
 def q_source_mix(spark, sf):
     """Training-mixture statistics: per-source doc/token counts, token
     share, and the temperature-scaled (alpha=0.7) sampling weight."""
@@ -2471,7 +2491,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                and kn_logprob).  length_quantiles (exact
     #                collapsed-histogram percentiles, new operator)
     #                joins the window; para_dedup shifts behind (green
-    #                r04, pytest-replicated).
+    #                r04, pytest-replicated).  ngram_novelty +
+    #                split_leakage (crawl-decay + leakage audits, new
+    #                operators) join the window; c4_filters +
+    #                unigram_logprob shift behind (green r04,
+    #                pytest-replicated; the C4 and LM families keep
+    #                fresh rows via gopher_filter and kn_logprob).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -2479,9 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans_filled": q_extract_spans_filled,
         "pdf_extract": q_pdf_extract,
         "html_blocks": q_html_blocks,
-        "c4_filters": q_c4_filters,
         "gopher_filter": q_gopher_filter,
-        "unigram_logprob": q_unigram_logprob,
         "kn_logprob": q_kn_logprob,
         "source_mix": q_source_mix,
         "pack_sequences": q_pack_sequences,
@@ -2517,6 +2540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline": q_media_pipeline,
         "dataset_split": q_dataset_split,
         "source_overlap": q_source_overlap,
+        "ngram_novelty": q_ngram_novelty,
+        "split_leakage": q_split_leakage,
         "zipf_fit": q_zipf_fit,
         "tokenizer_stats": q_tokenizer_stats,
         "length_quantiles": q_length_quantiles,
@@ -2531,6 +2556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_signals": q_gopher_signals,
         "bigram_logprob": q_bigram_logprob,
         "para_dedup": q_para_dedup,
+        "c4_filters": q_c4_filters,
+        "unigram_logprob": q_unigram_logprob,
         "scan_preprocess": q_scan_preprocess,
         "page_blocks_pixels": q_page_blocks_pixels,
         "xy_cut_pixels": q_xy_cut_pixels,
@@ -3961,6 +3988,55 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs,
                    sum(nt)::BIGINT AS n_tokens
             FROM d GROUP BY 1, 2
+        """,
+        # novelty: first-occurrence = min doc_id, mirrored exactly
+        "ngram_novelty": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents),
+            pairs AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(w[i:i+7], ' ')) AS fp
+              FROM t, LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(w) - 7, 0))) AS i)),
+            first AS (SELECT fp, min(doc_id) AS fd FROM pairs GROUP BY 1)
+            SELECT doc_id, count(*)::BIGINT AS n_shingles,
+                   sum(CASE WHEN doc_id = fd THEN 1 ELSE 0 END)::BIGINT
+                     AS n_novel,
+                   round(sum(CASE WHEN doc_id = fd THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 4) AS novelty
+            FROM pairs JOIN first USING (fp) GROUP BY 1
+        """,
+        # leakage: md5-uniform split + shingle semi join mirrored
+        "split_leakage": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                               ::BIGINT / 4294967296.0 < 0.9 THEN 'train'
+                          WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                               ::BIGINT / 4294967296.0 < 0.95 THEN 'val'
+                          ELSE 'test' END AS split,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents),
+            pairs AS (
+              SELECT DISTINCT split, doc_id,
+                     md5(array_to_string(w[i:i+7], ' ')) AS fp
+              FROM s, LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(w) - 7, 0))) AS i)),
+            train AS (SELECT DISTINCT fp FROM pairs WHERE split = 'train'),
+            cont AS (
+              SELECT split, count(DISTINCT doc_id) AS nc
+              FROM pairs WHERE split <> 'train'
+                AND fp IN (SELECT fp FROM train)
+              GROUP BY 1),
+            tot AS (SELECT split, count(*) AS n FROM s
+                    WHERE split <> 'train' GROUP BY 1)
+            SELECT tot.split, n::BIGINT AS n_docs,
+                   coalesce(nc, 0)::BIGINT AS n_contaminated,
+                   round(coalesce(nc, 0) * 1.0 / n, 4)
+                     AS contamination_rate
+            FROM tot LEFT JOIN cont ON tot.split = cont.split
         """,
         # shingle fingerprints 16-byte; pair join mirrored
         "source_overlap": """

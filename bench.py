@@ -125,6 +125,8 @@ HEADLINE = [
     "hits",
     "tokenizer_stats",
     "length_quantiles",
+    "ngram_novelty",
+    "split_leakage",
 ]
 
 

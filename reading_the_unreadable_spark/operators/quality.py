@@ -904,3 +904,121 @@ def source_overlap(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_shared_shingles"))
     )
+
+
+def _shingle_fps(
+    documents: DataFrame,
+    shingle_len: int,
+    text_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, *extra, fp): DISTINCT 16-byte fingerprints of the
+    ``shingle_len``-token shingles — map-side explode + md5, so the
+    dedup shuffle never carries shingle text."""
+    w = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    k = F.size(w) - F.lit(shingle_len - 1)
+    sh = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(w, i, F.lit(shingle_len)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select("doc_id", *extra_cols, F.explode(sh).alias("sh"))
+        .select("doc_id", *extra_cols, F.md5("sh").alias("fp"))
+        .distinct()
+    )
+
+
+def ngram_novelty(
+    documents: DataFrame, shingle_len: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a doc's distinct
+    ``shingle_len``-token shingles whose globally-FIRST occurrence
+    (min doc_id order) is this document — the curve data-curation
+    teams watch to see a crawl's marginal value decay (late documents
+    in a templated crawl contribute almost nothing new).
+
+    Shape: one shuffle builds (fp → first doc) over the distinct
+    (doc, fp) pairs; the ownership join keys on fp — co-partitioned
+    with the groupBy that produced it, no extra exchange — and the
+    per-doc fold is one doc_id shuffle.  Never quadratic: a shingle
+    shared by a million docs is one group row.
+
+    Output: (doc_id, n_shingles, n_novel, novelty 4 dp); docs shorter
+    than the shingle length emit no row."""
+    pairs = _shingle_fps(documents, shingle_len, text_col)
+    first = pairs.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        pairs.join(first, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 4)
+        )
+    )
+
+
+def cross_split_leakage(
+    documents: DataFrame,
+    fractions: tuple[float, float] = (0.9, 0.05),
+    shingle_len: int = 8,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The leakage audit run after every split: how many val/test
+    documents share at least one ``shingle_len``-token shingle with
+    ANY train document (the :func:`dataset_split` hash rule decides
+    membership).  Benchmarks leak into training data exactly this way
+    — decontamination checks the eval sets, this checks the split
+    itself.
+
+    Shape: the train side collapses to DISTINCT fingerprints (one
+    dedup shuffle); the held-out (doc, fp) pairs LEFT SEMI join it on
+    fp — bounded by the held-out side, never train × heldout — and
+    contaminated docs collapse to a per-split count.
+
+    Output: (split, n_docs, n_contaminated, contamination_rate 4 dp)
+    for val and test."""
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    split = (
+        F.when(u < fractions[0], F.lit("train"))
+        .when(u < fractions[0] + fractions[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = documents.withColumn("split", split)
+    pairs = _shingle_fps(tagged, shingle_len, text_col, ("split",))
+    train_fps = pairs.filter(F.col("split") == "train").select("fp").distinct()
+    held = pairs.filter(F.col("split") != "train")
+    contaminated = (
+        held.join(train_fps, "fp", "left_semi")
+        .select("split", "doc_id")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = (
+        tagged.filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        totals.join(contaminated, "split", "left")
+        .na.fill(0, ["n_contaminated"])
+        .select(
+            "split",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            F.round(F.col("n_contaminated") / F.col("n_docs"), 4).alias(
+                "contamination_rate"
+            ),
+        )
+    )

@@ -447,3 +447,45 @@ def test_zipf_fit_matches_numpy_polyfit(spark):
     assert r["zipf_slope"] == round(float(slope), 4)
     assert r["zipf_intercept"] == round(float(intercept), 4)
     assert 0.9 < r["r2"] <= 1.0
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """Doc 1 owns all its shingles; doc 2 repeats doc 1 verbatim plus
+    one new tail shingle; doc 3 is too short to emit."""
+    from reading_the_unreadable_spark.operators.quality import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c d e"),  # 'a b c' & 'b c d' seen; 'c d e' novel
+            (3, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(df, shingle_len=3).collect()
+    }
+    assert got == {1: (2, 2, 1.0), 2: (3, 1, round(1 / 3, 4))}
+
+
+def test_cross_split_leakage_bounds(spark):
+    """Rates are in [0,1]; totals match the hash split; a corpus where
+    every doc is unique text still yields sane rows for val+test."""
+    from reading_the_unreadable_spark.operators.quality import (
+        cross_split_leakage,
+        dataset_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = {r["split"]: r for r in cross_split_leakage(docs).collect()}
+    assert set(rows) == {"val", "test"}
+    split_docs = {
+        (r["source"], r["split"]): r["n_docs"]
+        for r in dataset_split(docs).collect()
+    }
+    for split, r in rows.items():
+        expected = sum(v for (s, sp), v in split_docs.items() if sp == split)
+        assert r["n_docs"] == expected
+        assert 0 <= r["n_contaminated"] <= r["n_docs"]
+        assert 0.0 <= r["contamination_rate"] <= 1.0
