@@ -154,3 +154,42 @@ def test_allpairs_jaccard_exact_vs_bruteforce(spark):
     assert got == expected
     # sanity: the identical pairs are present at jaccard 1.0
     assert got[(1, 3)][2] == 1.0 and got[(6, 7)][2] == 1.0
+
+
+def test_allpairs_jaccard_random_corpora_exact(spark):
+    """Three seeded random corpora (varying vocab size → varying
+    similarity density), two thresholds each: prefix-filter +
+    positional-filter output equals plain-Python brute force EXACTLY.
+    This is the no-false-negative/no-false-positive property under
+    corpora the author did not hand-pick."""
+    import random
+    from itertools import combinations
+
+    from reading_the_unreadable_spark.operators.dedup import (
+        allpairs_jaccard,
+    )
+
+    for seed, vocab_n, t in [(1, 12, 0.5), (2, 40, 0.7), (3, 8, 0.9)]:
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(vocab_n)]
+        texts = {
+            d: " ".join(rng.choices(vocab, k=rng.randint(3, 20)))
+            for d in range(30)
+        }
+        sets = {d: set(v.split()) for d, v in texts.items()}
+        expected = {}
+        for a, b in combinations(sorted(texts), 2):
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if i / u >= t:
+                expected[(a, b)] = (i, u, round(i / u, 4))
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]): (
+                r["n_common"], r["n_union"], r["jaccard"],
+            )
+            for r in allpairs_jaccard(df, threshold=t).collect()
+        }
+        assert got == expected, (seed, t, len(got), len(expected))
