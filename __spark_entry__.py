@@ -1359,6 +1359,30 @@ def q_zipf_fit(spark, sf):
     return zipf_fit(_t(spark, sf, "documents"), top_k=1000)
 
 
+def q_curriculum(spark, sf):
+    """Contiguous global curriculum rank by (length, doc_id) — the
+    zipWithIndex-at-scale pattern: range repartition + boundary-pinned
+    partition offsets + partition-local row_number; never a global
+    single-partition window."""
+    from reading_the_unreadable_spark.operators.quality import (
+        curriculum_rank,
+    )
+
+    d = _t(spark, sf, "documents")
+    scored = d.select("doc_id", F.length("text").cast("long").alias("score"))
+    return curriculum_rank(scored, "score")
+
+
+def q_chunk_overlap(spark, sf):
+    """Strided overlapping chunker (40-token windows every 30) — the
+    RAG/embedding-index grain; pure map stage."""
+    from reading_the_unreadable_spark.operators.textstats import (
+        chunk_overlap,
+    )
+
+    return chunk_overlap(_t(spark, sf, "documents"), size=40, stride=30)
+
+
 def q_ngram_novelty(spark, sf):
     """Per-doc novelty: fraction of a doc's distinct 8-token shingles
     first seen (min doc_id) in that doc — the marginal-value-decay
@@ -2497,6 +2521,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                unigram_logprob shift behind (green r04,
     #                pytest-replicated; the C4 and LM families keep
     #                fresh rows via gopher_filter and kn_logprob).
+    #                curriculum + chunk_overlap (global-rank pattern +
+    #                RAG chunker, new operators) join the window;
+    #                source_mix + redact_pii shift behind (green r04,
+    #                pytest-replicated; the mixture family keeps fresh
+    #                rows via epoch_sample and dsir).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -2506,9 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_blocks": q_html_blocks,
         "gopher_filter": q_gopher_filter,
         "kn_logprob": q_kn_logprob,
-        "source_mix": q_source_mix,
         "pack_sequences": q_pack_sequences,
-        "redact_pii": q_redact_pii,
         "decontaminate": q_decontaminate,
         "ccnet_buckets": q_ccnet_buckets,
         "winnow_pairs": q_winnow_pairs,
@@ -2542,6 +2569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "ngram_novelty": q_ngram_novelty,
         "split_leakage": q_split_leakage,
+        "curriculum": q_curriculum,
+        "chunk_overlap": q_chunk_overlap,
         "zipf_fit": q_zipf_fit,
         "tokenizer_stats": q_tokenizer_stats,
         "length_quantiles": q_length_quantiles,
@@ -2558,6 +2587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": q_para_dedup,
         "c4_filters": q_c4_filters,
         "unigram_logprob": q_unigram_logprob,
+        "source_mix": q_source_mix,
+        "redact_pii": q_redact_pii,
         "scan_preprocess": q_scan_preprocess,
         "page_blocks_pixels": q_page_blocks_pixels,
         "xy_cut_pixels": q_xy_cut_pixels,
@@ -3988,6 +4019,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs,
                    sum(nt)::BIGINT AS n_tokens
             FROM d GROUP BY 1, 2
+        """,
+        # curriculum: rank is a pure function of the (score, doc_id)
+        # total order — the oracle needs no knowledge of partitioning
+        "curriculum": """
+            SELECT doc_id, length(text)::BIGINT AS score,
+                   (row_number() OVER (ORDER BY length(text), doc_id) - 1)
+                     ::BIGINT AS rank
+            FROM documents
+        """,
+        # chunker: slice arithmetic mirrored; count rule identical
+        "chunk_overlap": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents),
+            n AS (SELECT doc_id, w, len(w) AS nt FROM t WHERE len(w) >= 1),
+            c AS (
+              SELECT doc_id, i - 1 AS chunk_idx,
+                     array_to_string(w[(i-1)*30+1:(i-1)*30+40], ' ') AS text
+              FROM n, LATERAL (SELECT unnest(generate_series(1,
+                     CASE WHEN nt <= 40 THEN 1
+                          ELSE 1 + cast(ceil((nt - 40) / 30.0) AS INT)
+                     END)) AS i))
+            SELECT doc_id, chunk_idx, text,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens
+            FROM c
         """,
         # novelty: first-occurrence = min doc_id, mirrored exactly
         "ngram_novelty": """

@@ -127,6 +127,8 @@ HEADLINE = [
     "length_quantiles",
     "ngram_novelty",
     "split_leakage",
+    "curriculum",
+    "chunk_overlap",
 ]
 
 

@@ -1022,3 +1022,66 @@ def cross_split_leakage(
             ),
         )
     )
+
+
+def curriculum_rank(
+    documents: DataFrame,
+    score_col: str,
+    ascending: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous GLOBAL rank (0-based) by (score, id) — curriculum
+    ordering for training (easy→hard), the "zipWithIndex at 100 TB"
+    pattern done DataFrame-native: a naive row_number() over a global
+    ORDER BY serializes the corpus through ONE window partition; this
+    runs a range repartition + per-partition sort (the standard
+    distributed sort), counts rows per partition (a partition-count-
+    sized collect), and adds the broadcast prefix-sum offset to each
+    partition-local row_number.
+
+    The rank is a pure function of the TOTAL order (score, id) — the
+    tie-break makes it unique — so the output is independent of where
+    the sampled range boundaries happen to fall.
+
+    Output: input columns + ``rank`` (long, 0-based, contiguous)."""
+    from pyspark.sql import Window
+
+    key = [
+        F.col(score_col).asc() if ascending else F.col(score_col).desc(),
+        F.col(id_col).asc(),
+    ]
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    # the pid-stamped frame MUST be materialized once: the offset
+    # job and the rank job re-executing the range exchange
+    # independently could see different samplings/AQE coalescing and
+    # disagree on partition membership — the boundary pins _pid
+    from .dedup import _stage_boundary
+
+    ranged = _stage_boundary(
+        documents.repartitionByRange(n_parts, *key).withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+        "curriculum_ranged",
+    )
+    # partition-count-sized collect (n_parts rows), never row data
+    sizes = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*key)
+    return (
+        ranged.withColumn(
+            "rank", (off + F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_pid")
+    )

@@ -535,3 +535,45 @@ def length_quantiles(
             .alias(name)
         )
     return cum.groupBy("source").agg(*aggs)
+
+
+def chunk_overlap(
+    documents: DataFrame,
+    size: int = 50,
+    stride: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """Strided overlapping chunker (the RAG/embedding-index grain:
+    ``size``-token windows every ``stride`` tokens, so consecutive
+    chunks share ``size−stride`` tokens and no boundary sentence is
+    ever split away from all its context).  Chunks start at 0,
+    stride, 2·stride, …; the last chunk is the first one whose window
+    reaches the end of the document (shorter than ``size`` only when
+    the document itself is).  Pure map stage — transform + posexplode,
+    zero shuffle, streams over 100 TB.
+
+    Output: (doc_id, chunk_idx 0-based, text, n_tokens)."""
+    if stride <= 0 or size < stride:
+        raise ValueError("need 0 < stride <= size")
+    w = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n = F.size(w)
+    # number of chunks: 1 + ceil(max(n-size,0)/stride), at least 1 for
+    # any non-empty doc
+    n_chunks = F.when(
+        n <= size, F.lit(1)
+    ).otherwise(F.lit(1) + F.ceil((n - F.lit(size)) / F.lit(stride)))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * stride + 1, F.lit(size)), " "
+        ),
+    )
+    out = documents.filter(n >= 1).select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk").alias("text"),
+        F.size(F.split("chunk", " ")).cast("long").alias("n_tokens"),
+    )

@@ -489,3 +489,23 @@ def test_cross_split_leakage_bounds(spark):
         assert r["n_docs"] == expected
         assert 0 <= r["n_contaminated"] <= r["n_docs"]
         assert 0.0 <= r["contamination_rate"] <= 1.0
+
+
+def test_curriculum_rank_contiguous_and_ordered(spark):
+    """Global rank is 0..N-1 contiguous and follows the (score, id)
+    total order — including duplicate scores — regardless of how the
+    range boundaries fell."""
+    from pyspark.sql import functions as F
+
+    from reading_the_unreadable_spark.operators.quality import (
+        curriculum_rank,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    scored = docs.select(
+        "doc_id", (F.length("text") % 7).cast("long").alias("score")
+    )  # heavy ties
+    rows = curriculum_rank(scored, "score").orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(len(rows)))
+    keys = [(r["score"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
