@@ -214,7 +214,17 @@ def _union_gram_stats(
     g = ground_truth.select(
         "doc_id", F.col(text_col).alias("_t"), F.lit(0).alias("_s")
     )
-    both = p.unionByName(g).repartition("doc_id")
+    # EXPLICIT partition count, not repartition("doc_id"): the column
+    # form is AQE-coalescible (REPARTITION_BY_COL), and this shuffle
+    # is byte-SMALL but downstream-CPU-HUGE — AQE's byte heuristic
+    # collapsed it to ONE partition and serialized every gram through
+    # a single task (measured: chrF wall 23 s flat from local[2] to
+    # local[32]).  REPARTITION_BY_NUM pins the fan-out; the count
+    # follows the cluster (defaultParallelism), so the fix scales.
+    sc = predictions.sparkSession.sparkContext
+    both = p.unionByName(g).repartition(
+        max(sc.defaultParallelism * 2, 8), "doc_id"
+    )
     ns = F.array(*[F.lit(i) for i in range(1, max_n + 1)])
     if char_level:
         # whitespace-stripped chars (chrF's convention); the class is
