@@ -952,6 +952,16 @@ def allpairs_jaccard(
     overlap_min = F.ceil(
         F.lit(threshold) / (1 + threshold) * (F.col("sz_a") + F.col("sz_b"))
     )
+    # the prefix frames are byte-SMALL but the bucket join they feed
+    # is CPU-HUGE (it materializes every candidate pair) — left to
+    # AQE's byte heuristic the join stage coalesces to a handful of
+    # tasks (measured: 5.1 s vs 2.9 s with coalescing off at
+    # local[32]); REPARTITION_BY_NUM pins the fan-out on both sides
+    n_pin = max(
+        documents.sparkSession.sparkContext.defaultParallelism * 2, 8
+    )
+    pa = pa.repartition(n_pin, "token")
+    pb = pb.repartition(n_pin, "token")
     cands = (
         pa.join(pb, "token")
         .filter(F.col("doc_a") < F.col("doc_b"))
