@@ -227,3 +227,36 @@ def test_length_quantiles_hand_computed(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     r = length_quantiles(df).collect()[0]
     assert (r["n_docs"], r["p50"], r["p90"], r["p99"]) == (10, 5, 9, 10)
+
+
+def test_chunk_overlap_invariants(spark):
+    """Every token position is covered by at least one chunk; chunk 0
+    starts at token 0; consecutive chunks overlap by exactly
+    size−stride tokens (except a shorter final chunk); a doc shorter
+    than size yields itself as its single chunk."""
+    from reading_the_unreadable_spark.operators.textstats import (
+        chunk_overlap,
+    )
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(23))),
+        (2, " ".join(f"u{i}" for i in range(5))),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in chunk_overlap(df, size=8, stride=5).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["text"].split(" "))
+        )
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        chunks = [t for _, t in sorted(out[doc_id])]
+        # coverage: the union of chunk tokens in order == original
+        seen = set()
+        for ci, ch in enumerate(chunks):
+            start = ci * 5
+            assert ch == toks[start : start + 8], (doc_id, ci)
+            seen.update(range(start, start + len(ch)))
+        assert seen == set(range(len(toks))), doc_id
+    assert len(out[2]) == 1 and len(out[3]) == 1  # short docs: one chunk
