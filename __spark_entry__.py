@@ -414,6 +414,19 @@ def q_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.9)
 
 
+def q_incremental_gate(spark, sf):
+    """Incremental near-dup gate: odd-doc_id docs (the 'new batch')
+    gated against the materialized LSH index of even-doc_id docs (the
+    'history') — only the batch is shingled/minhashed, history text is
+    never touched.  Per new doc: distinct colliding history docs,
+    smallest such id, novelty flag."""
+    d = _t(spark, sf, "documents")
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    index = D.build_minhash_index(hist)
+    return D.incremental_minhash_gate(new, index)
+
+
 def q_allpairs_sim(spark, sf):
     """EXACT all-pairs Jaccard join (prefix filtering, Bayardo et al.
     2007) at t=0.95 — the deterministic complement to the LSH dedup
@@ -2525,12 +2538,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                RAG chunker, new operators) join the window;
     #                source_mix + redact_pii shift behind (green r04,
     #                pytest-replicated; the mixture family keeps fresh
-    #                rows via epoch_sample and dsir).
+    #                rows via epoch_sample and dsir).  incremental_gate
+    #                (batch-vs-history LSH gate, new operator) joins
+    #                the window; extract_spans_filled shifts behind
+    #                (green r04; the flagship chain keeps fresh rows
+    #                via extract_spans + extract_articles).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
         "extract_articles": q_extract_articles,
-        "extract_spans_filled": q_extract_spans_filled,
         "pdf_extract": q_pdf_extract,
         "html_blocks": q_html_blocks,
         "gopher_filter": q_gopher_filter,
@@ -2562,6 +2578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chrf_eval": q_chrf_eval,
         "pmi_collocations": q_pmi_collocations,
         "allpairs_sim": q_allpairs_sim,
+        "incremental_gate": q_incremental_gate,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2585,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_signals": q_gopher_signals,
         "bigram_logprob": q_bigram_logprob,
         "para_dedup": q_para_dedup,
+        "extract_spans_filled": q_extract_spans_filled,
         "c4_filters": q_c4_filters,
         "unigram_logprob": q_unigram_logprob,
         "source_mix": q_source_mix,
@@ -3100,6 +3118,41 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _TFIDF_ORACLE_SQL,
         # BLEU: integer-exact clipped n-gram counts; bp/bleu mirrored
         "bleu_eval": _bleu_oracle_sql(4),
+        # incremental gate: md5 minhash/band fold mirrored (same CTEs
+        # as minhash_lsh); history/new split by doc_id parity
+        "incremental_gate": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            shingles AS (
+              SELECT DISTINCT doc_id, s FROM words,
+              LATERAL (SELECT unnest(
+                CASE WHEN len(w) >= 3
+                     THEN list_transform(generate_series(1, len(w)-2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     ELSE [array_to_string(w, ' ')] END) AS s)),
+            hashes AS (
+              SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+              FROM shingles, (SELECT unnest(generate_series(0, 7)) AS seed)
+              GROUP BY doc_id, seed),
+            sigs AS (
+              SELECT doc_id, seed // 2 AS band,
+                     md5(string_agg(mh, ',' ORDER BY seed)) AS band_sig
+              FROM hashes GROUP BY doc_id, seed // 2),
+            hist AS (SELECT * FROM sigs WHERE doc_id % 2 = 0),
+            newsig AS (SELECT * FROM sigs WHERE doc_id % 2 = 1),
+            hits AS (
+              SELECT n.doc_id, count(DISTINCT h.doc_id) AS n_hit_docs,
+                     min(h.doc_id) AS first_hit_doc
+              FROM newsig n JOIN hist h
+                ON n.band = h.band AND n.band_sig = h.band_sig
+              GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(n_hit_docs, 0)::BIGINT AS n_hit_docs,
+                   first_hit_doc::BIGINT AS first_hit_doc,
+                   (n_hit_docs IS NULL) AS is_novel
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+            LEFT JOIN hits USING (doc_id)
+        """,
         # all-pairs: BRUTE-FORCE oracle (algorithm-independent) — the
         # hash match certifies prefix filtering finds every pair >= t
         "allpairs_sim": """

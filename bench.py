@@ -129,6 +129,7 @@ HEADLINE = [
     "split_leakage",
     "curriculum",
     "chunk_overlap",
+    "incremental_gate",
 ]
 
 

@@ -1015,3 +1015,65 @@ def allpairs_jaccard(
             ),
         )
     )
+
+
+def build_minhash_index(
+    documents: DataFrame,
+    n: int = 3,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """(doc_id, band, band_sig): the MATERIALIZABLE LSH index of a
+    corpus — the asset a production pipeline builds ONCE over history
+    and persists (e.g. through the snapshot layer), so that gating
+    each incoming batch never touches history text again.  Pure
+    per-doc function (md5 minhashes, sorted band fold) — identical
+    whether built over the whole corpus or per partition/batch."""
+    return lsh_band_signatures(
+        minhash_signatures(shingles(_spread(documents), n), n_hashes),
+        band_rows,
+    )
+
+
+def incremental_minhash_gate(
+    new_docs: DataFrame,
+    history_index: DataFrame,
+    n: int = 3,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Near-dup gate for an INCREMENTAL batch: which new documents
+    collide (share ≥1 LSH band) with the already-ingested corpus,
+    given only its :func:`build_minhash_index` output — the 100 TB
+    incremental shape: per batch, only the BATCH is shingled and
+    minhashed (cost ∝ batch), the join keys on (band, band_sig)
+    against the persisted index (pre-bucketable on exactly those
+    keys), and nothing ever re-reads or re-hashes history text.
+
+    Output per new doc: (doc_id, n_hit_docs — distinct history docs
+    sharing a band, first_hit_doc — smallest such id, NULL when
+    novel, is_novel)."""
+    new_sigs = build_minhash_index(new_docs, n, n_hashes, band_rows)
+    hist = history_index.select(
+        F.col("doc_id").alias("_hist_doc"), "band", "band_sig"
+    )
+    hits = (
+        new_sigs.join(hist, ["band", "band_sig"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("_hist_doc").alias("n_hit_docs"),
+            F.min("_hist_doc").alias("first_hit_doc"),
+        )
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_docs", F.lit(0)).cast("long").alias(
+                "n_hit_docs"
+            ),
+            F.col("first_hit_doc").cast("long"),
+            F.col("n_hit_docs").isNull().alias("is_novel"),
+        )
+    )

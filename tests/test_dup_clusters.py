@@ -193,3 +193,36 @@ def test_allpairs_jaccard_random_corpora_exact(spark):
             for r in allpairs_jaccard(df, threshold=t).collect()
         }
         assert got == expected, (seed, t, len(got), len(expected))
+
+
+def test_incremental_gate_catches_known_dup(spark):
+    """A new doc that is a verbatim copy of a history doc collides on
+    every band (is_novel False, first_hit = the copied doc); an
+    unrelated new doc passes as novel."""
+    from reading_the_unreadable_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_gate,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "entirely different historical content about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog tonight"),
+            (13, "completely novel words never seen in any prior batch"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hit_docs"], r["first_hit_doc"], r["is_novel"])
+        for r in incremental_minhash_gate(
+            new, build_minhash_index(hist)
+        ).collect()
+    }
+    assert got[11] == (1, 0, False)
+    assert got[13] == (0, None, True)
