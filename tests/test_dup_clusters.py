@@ -226,3 +226,45 @@ def test_incremental_gate_catches_known_dup(spark):
     }
     assert got[11] == (1, 0, False)
     assert got[13] == (0, None, True)
+
+
+def test_incremental_gate_over_snapshot_layer(spark, tmp_path):
+    """The production composition: batch 1 lands as snapshot 1 and its
+    LSH index is built from a time-travel read; batch 2 arrives via
+    incremental_read and is gated against that index — a batch-2 copy
+    of a batch-1 doc is caught, fresh batch-2 content passes."""
+    from reading_the_unreadable_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_gate,
+    )
+    from reading_the_unreadable_spark.sources.snapshots import (
+        append_snapshot,
+        incremental_read,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "snap_gate")
+    b1 = spark.createDataFrame(
+        [
+            (1, "historic article about spark window functions today"),
+            (2, "another historic piece on shuffle partitioning rules"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (11, "historic article about spark window functions today"),
+            (12, "genuinely fresh reporting with brand new wording here"),
+        ],
+        "doc_id long, text string",
+    )
+    s1 = append_snapshot(b1, root)
+    s2 = append_snapshot(b2, root)
+    index = build_minhash_index(read_snapshot(spark, root, snapshot_id=s1))
+    new = incremental_read(spark, root, after=s1)
+    assert new.count() == 2  # exactly the batch-2 diff
+    got = {
+        r["doc_id"]: (r["is_novel"], r["first_hit_doc"])
+        for r in incremental_minhash_gate(new, index).collect()
+    }
+    assert got == {11: (False, 1), 12: (True, None)}
