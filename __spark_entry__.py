@@ -427,6 +427,59 @@ def q_incremental_gate(spark, sf):
     return D.incremental_minhash_gate(new, index)
 
 
+def q_pca_component(spark, sf):
+    """Top principal component of the embedding cloud by 3-step power
+    iteration — the whitening primitive; engine-exact via the
+    iterative-algorithm discipline (fixed start, per-step 9-dp
+    rounding, strictly left-associative dot chains mirrored in the
+    oracle)."""
+    return S.power_iteration_top_component(
+        _t(spark, sf, "embeddings"), dim=64, iters=3
+    )
+
+
+def _pca_oracle_sql(dim: int = 64, iters: int = 3, ndp: int = 9) -> str:
+    e = lambda i: f"embedding[{i + 1}]::DOUBLE"  # noqa: E731
+    mean_cols = ", ".join(
+        f"round(sum({e(i)}) / any_value(nn.n), {ndp}) AS m{i}"
+        for i in range(dim)
+    )
+    v0 = round(1.0 / dim**0.5, ndp)
+    parts = [
+        f"WITH nn AS (SELECT count(*) AS n FROM embeddings),",
+        f"m AS (SELECT {mean_cols} FROM embeddings, nn),",
+    ]
+    prev_v = None  # None → literal v0
+    for k in range(1, iters + 1):
+        vref = (lambda i: str(v0)) if prev_v is None else (
+            lambda i, p=prev_v: f"{p}.v{i}"
+        )
+        dot_chain = " + ".join(
+            f"({e(i)} - m.m{i}) * {vref(i)}" for i in range(dim)
+        )
+        src = "embeddings, m" + ("" if prev_v is None else f", {prev_v}")
+        comp_cols = ", ".join(
+            f"round(sum(dot * ({e(i)} - m.m{i})), {ndp}) AS c{i}"
+            for i in range(dim)
+        )
+        sq_chain = " + ".join(f"c{i} * c{i}" for i in range(dim))
+        vcols = ", ".join(f"round(c{i} / nrm, {ndp}) AS v{i}" for i in range(dim))
+        parts += [
+            f"d{k} AS (SELECT round({dot_chain}, {ndp}) AS dot, embedding"
+            f" FROM {src}),",
+            f"c{k} AS (SELECT {comp_cols} FROM d{k}, m),",
+            f"n{k} AS (SELECT sqrt({sq_chain}) AS nrm, * FROM c{k}),",
+            f"v{k} AS (SELECT {vcols}, round(nrm, {ndp}) AS ev FROM n{k}),",
+        ]
+        prev_v = f"v{k}"
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS pos, v{i} AS component, ev AS eigenvalue"
+        f" FROM {prev_v}"
+        for i in range(dim)
+    )
+    return "\n".join(parts)[:-1] + f"\n{union}"
+
+
 def q_allpairs_sim(spark, sf):
     """EXACT all-pairs Jaccard join (prefix filtering, Bayardo et al.
     2007) at t=0.95 — the deterministic complement to the LSH dedup
@@ -2543,13 +2596,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                the window; extract_spans_filled shifts behind
     #                (green r04; the flagship chain keeps fresh rows
     #                via extract_spans + extract_articles).
+    #                pca_component (power-iteration whitening, new
+    #                operator) joins the window; gopher_filter shifts
+    #                behind (green r04, pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
         "extract_articles": q_extract_articles,
         "pdf_extract": q_pdf_extract,
         "html_blocks": q_html_blocks,
-        "gopher_filter": q_gopher_filter,
         "kn_logprob": q_kn_logprob,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
@@ -2579,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "allpairs_sim": q_allpairs_sim,
         "incremental_gate": q_incremental_gate,
+        "pca_component": q_pca_component,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
@@ -2603,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "para_dedup": q_para_dedup,
         "extract_spans_filled": q_extract_spans_filled,
+        "gopher_filter": q_gopher_filter,
         "c4_filters": q_c4_filters,
         "unigram_logprob": q_unigram_logprob,
         "source_mix": q_source_mix,
@@ -3118,6 +3175,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _TFIDF_ORACLE_SQL,
         # BLEU: integer-exact clipped n-gram counts; bp/bleu mirrored
         "bleu_eval": _bleu_oracle_sql(4),
+        # PCA: chained per-step CTEs, left-assoc chains, 9-dp rounds
+        "pca_component": _pca_oracle_sql(64, 3),
         # incremental gate: md5 minhash/band fold mirrored (same CTEs
         # as minhash_lsh); history/new split by doc_id parity
         "incremental_gate": """

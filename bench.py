@@ -130,6 +130,7 @@ HEADLINE = [
     "curriculum",
     "chunk_overlap",
     "incremental_gate",
+    "pca_component",
 ]
 
 
