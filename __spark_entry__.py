@@ -427,6 +427,14 @@ def q_incremental_gate(spark, sf):
     return D.incremental_minhash_gate(new, index)
 
 
+def q_lsh_recall(spark, sf):
+    """MinHash-LSH candidate quality MEASURED against the exact
+    prefix-filtered all-pairs truth over the same shingle sets —
+    recall of the bands + fraction of candidates that verify, the
+    one-row confusion summary bands/rows are tuned with."""
+    return D.lsh_recall(_t(spark, sf, "documents"), threshold=0.7)
+
+
 def q_pca_component(spark, sf):
     """Top principal component of the embedding cloud by 3-step power
     iteration — the whitening primitive; engine-exact via the
@@ -2598,7 +2606,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                via extract_spans + extract_articles).
     #                pca_component (power-iteration whitening, new
     #                operator) joins the window; gopher_filter shifts
-    #                behind (green r04, pytest-replicated).
+    #                behind (green r04, pytest-replicated).  lsh_recall
+    #                (measured LSH-vs-exact calibration, new operator)
+    #                joins the window; embedding_near_dup shifts behind
+    #                (green r04, pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -2635,7 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allpairs_sim": q_allpairs_sim,
         "incremental_gate": q_incremental_gate,
         "pca_component": q_pca_component,
-        "embedding_near_dup": q_embedding_near_dup,
+        "lsh_recall": q_lsh_recall,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
         "dataset_split": q_dataset_split,
@@ -2660,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": q_para_dedup,
         "extract_spans_filled": q_extract_spans_filled,
         "gopher_filter": q_gopher_filter,
+        "embedding_near_dup": q_embedding_near_dup,
         "c4_filters": q_c4_filters,
         "unigram_logprob": q_unigram_logprob,
         "source_mix": q_source_mix,
@@ -3175,6 +3187,53 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _TFIDF_ORACLE_SQL,
         # BLEU: integer-exact clipped n-gram counts; bp/bleu mirrored
         "bleu_eval": _bleu_oracle_sql(4),
+        # LSH recall: brute-force shingle-set truth (algorithm-
+        # independent) vs the md5 band-bucket candidate replica
+        "lsh_recall": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            shingles AS (
+              SELECT DISTINCT doc_id, s FROM words,
+              LATERAL (SELECT unnest(
+                CASE WHEN len(w) >= 3
+                     THEN list_transform(generate_series(1, len(w)-2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     ELSE [array_to_string(w, ' ')] END) AS s)),
+            sets AS (SELECT doc_id, list(s) AS ss FROM shingles GROUP BY 1),
+            truth AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.ss, b.ss)) * 1.0 /
+                    (len(a.ss) + len(b.ss)
+                     - len(list_intersect(a.ss, b.ss))) >= 0.7),
+            hashes AS (
+              SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+              FROM shingles, (SELECT unnest(generate_series(0, 7)) AS seed)
+              GROUP BY doc_id, seed),
+            sigs AS (
+              SELECT doc_id, seed // 2 AS band,
+                     md5(string_agg(mh, ',' ORDER BY seed)) AS band_sig
+              FROM hashes GROUP BY doc_id, seed // 2),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sigs a JOIN sigs b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id),
+            j AS (
+              SELECT coalesce(t.doc_a, c.doc_a) AS doc_a,
+                     (t.doc_a IS NOT NULL)::INT AS t,
+                     (c.doc_a IS NOT NULL)::INT AS c
+              FROM truth t FULL JOIN cand c
+                ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+            SELECT 0.7 AS threshold,
+                   sum(t)::BIGINT AS n_true_pairs,
+                   sum(c)::BIGINT AS n_candidate_pairs,
+                   sum(t * c)::BIGINT AS n_hit,
+                   round(sum(t * c) * 1.0 / sum(t), 4) AS recall,
+                   round(sum(t * c) * 1.0 / sum(c), 4)
+                     AS candidate_precision
+            FROM j
+        """,
         # PCA: chained per-step CTEs, left-assoc chains, 9-dp rounds
         "pca_component": _pca_oracle_sql(64, 3),
         # incremental gate: md5 minhash/band fold mirrored (same CTEs

@@ -131,6 +131,7 @@ HEADLINE = [
     "chunk_overlap",
     "incremental_gate",
     "pca_component",
+    "lsh_recall",
 ]
 
 

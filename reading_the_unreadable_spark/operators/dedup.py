@@ -910,6 +910,17 @@ def allpairs_jaccard(
             )
         ).alias("token"),
     )
+    return allpairs_from_tokens(toks, threshold)
+
+
+def allpairs_from_tokens(
+    toks: DataFrame, threshold: float
+) -> DataFrame:
+    """The :func:`allpairs_jaccard` engine over an arbitrary DISTINCT
+    (doc_id, token) set representation — set elements may be words
+    (``allpairs_jaccard``), shingles (:func:`lsh_recall`'s exact truth
+    side), or any other fingerprintable unit.  Same guarantees: exact,
+    prefix-filtered, positionally pruned, verify joins doc-bounded."""
     dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
     # three consumers (prefix explode + both verify sides) with three
     # different required partitionings — boundary the sorted-set frame
@@ -958,7 +969,7 @@ def allpairs_jaccard(
     # tasks (measured: 5.1 s vs 2.9 s with coalescing off at
     # local[32]); REPARTITION_BY_NUM pins the fan-out on both sides
     n_pin = max(
-        documents.sparkSession.sparkContext.defaultParallelism * 2, 8
+        toks.sparkSession.sparkContext.defaultParallelism * 2, 8
     )
     pa = pa.repartition(n_pin, "token")
     pb = pb.repartition(n_pin, "token")
@@ -1076,4 +1087,82 @@ def incremental_minhash_gate(
             F.col("first_hit_doc").cast("long"),
             F.col("n_hit_docs").isNull().alias("is_novel"),
         )
+    )
+
+
+def lsh_recall(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """MinHash-LSH candidate quality, MEASURED against exact truth —
+    not estimated from the (1-(1-s^r)^b) curve: the truth side is the
+    prefix-filtered EXACT all-pairs join over the same shingle sets
+    (:func:`allpairs_from_tokens` — no false negatives), the candidate
+    side is the band-bucket pair set the LSH index would hand to
+    verification, and the output is the one-row confusion summary a
+    pipeline owner tunes bands/rows with.
+
+    Both sides reuse ONE boundary-backed shingle frame; truth and
+    candidates join on the pair key; cost is truth-join + index-build,
+    both individually scale-shaped (see their operators).
+
+    Output: (threshold, n_true_pairs, n_candidate_pairs, n_hit,
+    recall, candidate_precision) — recall is the fraction of true
+    pairs the bands caught; candidate_precision the fraction of
+    candidates that verify (1 − wasted verification work)."""
+    sh = _stage_boundary(shingles(_spread(documents), n), "lshrec_sh")
+    truth = allpairs_from_tokens(
+        sh.select("doc_id", F.col("shingle").alias("token")), threshold
+    ).select("doc_a", "doc_b")
+    sigs = lsh_band_signatures(minhash_signatures(sh, n_hashes), band_rows)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    joined = truth.withColumn("_t", F.lit(1)).join(
+        cand.withColumn("_c", F.lit(1)), ["doc_a", "doc_b"], "full"
+    )
+    return joined.agg(
+        F.lit(threshold).alias("threshold"),
+        F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("n_true_pairs"),
+        F.sum(F.coalesce("_c", F.lit(0)))
+        .cast("long")
+        .alias("n_candidate_pairs"),
+        F.sum(
+            F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hit"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1
+                ).otherwise(0)
+            )
+            / F.sum(F.coalesce("_t", F.lit(0))),
+            4,
+        ).alias("recall"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1
+                ).otherwise(0)
+            )
+            / F.sum(F.coalesce("_c", F.lit(0))),
+            4,
+        ).alias("candidate_precision"),
     )
