@@ -29,6 +29,7 @@ from reading_the_unreadable_spark.functions.text import LIGATURES
 from reading_the_unreadable_spark.operators.articles import build_articles
 from reading_the_unreadable_spark.plans.pipeline import extract_from_boxes
 from reading_the_unreadable_spark.sources.docs import boxes_from_documents_table
+from reading_the_unreadable_spark.sources import archives as AR
 from reading_the_unreadable_spark.sources import warc as W
 
 
@@ -943,6 +944,29 @@ def q_warc_extract(spark, sf):
         "http_status",
         "http_content_type",
         F.length("payload").cast("long").alias("content_len"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def q_archive_extract(spark, sf):
+    """Archive-container ingestion end-to-end: pack the documents table
+    into ZIP (even doc_id; stored when doc_id % 3 == 0 else deflate) and
+    .tar.gz (odd doc_id) blobs, parse them back with the from-scratch
+    central-directory/ustar parsers, and emit engine-portable scalars.
+    Every output value is a pure function of (doc_id, text), so a DuckDB
+    replica is value-exact no matter how documents batch into archives.
+    CRC-32 is verified member-by-member inside the parser and surfaces
+    as the crc_ok boolean (DuckDB has no crc32 builtin)."""
+    docs = _t(spark, sf, "documents")
+    members = AR.parse_archive_frame(AR.archives_from_documents(docs))
+    return members.select(
+        F.regexp_extract("member_name", r"^doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "container",
+        "method",
+        "member_bytes",
+        "crc_ok",
         F.md5("payload").alias("payload_md5"),
     )
 
@@ -2609,6 +2633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                behind (green r04, pytest-replicated).  lsh_recall
     #                (measured LSH-vs-exact calibration, new operator)
     #                joins the window; embedding_near_dup shifts behind
+    #                (green r04, pytest-replicated).  archive_extract
+    #                (ZIP/TAR/tar.gz container sources, new family)
+    #                joins the window; pack_sequences shifts behind
     #                (green r04, pytest-replicated).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
@@ -2617,7 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "html_blocks": q_html_blocks,
         "kn_logprob": q_kn_logprob,
-        "pack_sequences": q_pack_sequences,
+        "archive_extract": q_archive_extract,
         "decontaminate": q_decontaminate,
         "ccnet_buckets": q_ccnet_buckets,
         "winnow_pairs": q_winnow_pairs,
@@ -2666,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_and_median": q_rank_and_median,
         "monthly_revenue": q_monthly_revenue,
         # -- remaining operator-family queries (driver-green r02-r04) --
+        "pack_sequences": q_pack_sequences,
         "gopher_signals": q_gopher_signals,
         "bigram_logprob": q_bigram_logprob,
         "para_dedup": q_para_dedup,
@@ -3151,6 +3179,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN labels l ON d.doc_id = l.doc_id
             LEFT JOIN sizes s ON l.cluster_id = s.cluster_id
+        """,
+        # archive round-trip: container/method assignment and payload are
+        # pure functions of (doc_id, text); CRC is parser-internal and
+        # surfaces as the always-true crc_ok on uncorrupted fixtures
+        "archive_extract": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'zip'
+                        ELSE 'tar.gz' END AS container,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                          CASE WHEN doc_id % 3 = 0 THEN 'stored'
+                               ELSE 'deflate' END
+                        ELSE 'tar' END AS method,
+                   strlen(text) AS member_bytes,
+                   TRUE AS crc_ok,
+                   md5(text) AS payload_md5
+            FROM documents
         """,
         # warc round-trip: payloads are pure functions of (doc_id, text),
         # so the replica rebuilds the template strings and hashes them —

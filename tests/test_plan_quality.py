@@ -447,6 +447,16 @@ def test_warc_pipeline_is_shuffle_free(spark):
     assert plan.count("MapInPandas") == 2, plan[:2000]
 
 
+def test_archive_pipeline_is_shuffle_free(spark):
+    """documents → zip/tar.gz blobs → parsed members → scalars is two
+    mapInPandas stages and projections: ZERO exchanges — the archive
+    file is the split unit, members explode executor-side."""
+    df = entrymod.q_archive_extract(spark, SF)
+    plan = _plan(df)
+    assert len(re.findall(r"Exchange (hash|round|range)", plan)) == 0, plan[:2000]
+    assert plan.count("MapInPandas") == 2, plan[:2000]
+
+
 def test_dsir_ratio_join_is_broadcast(spark):
     """The 64-row bucket→log-ratio table must broadcast back onto the
     (doc, bucket) counts — shuffling the corpus side against a
