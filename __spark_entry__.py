@@ -948,6 +948,28 @@ def q_warc_extract(spark, sf):
     )
 
 
+def q_image_dedup(spark, sf):
+    """Perceptual image near-dup (dHash): deterministic 9x8 images
+    (pixels a closed-form function of doc_id; doc_id % 40 groups are
+    exact dups, a doc_id // 40-keyed single-pixel perturbation makes
+    Hamming-1 near-dups) encoded through a REAL lossless codec cycle
+    (BMP / filtered PNG / LZW TIFF by doc_id % 3), decoded back, dHashed,
+    and paired with the pigeonhole-exhaustive band join (n_bands =
+    max_hamming + 1 -> no false negatives).  The oracle recomputes the
+    64 gradient bits from the pixel formula and brute-forces all pairs —
+    algorithm-independent, so the hash match certifies codec round-trip,
+    dHash, and the band join's exactness at once."""
+    from reading_the_unreadable_spark.operators.imagehash import (
+        dhash_pairs,
+        image_dhash,
+        synth_dhash_images,
+    )
+
+    docs = _t(spark, sf, "documents")
+    hashes = image_dhash(synth_dhash_images(docs))
+    return dhash_pairs(hashes, max_hamming=3)
+
+
 def q_archive_extract(spark, sf):
     """Archive-container ingestion end-to-end: pack the documents table
     into ZIP (even doc_id; stored when doc_id % 3 == 0 else deflate) and
@@ -2636,7 +2658,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                (green r04, pytest-replicated).  archive_extract
     #                (ZIP/TAR/tar.gz container sources, new family)
     #                joins the window; pack_sequences shifts behind
-    #                (green r04, pytest-replicated).
+    #                (green r04, pytest-replicated).  image_dedup
+    #                (perceptual dHash near-dup, new family) joins the
+    #                window; pricing_summary shifts behind (green
+    #                r01-r03 + pytest-replicated; top_customers and
+    #                region_revenue keep the TPC family's fresh rows).
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -2652,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_sample": q_epoch_sample,
         "dedup_substrings": q_dedup_substrings,
         "semdedup": q_semdedup,
+        "image_dedup": q_image_dedup,
         "quality_classifier": q_quality_classifier,
         "dup_clusters": q_dup_clusters,
         "warc_extract": q_warc_extract,
@@ -2687,12 +2714,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "snapshot_incremental": q_snapshot_incremental,
         # -- r05 rotated-in TPC rows (fresh driver check this round) --
-        "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
         "rank_and_median": q_rank_and_median,
         "monthly_revenue": q_monthly_revenue,
         # -- remaining operator-family queries (driver-green r02-r04) --
+        "pricing_summary": q_pricing_summary,
         "pack_sequences": q_pack_sequences,
         "gopher_signals": q_gopher_signals,
         "bigram_logprob": q_bigram_logprob,
@@ -3179,6 +3206,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN labels l ON d.doc_id = l.doc_id
             LEFT JOIN sizes s ON l.cluster_id = s.cluster_id
+        """,
+        # image dHash: bits recomputed from the closed-form pixel grid,
+        # pairs brute-forced over the exploded (doc, bit) rows — the
+        # band join's no-false-negative guarantee is what's certified
+        "image_dedup": """
+            WITH bits AS (
+              SELECT doc_id, i.i AS i,
+                CASE WHEN
+                  (((doc_id % 40) * 53 + (i.i // 8) * 17
+                    + ((i.i % 8) + 1) * 29) % 256)
+                  >
+                  ((((doc_id % 40) * 53 + (i.i // 8) * 17 + (i.i % 8) * 29)
+                    + CASE WHEN ((doc_id // 40) % 8) = 1
+                                AND i.i // 8 = 0 AND i.i % 8 = 0
+                           THEN 128 ELSE 0 END) % 256)
+                  THEN 1 ELSE 0 END AS bit
+              FROM documents,
+                   (SELECT unnest(generate_series(0, 63)) AS i) i)
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                        AS INT) AS hamming
+            FROM bits x JOIN bits y ON x.i = y.i AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+            HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 3
         """,
         # archive round-trip: container/method assignment and payload are
         # pure functions of (doc_id, text); CRC is parser-internal and
