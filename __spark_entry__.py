@@ -948,6 +948,43 @@ def q_warc_extract(spark, sf):
     )
 
 
+def q_unicode_nfc(spark, sf):
+    """Unicode curation pass: strip zero-width invisibles (pure JVM
+    regexp) then NFC-compose (Arrow-vectorized pandas UDF — Spark has
+    no built-in normalizer).  The fixture appends decomposed sequences
+    ("e"+U+0301, "A"+U+030A), an already-composed "é" (idempotence),
+    and plain ASCII, cycled by doc_id % 4, plus a zero-width space.
+    Oracle: DuckDB's nfc_normalize over the same construction — two
+    independent NFC implementations (CPython unicodedata vs DuckDB's
+    utf8proc) must agree byte-for-byte."""
+    from reading_the_unreadable_spark.functions.text import (
+        nfc_col,
+        strip_invisible_col,
+    )
+
+    docs = _t(spark, sf, "documents")
+    suffix = F.element_at(
+        F.array(
+            F.lit("cafe\u0301"),      # decomposed: e + combining acute
+            F.lit("A\u030a ring"),    # decomposed: A + combining ring
+            F.lit("caf\u00e9"),       # composed "\u00e9" -- NFC idempotence
+            F.lit("ascii"),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" \u200b"), suffix).alias("t2"),
+    )
+    clean = aug.select("doc_id", "t2", strip_invisible_col(F.col("t2")).alias("c"))
+    return clean.select(
+        "doc_id",
+        F.length(nfc_col(F.col("c"))).cast("long").alias("nfc_len"),
+        (nfc_col(F.col("c")) != F.col("c")).alias("changed"),
+        F.md5(nfc_col(F.col("c")).cast("binary")).alias("nfc_md5"),
+    )
+
+
 def q_image_dedup(spark, sf):
     """Perceptual image near-dup (dHash): deterministic 9x8 images
     (pixels a closed-form function of doc_id; doc_id % 40 groups are
@@ -2718,7 +2755,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "rank_and_median": q_rank_and_median,
         "monthly_revenue": q_monthly_revenue,
-        # -- remaining operator-family queries (driver-green r02-r04) --
+        # -- remaining operator-family queries (driver-green r02-r04;
+        #    unicode_nfc is new this round — pytest-replicated now,
+        #    window candidate for r06) --
+        "unicode_nfc": q_unicode_nfc,
         "pricing_summary": q_pricing_summary,
         "pack_sequences": q_pack_sequences,
         "gopher_signals": q_gopher_signals,
@@ -3206,6 +3246,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN labels l ON d.doc_id = l.doc_id
             LEFT JOIN sizes s ON l.cluster_id = s.cluster_id
+        """,
+        # unicode NFC: two independent normalizer implementations
+        # (CPython unicodedata vs DuckDB utf8proc) must agree on the
+        # composed bytes; invisibles stripped by replace chains
+        "unicode_nfc": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' ' || chr(8203) ||
+                     CASE doc_id % 4
+                       WHEN 0 THEN 'cafe' || chr(769)
+                       WHEN 1 THEN 'A' || chr(778) || ' ring'
+                       WHEN 2 THEN 'caf' || chr(233)
+                       ELSE 'ascii' END AS t2
+              FROM documents),
+            clean AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(t2,
+                       chr(8203), ''), chr(8204), ''),
+                       chr(8205), ''), chr(65279), '') AS c
+              FROM aug)
+            SELECT doc_id,
+                   length(nfc_normalize(c)) AS nfc_len,
+                   nfc_normalize(c) <> c AS changed,
+                   md5(nfc_normalize(c)) AS nfc_md5
+            FROM clean
         """,
         # image dHash: bits recomputed from the closed-form pixel grid,
         # pairs brute-forced over the exploded (doc, bit) rows — the

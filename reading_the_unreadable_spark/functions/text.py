@@ -110,6 +110,55 @@ def strip_fences_col(c: Column) -> Column:
     return strip_ws_col(out)
 
 
+# ------------------------------------------------- Unicode normalization
+# Web corpora mix composed and decomposed codepoint sequences for the
+# same visible text ("é" vs "e"+U+0301) — byte-grain dedup, n-gram
+# fingerprints, and tokenizers all see them as different unless the
+# corpus is normalized first.  NFC is the curation default (lossless,
+# unlike NFKC which folds ligatures/width).  Invisible formatting
+# characters (zero-width space/joiner/non-joiner, BOM) are stripped
+# separately — they survive NFC by design.
+
+# ZWSP, ZWNJ, ZWJ, BOM/ZWNBSP — the copy-paste invisibles.
+INVISIBLES = "\u200b\u200c\u200d\ufeff"
+
+
+def strip_invisible_col(c: Column) -> Column:
+    """Remove zero-width formatting characters — a pure JVM
+    ``regexp_replace`` (codegen'd, no Python)."""
+    return F.regexp_replace(
+        F.coalesce(c, F.lit("")), f"[{INVISIBLES}]", ""
+    )
+
+
+def strip_invisible_pd(s: pd.Series) -> pd.Series:
+    return s.fillna("").str.replace(f"[{INVISIBLES}]", "", regex=True)
+
+
+def nfc_pd(s: pd.Series) -> pd.Series:
+    """Unicode NFC (canonical composition), vectorized over a pandas
+    Series — the oracle-side twin of :func:`nfc_col`."""
+    import unicodedata
+
+    return s.map(
+        lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+    )
+
+
+def nfc_col(c: Column) -> Column:
+    """Unicode NFC as an Arrow-batched pandas UDF.  Spark has no
+    built-in normalizer, so this is the documented slow-path exception
+    (SURVEY §2.11): a pure map, Arrow batch transfer, no state — at
+    100 TB it pipelines inside the scan stage like any projection."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return nfc_pd(s)
+
+    return _nfc(c)
+
+
 # ------------------------------------------------------------ segment knitting
 def knit_strings(a: str, b: str) -> str:
     """Merge two overlapping segment texts on their longest common substring.

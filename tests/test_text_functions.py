@@ -260,3 +260,65 @@ def test_chunk_overlap_invariants(spark):
             seen.update(range(start, start + len(ch)))
         assert seen == set(range(len(toks))), doc_id
     assert len(out[2]) == 1 and len(out[3]) == 1  # short docs: one chunk
+
+
+def test_nfc_twins_and_invisible_strip(spark):
+    """nfc_col / nfc_pd and strip_invisible_col / _pd are byte-identical
+    twins, and CPython's NFC agrees with DuckDB's nfc_normalize (two
+    independent implementations of UAX #15)."""
+    import duckdb
+
+    from reading_the_unreadable_spark.functions.text import (
+        nfc_col,
+        nfc_pd,
+        strip_invisible_col,
+        strip_invisible_pd,
+    )
+
+    cases = [
+        "café",            # decomposed acute
+        "Å",               # decomposed ring
+        "café",             # already composed (idempotence)
+        "ö́ stack",   # multiple combining marks
+        "​zero‌width‍ run﻿",
+        "plain ascii",
+        "가가 hangul mix",
+    ]
+    pdf = pd.Series(cases)
+    clean_pd = strip_invisible_pd(pdf)
+    nfc_series = nfc_pd(clean_pd)
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i long, s string")
+    got = (
+        df.select("i", nfc_col(strip_invisible_col(F.col("s"))).alias("n"))
+        .orderBy("i")
+        .collect()
+    )
+    for row, want in zip(got, nfc_series):
+        assert row["n"] == want, (row["i"], row["n"].encode(), want.encode())
+    con = duckdb.connect()
+    for want in nfc_series:
+        duck = con.execute("select nfc_normalize(?)", [want]).fetchone()[0]
+        assert duck == want
+
+
+def test_nfc_property_random_combining(spark):
+    """Hypothesis: on arbitrary mixes of base chars and combining marks,
+    the Spark UDF path equals unicodedata.normalize directly."""
+    import unicodedata
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from reading_the_unreadable_spark.functions.text import nfc_pd
+
+    marks = st.sampled_from(["́", "̀", "̈", "̊", ""])
+    bases = st.sampled_from(list("aeounAEOUN") + ["é", "Å"])
+    chunk = st.tuples(bases, marks).map(lambda t: t[0] + t[1])
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(chunk, min_size=0, max_size=12).map("".join))
+    def check(s):
+        assert nfc_pd(pd.Series([s]))[0] == unicodedata.normalize("NFC", s)
+
+    check()
