@@ -30,6 +30,8 @@ from reading_the_unreadable_spark.operators.articles import build_articles
 from reading_the_unreadable_spark.plans.pipeline import extract_from_boxes
 from reading_the_unreadable_spark.sources.docs import boxes_from_documents_table
 from reading_the_unreadable_spark.sources import archives as AR
+from reading_the_unreadable_spark.sources import docx as DX
+from reading_the_unreadable_spark.sources import epub as EP
 from reading_the_unreadable_spark.sources import warc as W
 
 
@@ -1027,6 +1029,53 @@ def q_archive_extract(spark, sf):
         "member_bytes",
         "crc_ok",
         F.md5("payload").alias("payload_md5"),
+    )
+
+
+def q_docx_extract(spark, sf):
+    """OOXML ingestion end-to-end: pack each document into a synthetic
+    .docx (title + verbatim-text paragraph + modulus-gated figure and
+    table — `sources/docx.py:docx_from_documents`), parse it back with
+    the from-scratch ZIP walk + WordprocessingML reader, and emit the
+    interleaved span model (kind, text, media_ref, order) — the north-
+    rule row shape, from a Word shelf instead of a newspaper scan.
+    Every span is a pure function of (doc_id, text), so the oracle
+    reconstructs the table in closed form; the figure's media_ref is
+    the relationship-resolved archive path."""
+    docs = _t(spark, sf, "documents")
+    spans = DX.parse_docx_frame(DX.docx_from_documents(docs))
+    return spans.select(
+        F.regexp_extract("source_file", r"doc_(\d+)\.docx$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "span_order",
+        "kind",
+        "text",
+        "media_ref",
+    )
+
+
+def q_epub_extract(spark, sf):
+    """EPUB ingestion end-to-end: pack each document into a two-chapter
+    EPUB whose zip stores chapters in REVERSED spine order
+    (`sources/epub.py`), follow the spec discovery chain
+    (container.xml → OPF manifest → spine) and strip each chapter
+    through the existing DOM-lite visible-text machinery — proving the
+    reader orders by spine, not zip layout.  Chapter text is a pure
+    function of (doc_id, text): the corpus text is single-space
+    tokenized (measured, same convention as the html_blocks oracle), so
+    the tag→space + collapse strip has a closed SQL form."""
+    from reading_the_unreadable_spark.operators.html import visible_text
+
+    docs = _t(spark, sf, "documents")
+    chapters = EP.parse_epub_frame(EP.epub_from_documents(docs))
+    return chapters.select(
+        F.regexp_extract("source_file", r"doc_(\d+)\.epub$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "chapter_order",
+        "href",
+        visible_text(F.col("html")).alias("text"),
     )
 
 
@@ -2708,6 +2757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_blocks": q_html_blocks,
         "kn_logprob": q_kn_logprob,
         "archive_extract": q_archive_extract,
+        "docx_extract": q_docx_extract,
+        "epub_extract": q_epub_extract,
         "decontaminate": q_decontaminate,
         "ccnet_buckets": q_ccnet_buckets,
         "winnow_pairs": q_winnow_pairs,
@@ -2745,20 +2796,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "split_leakage": q_split_leakage,
         "curriculum": q_curriculum,
-        "chunk_overlap": q_chunk_overlap,
-        "zipf_fit": q_zipf_fit,
         "tokenizer_stats": q_tokenizer_stats,
         "length_quantiles": q_length_quantiles,
         "snapshot_incremental": q_snapshot_incremental,
-        # -- r05 rotated-in TPC rows (fresh driver check this round) --
+        # -- r05 rotated-in TPC rows (fresh driver check this round;
+        #    window cut falls after region_revenue) --
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
         "rank_and_median": q_rank_and_median,
         "monthly_revenue": q_monthly_revenue,
         # -- remaining operator-family queries (driver-green r02-r04;
-        #    unicode_nfc is new this round — pytest-replicated now,
-        #    window candidate for r06) --
+        #    unicode_nfc/zipf_fit/chunk_overlap pytest-replicated now,
+        #    window candidates for r06 — zipf_fit and chunk_overlap
+        #    ceded their r05 slots to the new docx/epub container
+        #    rows) --
         "unicode_nfc": q_unicode_nfc,
+        "zipf_fit": q_zipf_fit,
+        "chunk_overlap": q_chunk_overlap,
         "pricing_summary": q_pricing_summary,
         "pack_sequences": q_pack_sequences,
         "gopher_signals": q_gopher_signals,
@@ -3310,6 +3364,45 @@ def oracle_sql() -> dict[str, str]:
                    strlen(text) AS member_bytes,
                    TRUE AS crc_ok,
                    md5(text) AS payload_md5
+            FROM documents
+        """,
+        # docx round-trip: the synthetic .docx blocks are pure functions
+        # of (doc_id, text) — title, verbatim-text paragraph, figure for
+        # doc_id%3=0 (order 3), table for doc_id%5=0 (order 3, or 4 when
+        # a figure precedes it); the replica emits the spans directly
+        "docx_extract": """
+            SELECT doc_id, 1 AS span_order, 'title' AS kind,
+                   'Issue ' || doc_id AS text, NULL AS media_ref
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 2, 'text', text, NULL FROM documents
+            UNION ALL
+            SELECT doc_id, 3, 'figure', '', 'media/image1.png'
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END,
+                   'table',
+                   'r0c0:' || doc_id || chr(9) || 'r0c1:' || doc_id ||
+                   chr(10) ||
+                   'r1c0:' || doc_id || chr(9) || 'r1c1:' || doc_id,
+                   NULL
+            FROM documents WHERE doc_id % 5 = 0
+        """,
+        # epub round-trip: chapter html is a closed-form template over
+        # (doc_id, text); the corpus text is single-space tokenized with
+        # no [&<>] (measured — the html_blocks oracle convention), so
+        # the tag→space + whitespace-collapse strip reduces to simple
+        # concatenation
+        "epub_extract": """
+            SELECT doc_id, 1 AS chapter_order,
+                   'OEBPS/intro.xhtml' AS href,
+                   'home shop Issue ' || doc_id || ' ' || text AS text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 2, 'OEBPS/body.xhtml',
+                   'Chapter two of issue ' || doc_id ||
+                   ' closes the volume.'
             FROM documents
         """,
         # warc round-trip: payloads are pure functions of (doc_id, text),

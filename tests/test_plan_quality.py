@@ -457,6 +457,18 @@ def test_archive_pipeline_is_shuffle_free(spark):
     assert plan.count("MapInPandas") == 2, plan[:2000]
 
 
+def test_docx_epub_pipelines_are_shuffle_free(spark):
+    """documents → container blobs → exploded spans/chapters → scalars
+    is two mapInPandas stages and projections: ZERO exchanges — the
+    .docx/.epub file is the split unit, spans explode executor-side."""
+    for q in (entrymod.q_docx_extract, entrymod.q_epub_extract):
+        plan = _plan(q(spark, SF))
+        assert len(re.findall(r"Exchange (hash|round|range)", plan)) == 0, (
+            plan[:2000]
+        )
+        assert plan.count("MapInPandas") == 2, plan[:2000]
+
+
 def test_dsir_ratio_join_is_broadcast(spark):
     """The 64-row bucket→log-ratio table must broadcast back onto the
     (doc, bucket) counts — shuffling the corpus side against a
