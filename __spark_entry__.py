@@ -1079,6 +1079,68 @@ def q_epub_extract(spark, sf):
     )
 
 
+def q_latex_strip(spark, sf):
+    """arXiv-family LaTeX→prose cleaning: wrap each document's text in a
+    deterministic paper skeleton (preamble, comment, nested formatting
+    commands, inline+display math, a discardable equation environment,
+    TeX escapes) and run the one-projection regexp chain
+    (`operators/latex.py`).  Expected output is closed-form over
+    (doc_id, text) — corpus text is pure [a-z ] (measured), so nothing
+    in it collides with TeX syntax."""
+    from reading_the_unreadable_spark.operators.latex import latex_strip
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    latex = F.concat(
+        F.lit("\\documentclass{article}\n% generated header "),
+        did,
+        F.lit("\n\\begin{document}\n\\section{Issue "),
+        did,
+        F.lit("}\n\\textbf{\\emph{lead}} "),
+        F.col("text"),
+        F.lit(" $x^2_"),
+        did,
+        F.lit("$ and \\cite{src:"),
+        did,
+        F.lit("} follow \\\\\n\\begin{equation}\nE_"),
+        did,
+        F.lit(" = mc^2\n\\end{equation}\nClosing \\& paragraph "),
+        did,
+        F.lit("\\%.\n\\end{document}\n"),
+    )
+    return latex_strip(docs.select("doc_id", latex.alias("latex")))
+
+
+def q_code_filters(spark, sf):
+    """StarCoder-family code-corpus filters: render each document as a
+    source file (def header, provenance comment — auto-generated for
+    doc_id%7=0 — indented 10-word body lines, a 1200-char minified line
+    for doc_id%11=0) and compute per-file line statistics + the keep
+    decision with higher-order array functions only
+    (`operators/code.py`).  The oracle rebuilds the same line list in
+    DuckDB and recomputes every statistic independently."""
+    from reading_the_unreadable_spark.operators.code import (
+        code_quality_signals,
+    )
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    header = F.concat(F.lit("def f_"), did, F.lit("():"))
+    comment = F.when(
+        F.col("doc_id") % 7 == 0, F.lit("# auto-generated by codegen")
+    ).otherwise(F.concat(F.lit("# issue "), did))
+    body = _word_chunks(
+        10, decorate=lambda line, i: F.concat(F.lit("    "), line)
+    )
+    minified = F.when(
+        F.col("doc_id") % 11 == 0, F.array(F.lit("x" * 1200))
+    ).otherwise(F.array().cast("array<string>"))
+    code = F.array_join(
+        F.concat(F.array(header, comment), body, minified), "\n"
+    )
+    return code_quality_signals(docs.select("doc_id", code.alias("code")))
+
+
 def q_dup_clusters(spark, sf):
     """Transitive near-dup resolution: MinHash pair graph → connected
     components (alternating star contraction, Kiveris et al. 2014) →
@@ -2811,6 +2873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    ceded their r05 slots to the new docx/epub container
         #    rows) --
         "unicode_nfc": q_unicode_nfc,
+        "latex_strip": q_latex_strip,
+        "code_filters": q_code_filters,
         "zipf_fit": q_zipf_fit,
         "chunk_overlap": q_chunk_overlap,
         "pricing_summary": q_pricing_summary,
@@ -3404,6 +3468,83 @@ def oracle_sql() -> dict[str, str]:
                    'Chapter two of issue ' || doc_id ||
                    ' closes the volume.'
             FROM documents
+        """,
+        # latex strip: the paper skeleton is a closed-form template over
+        # (doc_id, text); the replica rebuilds the template (for
+        # n_chars_in) and emits the expected prose directly — an
+        # independent statement of what the regexp chain must produce
+        "latex_strip": """
+            WITH built AS (
+              SELECT doc_id,
+                '\\documentclass{article}' || chr(10) ||
+                '% generated header ' || doc_id || chr(10) ||
+                '\\begin{document}' || chr(10) ||
+                '\\section{Issue ' || doc_id || '}' || chr(10) ||
+                '\\textbf{\\emph{lead}} ' || text || ' $x^2_' || doc_id ||
+                '$ and \\cite{src:' || doc_id || '} follow \\\\' || chr(10) ||
+                '\\begin{equation}' || chr(10) ||
+                'E_' || doc_id || ' = mc^2' || chr(10) ||
+                '\\end{equation}' || chr(10) ||
+                'Closing \\& paragraph ' || doc_id || '\\%.' || chr(10) ||
+                '\\end{document}' || chr(10) AS latex,
+                'Issue ' || doc_id || ' lead ' || text ||
+                ' and follow Closing & paragraph ' || doc_id || '%.'
+                AS expected
+              FROM documents)
+            SELECT doc_id, expected AS text,
+                   strlen(latex) AS n_chars_in,
+                   strlen(expected) AS n_chars_out,
+                   round(strlen(expected)::DOUBLE /
+                         greatest(strlen(latex), 1), 6) AS reduction
+            FROM built
+        """,
+        # code filters: rebuild the same line list and recompute every
+        # statistic with DuckDB list functions — an independent
+        # implementation of the StarCoder rules over identical input
+        "code_filters": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents),
+            built AS (
+              SELECT doc_id,
+                ['def f_' || doc_id || '():',
+                 CASE WHEN doc_id % 7 = 0
+                      THEN '# auto-generated by codegen'
+                      ELSE '# issue ' || doc_id END]
+                || list_transform(
+                     generate_series(0,
+                       cast(ceil(len(words) / 10.0) AS INT) - 1),
+                     i -> '    ' ||
+                          array_to_string(words[i*10+1 : i*10+10], ' '))
+                || CASE WHEN doc_id % 11 = 0
+                        THEN [repeat('x', 1200)]
+                        ELSE []::VARCHAR[] END
+                AS ls
+              FROM w),
+            stats AS (
+              SELECT doc_id, ls,
+                len(ls) AS n_lines,
+                list_max(list_transform(ls, l -> strlen(l))) AS max_line_len,
+                list_sum(list_transform(ls, l -> strlen(l))) AS total,
+                list_sum(list_transform(ls,
+                  l -> strlen(regexp_replace(l, '[^a-zA-Z]', '', 'g'))))
+                  AS alpha
+              FROM built)
+            SELECT doc_id,
+                   n_lines::INT AS n_lines,
+                   max_line_len::INT AS max_line_len,
+                   round(total::DOUBLE / greatest(n_lines, 1), 6)
+                     AS avg_line_len,
+                   round(alpha::DOUBLE / greatest(total, 1), 6)
+                     AS alpha_frac,
+                   (doc_id % 7 = 0)::INT AS is_autogen,
+                   (max_line_len <= 1000
+                    AND round(total::DOUBLE / greatest(n_lines, 1), 6)
+                        <= 100.0
+                    AND round(alpha::DOUBLE / greatest(total, 1), 6)
+                        >= 0.25
+                    AND doc_id % 7 <> 0)::INT AS kept
+            FROM stats
         """,
         # warc round-trip: payloads are pure functions of (doc_id, text),
         # so the replica rebuilds the template strings and hashes them —

@@ -469,6 +469,19 @@ def test_docx_epub_pipelines_are_shuffle_free(spark):
         assert plan.count("MapInPandas") == 2, plan[:2000]
 
 
+def test_latex_and_code_filters_stay_jvm_side(spark):
+    """The arXiv strip and the StarCoder stats are ONE projection each:
+    zero exchanges and zero Python crossings — regexp/higher-order
+    funcs only, so they ride inside whole-stage codegen at any scale."""
+    for q in (entrymod.q_latex_strip, entrymod.q_code_filters):
+        plan = _plan(q(spark, SF))
+        assert len(re.findall(r"Exchange (hash|round|range)", plan)) == 0, (
+            plan[:2000]
+        )
+        for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+            assert marker not in plan, (marker, plan[:2000])
+
+
 def test_dsir_ratio_join_is_broadcast(spark):
     """The 64-row bucket→log-ratio table must broadcast back onto the
     (doc, bucket) counts — shuffling the corpus side against a
