@@ -1079,6 +1079,30 @@ def q_epub_extract(spark, sf):
     )
 
 
+def q_mail_extract(spark, sf):
+    """Mailing-list ingestion end-to-end: pack each Arrow batch of
+    documents into ONE mbox (RFC 2047 Q-encoded subjects; even doc_id →
+    multipart/mixed with a quoted-printable text/plain part and a
+    base64 text/html part, odd → single qp body), then parse back
+    through the from-scratch mbox/RFC 5322/MIME chain
+    (`sources/mail.py`).  Every part is a pure function of
+    (doc_id, text): qp and base64 round-trip the text verbatim, so the
+    oracle emits the expected parts in closed form."""
+    from reading_the_unreadable_spark.sources import mail as ML
+
+    docs = _t(spark, sf, "documents")
+    parts = ML.parse_mbox_frame(ML.mbox_from_documents(docs))
+    return parts.select(
+        F.regexp_extract("sender", r"corpus-bot-(\d+)@", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "part_order",
+        "content_type",
+        "subject",
+        "text",
+    )
+
+
 def q_latex_strip(spark, sf):
     """arXiv-family LaTeX→prose cleaning: wrap each document's text in a
     deterministic paper skeleton (preamble, comment, nested formatting
@@ -2875,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": q_unicode_nfc,
         "latex_strip": q_latex_strip,
         "code_filters": q_code_filters,
+        "mail_extract": q_mail_extract,
         "zipf_fit": q_zipf_fit,
         "chunk_overlap": q_chunk_overlap,
         "pricing_summary": q_pricing_summary,
@@ -3468,6 +3493,18 @@ def oracle_sql() -> dict[str, str]:
                    'Chapter two of issue ' || doc_id ||
                    ' closes the volume.'
             FROM documents
+        """,
+        # mail round-trip: quoted-printable and base64 both restore the
+        # corpus text verbatim and the RFC 2047 subject decodes to a
+        # closed form, so the replica emits the expected parts directly
+        "mail_extract": """
+            SELECT doc_id, 1 AS part_order, 'text/plain' AS content_type,
+                   'Issue ' || doc_id AS subject, text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 2, 'text/html', 'Issue ' || doc_id,
+                   '<p>' || text || '</p>'
+            FROM documents WHERE doc_id % 2 = 0
         """,
         # latex strip: the paper skeleton is a closed-form template over
         # (doc_id, text); the replica rebuilds the template (for
