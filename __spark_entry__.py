@@ -1135,6 +1135,50 @@ def q_latex_strip(spark, sf):
     return latex_strip(docs.select("doc_id", latex.alias("latex")))
 
 
+def q_wiki_extract(spark, sf):
+    """Wikipedia-dump wikitext→prose cleaning: wrap each document's text
+    in a deterministic article skeleton (nested infobox template, bold
+    lead, piped+plain wiki links, a ref, a comment, a heading, a
+    wikitable, a list item, an external link, an entity) and run the
+    one-projection regexp chain (`operators/wikitext.py`).  Expected
+    output is closed-form over (doc_id, text) — corpus text is pure
+    [a-z ] (measured), so nothing in it collides with wiki markup."""
+    from reading_the_unreadable_spark.operators.wikitext import wiki_extract
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    wt = F.concat(
+        F.lit("{{Infobox newspaper|name=Issue "),
+        did,
+        F.lit("|founded={{year|"),
+        did,
+        F.lit("}}}}\n'''Issue "),
+        did,
+        F.lit("''' is a [[newspaper|daily paper]] covering "),
+        F.col("text"),
+        F.lit('.<ref name="r'),
+        did,
+        F.lit('">archive ref '),
+        did,
+        F.lit("</ref>\n== History ==\n<!-- editorial note "),
+        did,
+        F.lit(" -->\nIt linked [[archive "),
+        did,
+        F.lit("]] and [https://example.org/"),
+        did,
+        F.lit(" site "),
+        did,
+        F.lit('].\n{| class="wikitable"\n|-\n| cell '),
+        did,
+        F.lit(" || cell\n|}\n* item "),
+        did,
+        F.lit("\nClosing &amp; paragraph "),
+        did,
+        F.lit(".\n"),
+    )
+    return wiki_extract(docs.select("doc_id", wt.alias("wikitext")))
+
+
 def q_code_filters(spark, sf):
     """StarCoder-family code-corpus filters: render each document as a
     source file (def header, provenance comment — auto-generated for
@@ -2756,6 +2800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                pytest-replicated).  dsir (Gumbel-top-k importance
     #                resampling, new operator) joins the window; lang_id
     #                shifts behind (green r04, pytest-replicated).
+    #                wiki_extract (MediaWiki wikitext→prose, new
+    #                operator) joins the window; region_revenue shifts
+    #                behind (long-green TPC, pytest-replicated).
     #                url_filter (URL-gate curation, new operator) joins
     #                the window; bpe_tokens shifts behind (green r04,
     #                pytest-replicated).  pagerank + anchor_texts
@@ -2885,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_stats": q_tokenizer_stats,
         "length_quantiles": q_length_quantiles,
         "snapshot_incremental": q_snapshot_incremental,
+        "wiki_extract": q_wiki_extract,
         # -- r05 rotated-in TPC rows (fresh driver check this round;
         #    window cut falls after region_revenue) --
         "top_customers": q_top_customers,
@@ -3507,6 +3555,45 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 2 = 0
         """,
         # latex strip: the paper skeleton is a closed-form template over
+        # wikitext cleaning: input and expected output are closed-form
+        # over (doc_id, text); the replica rebuilds the article skeleton
+        # (for n_chars_in) and emits the expected prose directly — an
+        # independent statement of what the regexp chain must produce
+        "wiki_extract": """
+            WITH built AS (
+              SELECT doc_id,
+                '{{Infobox newspaper|name=Issue ' || doc_id ||
+                '|founded={{year|' || doc_id || '}}}}' || chr(10) ||
+                repeat(chr(39), 3) || 'Issue ' || doc_id ||
+                repeat(chr(39), 3) ||
+                ' is a [[newspaper|daily paper]] covering ' || text ||
+                '.<ref name="r' || doc_id || '">archive ref ' || doc_id ||
+                '</ref>' || chr(10) ||
+                '== History ==' || chr(10) ||
+                '<!-- editorial note ' || doc_id || ' -->' || chr(10) ||
+                'It linked [[archive ' || doc_id ||
+                ']] and [https://example.org/' || doc_id ||
+                ' site ' || doc_id || '].' || chr(10) ||
+                '{| class="wikitable"' || chr(10) ||
+                '|-' || chr(10) ||
+                '| cell ' || doc_id || ' || cell' || chr(10) ||
+                '|}' || chr(10) ||
+                '* item ' || doc_id || chr(10) ||
+                'Closing &amp; paragraph ' || doc_id || '.' || chr(10)
+                AS wikitext,
+                'Issue ' || doc_id || ' is a daily paper covering ' ||
+                text || '. History It linked archive ' || doc_id ||
+                ' and site ' || doc_id || '. item ' || doc_id ||
+                ' Closing & paragraph ' || doc_id || '.'
+                AS expected
+              FROM documents)
+            SELECT doc_id, expected AS text,
+                   strlen(wikitext) AS n_chars_in,
+                   strlen(expected) AS n_chars_out,
+                   round(strlen(expected)::DOUBLE /
+                         greatest(strlen(wikitext), 1), 6) AS reduction
+            FROM built
+        """,
         # (doc_id, text); the replica rebuilds the template (for
         # n_chars_in) and emits the expected prose directly — an
         # independent statement of what the regexp chain must produce

@@ -132,6 +132,7 @@ HEADLINE = [
     "incremental_gate",
     "pca_component",
     "lsh_recall",
+    "wiki_extract",
 ]
 
 

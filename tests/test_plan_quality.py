@@ -470,10 +470,15 @@ def test_docx_epub_pipelines_are_shuffle_free(spark):
 
 
 def test_latex_and_code_filters_stay_jvm_side(spark):
-    """The arXiv strip and the StarCoder stats are ONE projection each:
-    zero exchanges and zero Python crossings — regexp/higher-order
-    funcs only, so they ride inside whole-stage codegen at any scale."""
-    for q in (entrymod.q_latex_strip, entrymod.q_code_filters):
+    """The arXiv strip, the Wikipedia strip, and the StarCoder stats are
+    ONE projection each: zero exchanges and zero Python crossings —
+    regexp/higher-order funcs only, so they ride inside whole-stage
+    codegen at any scale."""
+    for q in (
+        entrymod.q_latex_strip,
+        entrymod.q_wiki_extract,
+        entrymod.q_code_filters,
+    ):
         plan = _plan(q(spark, SF))
         assert len(re.findall(r"Exchange (hash|round|range)", plan)) == 0, (
             plan[:2000]
