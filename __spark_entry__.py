@@ -1179,6 +1179,21 @@ def q_wiki_extract(spark, sf):
     return wiki_extract(docs.select("doc_id", wt.alias("wikitext")))
 
 
+def q_blocklist_filter(spark, sf):
+    """C4/LDNOOBW word-boundary blocklist gate over the raw corpus: a
+    doc drops on ANY whole-word hit.  Term list mixes a common unigram
+    ("slow": ~79% of docs at sf0.01), a rarer bigram phrase
+    ("slow scan": ~5%), and two never-hit terms, so kept/dropped and
+    the hit_terms join all carry signal (`operators/quality.py
+    blocklist_filter`)."""
+    from reading_the_unreadable_spark.operators.quality import blocklist_filter
+
+    docs = _t(spark, sf, "documents")
+    return blocklist_filter(
+        docs, ("slow", "slow scan", "stale", "broken index")
+    )
+
+
 def q_code_filters(spark, sf):
     """StarCoder-family code-corpus filters: render each document as a
     source file (def header, provenance comment — auto-generated for
@@ -2800,9 +2815,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                pytest-replicated).  dsir (Gumbel-top-k importance
     #                resampling, new operator) joins the window; lang_id
     #                shifts behind (green r04, pytest-replicated).
-    #                wiki_extract (MediaWiki wikitext→prose, new
-    #                operator) joins the window; region_revenue shifts
-    #                behind (long-green TPC, pytest-replicated).
+    #                wiki_extract (MediaWiki wikitext→prose) and
+    #                blocklist_filter (C4/LDNOOBW word-boundary gate),
+    #                both new operators, join the window; top_customers
+    #                and region_revenue shift behind (long-green TPC,
+    #                pytest-replicated).
     #                url_filter (URL-gate curation, new operator) joins
     #                the window; bpe_tokens shifts behind (green r04,
     #                pytest-replicated).  pagerank + anchor_texts
@@ -2933,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "snapshot_incremental": q_snapshot_incremental,
         "wiki_extract": q_wiki_extract,
+        "blocklist_filter": q_blocklist_filter,
         # -- r05 rotated-in TPC rows (fresh driver check this round;
         #    window cut falls after region_revenue) --
         "top_customers": q_top_customers,
@@ -3555,6 +3573,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 2 = 0
         """,
         # latex strip: the paper skeleton is a closed-form template over
+        # blocklist gate: DuckDB replays the same normalize→pad→probe
+        # rule with list_filter, preserving the Spark-side term order
+        # so hit_terms joins identically
+        "blocklist_filter": """
+            WITH norm AS (
+              SELECT doc_id,
+                ' ' || trim(regexp_replace(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+', ' ', 'g')) || ' '
+                AS padded
+              FROM documents),
+            probed AS (
+              SELECT doc_id,
+                list_filter(['slow', 'slow scan', 'stale', 'broken index'],
+                            t -> contains(padded, ' ' || t || ' '))
+                AS hits
+              FROM norm)
+            SELECT doc_id,
+                   len(hits)::INT AS n_hits,
+                   coalesce(array_to_string(hits, ','), '') AS hit_terms,
+                   (len(hits) = 0)::INT AS kept
+            FROM probed
+        """,
         # wikitext cleaning: input and expected output are closed-form
         # over (doc_id, text); the replica rebuilds the article skeleton
         # (for n_chars_in) and emits the expected prose directly — an

@@ -133,6 +133,7 @@ HEADLINE = [
     "pca_component",
     "lsh_recall",
     "wiki_extract",
+    "blocklist_filter",
 ]
 
 

@@ -341,6 +341,45 @@ def gopher_filter(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return s.withColumn("kept", kept.cast("int"))
 
 
+def blocklist_filter(
+    documents: DataFrame,
+    blocklist: tuple[str, ...],
+    text_col: str = "text",
+) -> DataFrame:
+    """The C4/LDNOOBW word-boundary blocklist gate: a document is
+    dropped iff ANY blocklist term appears as whole words (C4 drops the
+    page outright on a single hit — `c4_line_filters` handles the
+    separate line-level boilerplate pass).
+
+    Matching is on a normalized token stream: lowercase, every non-
+    alphanumeric run → one space, then space-padded substring search so
+    single words and multi-word phrases go through the SAME rule with
+    exact word boundaries.  The term list rides the plan as an array
+    literal filtered by a higher-order function — zero shuffle, zero
+    Python, whole-stage-codegen'd; at the LDNOOBW scale (~400 terms)
+    the per-row cost is K substring probes over the normalized text.
+    For 10k+-term lists the scale path is explode(tokens) + broadcast
+    join instead; this operator deliberately keeps the projection shape
+    the C4-sized lists want.
+
+    Returns (doc_id, n_hits, hit_terms, kept): hit_terms is the
+    blocklist-order comma-joined hit list so the frame hashes portably.
+    """
+    norm = F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"[^a-z0-9]+", " ")
+    padded = F.concat(F.lit(" "), F.trim(norm), F.lit(" "))
+    hits = F.filter(
+        F.array(*[F.lit(t) for t in blocklist]),
+        lambda t: padded.contains(F.concat(F.lit(" "), t, F.lit(" "))),
+    )
+    return documents.select(
+        "doc_id",
+        F.size(hits).alias("n_hits"),
+        F.array_join(hits, ",").alias("hit_terms"),
+        (F.size(hits) == 0).cast("int").alias("kept"),
+    )
+
+
 # RE2-safe PII patterns (no backrefs/lookaround), shared with the oracle;
 # order matters: URLs first so their hosts aren't half-redacted later.
 PII_PATTERNS = (

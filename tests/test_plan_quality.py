@@ -127,9 +127,9 @@ def test_para_dedup_two_exchanges(spark):
 
 
 def test_quality_map_ops_zero_shuffle(spark):
-    """C4 line filters and Gopher signals stream map-side over the scan
-    (higher-order array functions, no explode)."""
-    for name in ("c4_filters", "gopher_signals"):
+    """C4 line filters, Gopher signals, and the blocklist gate stream
+    map-side over the scan (higher-order array functions, no explode)."""
+    for name in ("c4_filters", "gopher_signals", "blocklist_filter"):
         plan = _plan(entrymod.queries()[name](spark, SF))
         assert "Exchange" not in plan, name
 

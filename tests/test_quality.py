@@ -509,3 +509,29 @@ def test_curriculum_rank_contiguous_and_ordered(spark):
     assert [r["rank"] for r in rows] == list(range(len(rows)))
     keys = [(r["score"], r["doc_id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_blocklist_filter_word_boundaries(spark):
+    from reading_the_unreadable_spark.operators.quality import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "a SLOW, filter here"),      # case + punct boundary hit
+            (2, "slowly is not slow-ness"),  # substrings must NOT hit;
+                                             # but "slow-ness" normalizes
+                                             # to "slow ness" -> hit
+            (3, "a slow scan end to end"),   # word AND phrase hit
+            (4, "clean document"),           # no hit
+            (5, None),                       # null text survives
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in blocklist_filter(df, ("slow", "slow scan")).collect()
+    }
+    assert rows[1]["hit_terms"] == "slow" and rows[1]["kept"] == 0
+    assert rows[2]["hit_terms"] == "slow" and rows[2]["n_hits"] == 1
+    assert rows[3]["hit_terms"] == "slow,slow scan" and rows[3]["n_hits"] == 2
+    assert rows[4]["kept"] == 1 and rows[4]["hit_terms"] == ""
+    assert rows[5]["kept"] == 1
