@@ -1179,6 +1179,27 @@ def q_wiki_extract(spark, sf):
     return wiki_extract(docs.select("doc_id", wt.alias("wikitext")))
 
 
+def q_split_sentences(spark, sf):
+    """Abbreviation-aware sentence segmentation: wrap each document's
+    first two words in a fixed four-sentence paragraph exercising every
+    guard (lexicon abbreviation, decimal point, dotted initialism,
+    single-capital initial) and explode to the sentence grain
+    (`operators/textstats.py split_sentences`).  Expected output is
+    closed-form over (doc_id, text)."""
+    from reading_the_unreadable_spark.operators.textstats import split_sentences
+
+    docs = _t(spark, sf, "documents")
+    w = F.split(F.col("text"), " ")
+    para = F.concat(
+        F.lit("Dr. alpha said "),
+        w[0],
+        F.lit(". Meet at no. 5 or 2.5 pct! Is "),
+        w[1],
+        F.lit(" ready? J. Doe agreed i.e. done."),
+    )
+    return split_sentences(docs.select("doc_id", para.alias("text")))
+
+
 def q_blocklist_filter(spark, sf):
     """C4/LDNOOBW word-boundary blocklist gate over the raw corpus: a
     doc drops on ANY whole-word hit.  Term list mixes a common unigram
@@ -2817,9 +2838,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                shifts behind (green r04, pytest-replicated).
     #                wiki_extract (MediaWiki wikitext→prose) and
     #                blocklist_filter (C4/LDNOOBW word-boundary gate),
-    #                both new operators, join the window; top_customers
-    #                and region_revenue shift behind (long-green TPC,
-    #                pytest-replicated).
+    #                and split_sentences (abbreviation-aware SBD), all
+    #                new operators, join the window; top_customers,
+    #                region_revenue, rank_and_median shift behind
+    #                (long-green TPC, pytest-replicated).
     #                url_filter (URL-gate curation, new operator) joins
     #                the window; bpe_tokens shifts behind (green r04,
     #                pytest-replicated).  pagerank + anchor_texts
@@ -2951,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_incremental": q_snapshot_incremental,
         "wiki_extract": q_wiki_extract,
         "blocklist_filter": q_blocklist_filter,
+        "split_sentences": q_split_sentences,
         # -- r05 rotated-in TPC rows (fresh driver check this round;
         #    window cut falls after region_revenue) --
         "top_customers": q_top_customers,
@@ -3573,6 +3596,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 2 = 0
         """,
         # latex strip: the paper skeleton is a closed-form template over
+        # sentence segmentation: input and expected sentences are
+        # closed-form over (doc_id, text) — the replica rebuilds the
+        # four known sentences and unnests them with 1-based indices
+        "split_sentences": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                ['Dr. alpha said ' || ws[1] || '.',
+                 'Meet at no. 5 or 2.5 pct!',
+                 'Is ' || ws[2] || ' ready?',
+                 'J. Doe agreed i.e. done.'] AS sents
+              FROM w)
+            SELECT doc_id,
+                   i::INT AS sent_idx,
+                   sents[i] AS sentence,
+                   4::INT AS n_sents
+            FROM s CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i)
+        """,
         # blocklist gate: DuckDB replays the same normalize→pad→probe
         # rule with list_filter, preserving the Spark-side term order
         # so hit_terms joins identically

@@ -134,6 +134,7 @@ HEADLINE = [
     "lsh_recall",
     "wiki_extract",
     "blocklist_filter",
+    "split_sentences",
 ]
 
 

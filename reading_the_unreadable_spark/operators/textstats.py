@@ -577,3 +577,61 @@ def chunk_overlap(
         F.col("chunk").alias("text"),
         F.size(F.split("chunk", " ")).cast("long").alias("n_tokens"),
     )
+
+
+# Lexicon-based sentence-boundary guards.  A dot after one of these
+# word forms is an abbreviation, not a terminator — the usual first-line
+# SBD lexicon (a model pass is the upgrade path, not this operator).
+SBD_ABBREVIATIONS = ("mr", "mrs", "ms", "dr", "prof", "no", "vol", "fig", "etc", "vs")
+_SBD_MARK = "\x01"  # sentinel for a protected dot; never occurs in text
+
+
+def sentences_col(text: Column) -> Column:
+    """Abbreviation-aware sentence split of one string column into an
+    array of trimmed sentences.  Protect-then-split, all JVM regexp:
+
+    1. decimal points between digits (``2.5``);
+    2. lexicon abbreviations (case-insensitive, word-anchored);
+    3. the two-letter dotted forms ``e.g.``/``i.e.``/``u.s.``;
+    4. single-capital initials (``J. Smith``);
+    5. split on whitespace following ``. ! ?``, restore protected dots,
+       drop empty fragments.
+
+    Known limitation (documented, inherent to lexicon SBD): a sentence
+    that genuinely ENDS in an abbreviation word ("the answer is no.")
+    will not split there."""
+    t = F.coalesce(text, F.lit(""))
+    t = F.regexp_replace(t, r"(\d)\.(\d)", "$1" + _SBD_MARK + "$2")
+    t = F.regexp_replace(
+        t,
+        r"(?i)\b(" + "|".join(SBD_ABBREVIATIONS) + r")\.",
+        "$1" + _SBD_MARK,
+    )
+    t = F.regexp_replace(t, r"(?i)\b([eiu])\.([ges])\.", "$1" + _SBD_MARK + "$2" + _SBD_MARK)
+    # lookahead (non-consuming) so runs of initials ("J. R. R.") all
+    # protect — a consuming group would skip every second one
+    t = F.regexp_replace(t, r"\b([A-Z])\.(?= [A-Z])", "$1" + _SBD_MARK)
+    parts = F.split(t, r"(?<=[.!?])\s+")
+    restored = F.transform(
+        parts, lambda s: F.trim(F.regexp_replace(s, _SBD_MARK, "."))
+    )
+    return F.filter(restored, lambda s: s != "")
+
+
+def split_sentences(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → one row per sentence: (doc_id, sent_idx 1-based,
+    sentence, n_sents).  The grain C4's three-sentence dedup, eval-set
+    construction, and sentence-level quality filters all want.  Pure map
+    stage — regexp protect/split + posexplode, zero shuffle, streams
+    over 100 TB."""
+    sents = sentences_col(F.col(text_col))
+    return (
+        documents.select("doc_id", F.posexplode(sents).alias("i", "sentence"),
+                         F.size(sents).alias("n_sents"))
+        .select(
+            "doc_id",
+            (F.col("i") + 1).cast("int").alias("sent_idx"),
+            "sentence",
+            F.col("n_sents").cast("int"),
+        )
+    )

@@ -322,3 +322,36 @@ def test_nfc_property_random_combining(spark):
         assert nfc_pd(pd.Series([s]))[0] == unicodedata.normalize("NFC", s)
 
     check()
+
+
+def test_sentence_split_guards(spark):
+    from pyspark.sql import functions as F
+
+    from reading_the_unreadable_spark.operators.textstats import sentences_col
+
+    cases = [
+        # every guard in one paragraph
+        (
+            "Dr. Who met Mrs. Smith. Pay $2.50 now! Was fig. 3 right? "
+            "U.S. law agrees e.g. here.",
+            [
+                "Dr. Who met Mrs. Smith.",
+                "Pay $2.50 now!",
+                "Was fig. 3 right?",
+                "U.S. law agrees e.g. here.",
+            ],
+        ),
+        # single-capital initials never split
+        ("J. R. R. Tolkien wrote. Then slept.", ["J. R. R. Tolkien wrote.", "Then slept."]),
+        # no terminator -> whole text is one sentence
+        ("no terminator here", ["no terminator here"]),
+        # empty and terminator-only input
+        ("", []),
+        ("...", ["..."]),
+        # documented limitation: sentence ending IN an abbreviation word
+        ("the answer is no. Next sentence.", ["the answer is no. Next sentence."]),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = [r["s"] for r in df.select(sentences_col(F.col("text")).alias("s")).collect()]
+    for (src, want), have in zip(cases, got):
+        assert have == want, src
