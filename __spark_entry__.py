@@ -1103,6 +1103,30 @@ def q_mail_extract(spark, sf):
     )
 
 
+def q_subtitle_extract(spark, sf):
+    """Timed-text ingestion end-to-end: build one subtitle file per
+    document (even doc_id → WebVTT with BOM/NOTE/STYLE blocks,
+    identifier lines, cue settings, inline markup, short-form
+    timestamps; odd → CRLF SRT), then parse back through the
+    from-scratch cue parser (`sources/subtitles.py`).  Cue timing and
+    text are pure integer/word arithmetic over (doc_id, text), so the
+    oracle restates the cue plan in closed form."""
+    from reading_the_unreadable_spark.sources import subtitles as SUB
+
+    docs = _t(spark, sf, "documents")
+    cues = SUB.parse_subtitles_frame(SUB.subtitles_from_documents(docs))
+    return cues.select(
+        F.regexp_extract("source_file", r"doc-(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "fmt",
+        "cue_index",
+        "start_ms",
+        "end_ms",
+        F.col("text").alias("cue_text"),
+    )
+
+
 def q_latex_strip(spark, sf):
     """arXiv-family LaTeX→prose cleaning: wrap each document's text in a
     deterministic paper skeleton (preamble, comment, nested formatting
@@ -2945,17 +2969,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "url_filter": q_url_filter,
         "pagerank": q_pagerank,
-        "anchor_texts": q_anchor_texts,
         "hits": q_hits,
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bpe_merges": q_bpe_merges,
-        "bpe_encode": q_bpe_encode,
         "bm25": q_bm25,
-        "tfidf_terms": q_tfidf_terms,
         "bleu_eval": q_bleu_eval,
         "rouge_eval": q_rouge_eval,
-        "chrf_eval": q_chrf_eval,
         "pmi_collocations": q_pmi_collocations,
         "allpairs_sim": q_allpairs_sim,
         "incremental_gate": q_incremental_gate,
@@ -2975,10 +2995,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "split_sentences": q_split_sentences,
         # -- r05 rotated-in TPC rows (fresh driver check this round;
-        #    window cut falls after region_revenue) --
+        #    window cut falls after rank_and_median at position 50) --
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
         "rank_and_median": q_rank_and_median,
+        # -- behind the 50-row window from here (pytest DuckDB replica
+        #    still replays every entry each round).  chrf_eval,
+        #    anchor_texts, bpe_encode, tfidf_terms ceded their window
+        #    slots to split_sentences + the three TPC rotation rows:
+        #    each evicted row's family keeps a fresh window row
+        #    (bleu_eval/rouge_eval, pagerank/hits, bpe_merges, bm25) --
+        "chrf_eval": q_chrf_eval,
+        "anchor_texts": q_anchor_texts,
+        "bpe_encode": q_bpe_encode,
+        "tfidf_terms": q_tfidf_terms,
         "monthly_revenue": q_monthly_revenue,
         # -- remaining operator-family queries (driver-green r02-r04;
         #    unicode_nfc/zipf_fit/chunk_overlap pytest-replicated now,
@@ -2989,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latex_strip": q_latex_strip,
         "code_filters": q_code_filters,
         "mail_extract": q_mail_extract,
+        "subtitle_extract": q_subtitle_extract,
         "zipf_fit": q_zipf_fit,
         "chunk_overlap": q_chunk_overlap,
         "pricing_summary": q_pricing_summary,
@@ -3594,6 +3625,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 2, 'text/html', 'Issue ' || doc_id,
                    '<p>' || text || '</p>'
             FROM documents WHERE doc_id % 2 = 0
+        """,
+        # subtitle round trip: the cue plan (3 words per cue, integer
+        # millisecond arithmetic over doc_id) restated in closed form —
+        # an independent statement of what build→parse must preserve
+        "subtitle_extract": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            n AS (
+              SELECT doc_id, ws, ((len(ws) + 2) // 3)::INT AS n_cues FROM w),
+            i AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, n_cues)) AS ci
+              FROM n)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'vtt' ELSE 'srt' END AS fmt,
+                   ci::INT AS cue_index,
+                   ((ci - 1) * 2000 + (doc_id % 7) * 10)::BIGINT AS start_ms,
+                   ((ci - 1) * 2000 + (doc_id % 7) * 10
+                    + 1500 + (ci % 3) * 100)::BIGINT AS end_ms,
+                   array_to_string(
+                     list_slice(ws, (ci - 1) * 3 + 1, ci * 3), ' ')
+                   AS cue_text
+            FROM i
         """,
         # latex strip: the paper skeleton is a closed-form template over
         # sentence segmentation: input and expected sentences are

@@ -135,6 +135,7 @@ HEADLINE = [
     "wiki_extract",
     "blocklist_filter",
     "split_sentences",
+    "subtitle_extract",
 ]
 
 

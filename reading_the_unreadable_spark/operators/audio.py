@@ -668,7 +668,15 @@ def _f80_to_float(b: bytes) -> float:
         return 0.0
     if exp == 0x7FFF:
         raise ValueError("non-finite AIFF sample rate")
-    return sign * mant * 2.0 ** (exp - 16383 - 63)
+    import math
+
+    try:
+        val = sign * math.ldexp(mant, exp - 16383 - 63)
+    except OverflowError:
+        raise ValueError("AIFF sample rate overflows float range") from None
+    if not math.isfinite(val):
+        raise ValueError("non-finite AIFF sample rate")
+    return val
 
 
 def _float_to_f80(x: float) -> bytes:
@@ -739,7 +747,9 @@ def decode_aiff(payload: bytes) -> tuple[int, np.ndarray]:
     if comm is None or data is None:
         raise ValueError("AIFF missing COMM or SSND chunk")
     ch, frames, bits, rate = comm
-    if ch < 1 or rate <= 0:
+    # upper bound: no real container carries a rate beyond the MHz
+    # range; a finite-but-absurd f80 is malformed, not a sample rate
+    if ch < 1 or not (0 < rate < 2**31):
         raise ValueError(f"malformed AIFF COMM: ch={ch} rate={rate}")
     if bits == 16:
         arr = np.frombuffer(data, dtype=">i2").astype(np.float64) / 32768.0
