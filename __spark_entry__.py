@@ -916,6 +916,74 @@ def q_url_filter(spark, sf):
     return url_filter(docs, blocked_domains=("bad.net",))
 
 
+def q_robots_gate(spark, sf):
+    """RFC 9309 robots.txt crawl gate: seven deterministic per-host
+    robots files (agent-specific group with wildcard/$-anchor rules,
+    an `otherbot` group and a `*` catch-all that must both be ignored,
+    comments, case-varied field names, an empty `Disallow:`, a
+    group-scoped Crawl-delay) parsed natively on the host dimension,
+    then broadcast onto one URL per document (nine path families
+    cycling on doc_id: wildcard+anchor hits, anchor misses, Allow
+    overrides, metachar-literal rules `/t_p` and `/sale%off`).  The
+    verdict is longest-match-wins with Allow breaking ties — the
+    oracle restates the rule table as a VALUES literal and re-derives
+    the verdict with LIKE..ESCAPE + a window, independently of the
+    engine's RE2 compilation (`operators/robots.py`)."""
+    from reading_the_unreadable_spark.operators.robots import (
+        parse_robots,
+        robots_gate,
+    )
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    f = d % 9
+    path = (
+        F.when(f == 0, F.concat(F.lit("/p/"), ds, F.lit(".html")))
+        .when(f == 1, F.concat(F.lit("/p/"), ds, F.lit("?x=1")))
+        .when(f == 2, F.concat(F.lit("/private/pub"), ds))
+        .when(f == 3, F.concat(F.lit("/private/"), ds))
+        .when(f == 4, F.concat(F.lit("/img/"), ds, F.lit(".jpg")))
+        .when(f == 5, F.concat(F.lit("/t_p/x"), ds))
+        .when(f == 6, F.concat(F.lit("/tXp/x"), ds))
+        .when(f == 7, F.concat(F.lit("/sale%off/"), ds))
+        .otherwise(F.concat(F.lit("/p/"), ds, F.lit("Xhtml")))
+    )
+    docs = _t(spark, sf, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 7).cast("string")).alias("host"),
+        path.alias("path"),
+    )
+    hk = F.col("hk")
+    txt = F.concat(
+        F.lit("# robots for h"),
+        hk.cast("string"),
+        F.lit("\nUser-Agent: otherbot\nDisallow: /\n\n"),
+        F.lit("user-agent: rtu-bot\nUSER-AGENT: extrabot\n"),
+        F.lit("Allow: /p/*.html$\nDisallow: /p/\n"),
+        F.lit("Disallow: /private   # staff only\nAllow: /private/pub*\n"),
+        F.lit("Disallow: /t_p\nDisallow: /sale%off\n"),
+        F.when(hk % 2 == 0, F.lit("Disallow: /img/\n")).otherwise(F.lit("")),
+        F.lit("Disallow:\nCrawl-Delay: "),
+        (hk + 1).cast("string"),
+        F.lit("\n\nUser-agent: *\nDisallow: /\nSitemap: https://h"),
+        hk.cast("string"),
+        F.lit(".example.com/sitemap.xml\n"),
+    )
+    robots = (
+        docs.select((d % 7).alias("hk"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), hk.cast("string")).alias("host"),
+            txt.alias("robots_txt"),
+        )
+    )
+    return robots_gate(urls, parse_robots(robots, agent="rtu-bot")).select(
+        "doc_id", "host", "path", "allowed", "matched_pattern",
+        "crawl_delay", "n_rules",
+    )
+
+
 def q_dsir(spark, sf):
     """DSIR importance resampling (Xie et al. 2023): hashed
     unigram+bigram importance weights log(p_target/q_raw) with add-1
@@ -2968,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "dsir": q_dsir,
         "url_filter": q_url_filter,
+        "robots_gate": q_robots_gate,
         "pagerank": q_pagerank,
         "hits": q_hits,
         "hll_distinct": q_hll_distinct,
@@ -2995,7 +3064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "split_sentences": q_split_sentences,
         # -- r05 rotated-in TPC rows (fresh driver check this round;
-        #    window cut falls after rank_and_median at position 50) --
+        #    window cut falls after region_revenue at position 50 —
+        #    robots_gate, new this round, took the 50th slot and
+        #    rank_and_median moved just behind the window) --
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
         "rank_and_median": q_rank_and_median,
@@ -4215,6 +4286,53 @@ def oracle_sql() -> dict[str, str]:
                      AS drop_reasons,
                    len(reasons) = 0 AS url_keep
             FROM verdict
+        """,
+        # robots gate: the oracle re-derives the verdict from the RULE
+        # SEMANTICS, not the engine's code path — the rtu-bot group's
+        # rule table restated as a VALUES literal, matching via
+        # LIKE..ESCAPE (vs the engine's RE2 compile), longest-match via
+        # a window (vs the engine's struct array_max).  Rule lengths
+        # are all distinct so no tie-break divergence is possible.
+        "robots_gate": """
+            WITH u AS (
+              SELECT doc_id, doc_id % 7 AS k,
+                     CASE doc_id % 9
+                       WHEN 0 THEN '/p/' || doc_id || '.html'
+                       WHEN 1 THEN '/p/' || doc_id || '?x=1'
+                       WHEN 2 THEN '/private/pub' || doc_id
+                       WHEN 3 THEN '/private/' || doc_id
+                       WHEN 4 THEN '/img/' || doc_id || '.jpg'
+                       WHEN 5 THEN '/t_p/x' || doc_id
+                       WHEN 6 THEN '/tXp/x' || doc_id
+                       WHEN 7 THEN '/sale%off/' || doc_id
+                       ELSE '/p/' || doc_id || 'Xhtml'
+                     END AS path
+              FROM documents),
+            r(pat, is_allow, plen, lpat, even_only) AS (VALUES
+              ('/p/*.html$',    1, 10, '/p/%.html',       FALSE),
+              ('/p/',           0, 3,  '/p/%',            FALSE),
+              ('/private',      0, 8,  '/private%',       FALSE),
+              ('/private/pub*', 1, 13, '/private/pub%',   FALSE),
+              ('/t_p',          0, 4,  '/t\\_p%',          FALSE),
+              ('/sale%off',     0, 9,  '/sale\\%off%',     FALSE),
+              ('/img/',         0, 5,  '/img/%',          TRUE)),
+            m AS (
+              SELECT u.doc_id, r.pat, r.is_allow,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY u.doc_id
+                       ORDER BY r.plen DESC, r.is_allow DESC) AS rn
+              FROM u JOIN r
+                ON (NOT r.even_only OR u.k % 2 = 0)
+               AND u.path LIKE r.lpat ESCAPE '\\')
+            SELECT u.doc_id,
+                   'h' || u.k AS host,
+                   u.path,
+                   COALESCE(m.is_allow = 1, TRUE) AS allowed,
+                   m.pat AS matched_pattern,
+                   (u.k + 1)::INT AS crawl_delay,
+                   (6 + CASE WHEN u.k % 2 = 0 THEN 1 ELSE 0 END)::INT
+                     AS n_rules
+            FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
         """,
         # DSIR: bucket counts are exact integers; the only floats are the
         # per-bucket log ratio, the per-doc weighted sum, and the Gumbel

@@ -136,6 +136,7 @@ HEADLINE = [
     "blocklist_filter",
     "split_sentences",
     "subtitle_extract",
+    "robots_gate",
 ]
 
 
