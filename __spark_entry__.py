@@ -1195,6 +1195,32 @@ def q_subtitle_extract(spark, sf):
     )
 
 
+def q_sitemap_urls(spark, sf):
+    """Sitemap-protocol frontier discovery end-to-end: render one
+    sitemap entry per document into per-host XML (odd hosts a flat
+    urlset, even hosts two children under a sitemapindex root; entity-
+    escaped query strings, optional changefreq/priority omissions),
+    then parse back through the native JVM-regex parser
+    (`sources/sitemaps.py`).  Every field is pure arithmetic over
+    doc_id, so the oracle restates the entry plan in closed form; even-
+    host docs appear twice (flat read + via-index resolution), which
+    the oracle reproduces with a UNION ALL."""
+    from reading_the_unreadable_spark.sources import sitemaps as SM
+
+    docs = _t(spark, sf, "documents")
+    parsed = SM.parse_sitemaps(SM.sitemaps_from_documents(docs))
+    return parsed.select(
+        F.regexp_extract("loc", r"/p/(\d+)", 1).cast("long").alias("doc_id"),
+        "host",
+        F.regexp_extract("sitemap_url", "/([^/]+)$", 1).alias("leaf"),
+        "loc",
+        "lastmod",
+        "changefreq",
+        "priority",
+        "via_index",
+    )
+
+
 def q_latex_strip(spark, sf):
     """arXiv-family LaTeX→prose cleaning: wrap each document's text in a
     deterministic paper skeleton (preamble, comment, nested formatting
@@ -3091,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_filters": q_code_filters,
         "mail_extract": q_mail_extract,
         "subtitle_extract": q_subtitle_extract,
+        "sitemap_urls": q_sitemap_urls,
         "zipf_fit": q_zipf_fit,
         "chunk_overlap": q_chunk_overlap,
         "pricing_summary": q_pricing_summary,
@@ -3719,6 +3746,36 @@ def oracle_sql() -> dict[str, str]:
                      list_slice(ws, (ci - 1) * 3 + 1, ci * 3), ' ')
                    AS cue_text
             FROM i
+        """,
+        # sitemap round trip: every entry field is closed-form over
+        # doc_id; even-host docs resolve twice (flat + via-index), which
+        # the UNION ALL reproduces
+        "sitemap_urls": """
+            WITH base AS (
+              SELECT doc_id,
+                     doc_id % 7 AS k,
+                     'h' || (doc_id % 7) AS host,
+                     CASE WHEN (doc_id % 7) % 2 = 1 THEN 'sitemap.xml'
+                          WHEN doc_id % 2 = 0 THEN 'sitemap-a.xml'
+                          ELSE 'sitemap-b.xml' END AS leaf,
+                     'https://h' || (doc_id % 7) || '.example.com/p/'
+                       || doc_id ||
+                       CASE WHEN doc_id % 6 = 0 THEN '?a=1&b=2'
+                            ELSE '' END AS loc,
+                     DATE '2020-01-01' + ((doc_id % 365)::INT) AS lastmod,
+                     CASE WHEN doc_id % 5 = 0 THEN NULL
+                          ELSE ['daily','weekly','monthly']
+                               [(doc_id % 3)::INT + 1] END AS changefreq,
+                     CASE WHEN doc_id % 4 = 0 THEN 0.5
+                          ELSE ((doc_id % 10) + 1) / 10.0 END AS priority
+              FROM documents)
+            SELECT doc_id, host, leaf, loc, lastmod, changefreq,
+                   priority, FALSE AS via_index
+            FROM base
+            UNION ALL
+            SELECT doc_id, host, leaf, loc, lastmod, changefreq,
+                   priority, TRUE AS via_index
+            FROM base WHERE k % 2 = 0
         """,
         # latex strip: the paper skeleton is a closed-form template over
         # sentence segmentation: input and expected sentences are

@@ -137,6 +137,7 @@ HEADLINE = [
     "split_sentences",
     "subtitle_extract",
     "robots_gate",
+    "sitemap_urls",
 ]
 
 
