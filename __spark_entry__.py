@@ -916,24 +916,12 @@ def q_url_filter(spark, sf):
     return url_filter(docs, blocked_domains=("bad.net",))
 
 
-def q_robots_gate(spark, sf):
-    """RFC 9309 robots.txt crawl gate: seven deterministic per-host
-    robots files (agent-specific group with wildcard/$-anchor rules,
-    an `otherbot` group and a `*` catch-all that must both be ignored,
-    comments, case-varied field names, an empty `Disallow:`, a
-    group-scoped Crawl-delay) parsed natively on the host dimension,
-    then broadcast onto one URL per document (nine path families
-    cycling on doc_id: wildcard+anchor hits, anchor misses, Allow
-    overrides, metachar-literal rules `/t_p` and `/sale%off`).  The
-    verdict is longest-match-wins with Allow breaking ties — the
-    oracle restates the rule table as a VALUES literal and re-derives
-    the verdict with LIKE..ESCAPE + a window, independently of the
-    engine's RE2 compilation (`operators/robots.py`)."""
-    from reading_the_unreadable_spark.operators.robots import (
-        parse_robots,
-        robots_gate,
-    )
-
+def _robots_fixture(spark, sf):
+    """Shared deterministic crawl fixture: one URL per document (nine
+    path families on doc_id) and seven per-host robots files (host =
+    h{doc_id%7}) exercising agent-group selection, wildcard/$-anchor
+    rules, metachar-literal rules, comments, an empty Disallow, and a
+    group-scoped Crawl-delay of k+1 seconds."""
     d = F.col("doc_id")
     ds = d.cast("string")
     f = d % 9
@@ -978,9 +966,52 @@ def q_robots_gate(spark, sf):
             txt.alias("robots_txt"),
         )
     )
+    return urls, robots
+
+
+def q_robots_gate(spark, sf):
+    """RFC 9309 robots.txt crawl gate: seven deterministic per-host
+    robots files (agent-specific group with wildcard/$-anchor rules,
+    an `otherbot` group and a `*` catch-all that must both be ignored,
+    comments, case-varied field names, an empty `Disallow:`, a
+    group-scoped Crawl-delay) parsed natively on the host dimension,
+    then broadcast onto one URL per document (nine path families
+    cycling on doc_id: wildcard+anchor hits, anchor misses, Allow
+    overrides, metachar-literal rules `/t_p` and `/sale%off`).  The
+    verdict is longest-match-wins with Allow breaking ties — the
+    oracle restates the rule table as a VALUES literal and re-derives
+    the verdict with LIKE..ESCAPE + a window, independently of the
+    engine's RE2 compilation (`operators/robots.py`)."""
+    from reading_the_unreadable_spark.operators.robots import (
+        parse_robots,
+        robots_gate,
+    )
+
+    urls, robots = _robots_fixture(spark, sf)
     return robots_gate(urls, parse_robots(robots, agent="rtu-bot")).select(
         "doc_id", "host", "path", "allowed", "matched_pattern",
         "crawl_delay", "n_rules",
+    )
+
+
+def q_crawl_schedule(spark, sf):
+    """Frontier trio end-to-end: the robots fixture gated by
+    `robots_gate`, survivors scheduled per host with `crawl_schedule`
+    (slot = per-host row_number in doc_id order, fetch time =
+    slot × the host's declared Crawl-delay of k+1 seconds).  The
+    oracle re-derives the gate verdict from the VALUES rule table and
+    the schedule with a window — the per-host shuffle is the
+    politeness semantics, capped in production by `max_per_host`."""
+    from reading_the_unreadable_spark.operators.robots import (
+        crawl_schedule,
+        parse_robots,
+        robots_gate,
+    )
+
+    urls, robots = _robots_fixture(spark, sf)
+    gated = robots_gate(urls, parse_robots(robots, agent="rtu-bot"))
+    return crawl_schedule(gated).select(
+        "doc_id", "host", "path", "slot", "fetch_at_sec"
     )
 
 
@@ -3063,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "url_filter": q_url_filter,
         "robots_gate": q_robots_gate,
+        "crawl_schedule": q_crawl_schedule,
         "pagerank": q_pagerank,
         "hits": q_hits,
         "hll_distinct": q_hll_distinct,
@@ -3090,9 +3122,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "split_sentences": q_split_sentences,
         # -- r05 rotated-in TPC rows (fresh driver check this round;
-        #    window cut falls after region_revenue at position 50 —
-        #    robots_gate, new this round, took the 50th slot and
-        #    rank_and_median moved just behind the window) --
+        #    window cut falls after top_customers at position 50 —
+        #    robots_gate + crawl_schedule, new this round, took two
+        #    slots and region_revenue / rank_and_median moved just
+        #    behind the window) --
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
         "rank_and_median": q_rank_and_median,
@@ -4390,6 +4423,56 @@ def oracle_sql() -> dict[str, str]:
                    (6 + CASE WHEN u.k % 2 = 0 THEN 1 ELSE 0 END)::INT
                      AS n_rules
             FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
+        """,
+        # crawl schedule: same rule table, verdict re-derived, then the
+        # politeness window restated — slot = per-host row_number over
+        # allowed URLs, fetch time = slot × the host's k+1s crawl-delay
+        "crawl_schedule": """
+            WITH u AS (
+              SELECT doc_id, doc_id % 7 AS k,
+                     CASE doc_id % 9
+                       WHEN 0 THEN '/p/' || doc_id || '.html'
+                       WHEN 1 THEN '/p/' || doc_id || '?x=1'
+                       WHEN 2 THEN '/private/pub' || doc_id
+                       WHEN 3 THEN '/private/' || doc_id
+                       WHEN 4 THEN '/img/' || doc_id || '.jpg'
+                       WHEN 5 THEN '/t_p/x' || doc_id
+                       WHEN 6 THEN '/tXp/x' || doc_id
+                       WHEN 7 THEN '/sale%off/' || doc_id
+                       ELSE '/p/' || doc_id || 'Xhtml'
+                     END AS path
+              FROM documents),
+            r(pat, is_allow, plen, lpat, even_only) AS (VALUES
+              ('/p/*.html$',    1, 10, '/p/%.html',       FALSE),
+              ('/p/',           0, 3,  '/p/%',            FALSE),
+              ('/private',      0, 8,  '/private%',       FALSE),
+              ('/private/pub*', 1, 13, '/private/pub%',   FALSE),
+              ('/t_p',          0, 4,  '/t\\_p%',          FALSE),
+              ('/sale%off',     0, 9,  '/sale\\%off%',     FALSE),
+              ('/img/',         0, 5,  '/img/%',          TRUE)),
+            m AS (
+              SELECT u.doc_id, r.is_allow,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY u.doc_id
+                       ORDER BY r.plen DESC, r.is_allow DESC) AS rn
+              FROM u JOIN r
+                ON (NOT r.even_only OR u.k % 2 = 0)
+               AND u.path LIKE r.lpat ESCAPE '\\'),
+            a AS (
+              SELECT u.doc_id, u.k, u.path
+              FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
+              WHERE COALESCE(m.is_allow = 1, TRUE)),
+            s AS (
+              SELECT doc_id, k, path,
+                     ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id)
+                       - 1 AS slot
+              FROM a)
+            SELECT doc_id,
+                   'h' || k AS host,
+                   path,
+                   slot::INT AS slot,
+                   (slot * (k + 1))::BIGINT AS fetch_at_sec
+            FROM s
         """,
         # DSIR: bucket counts are exact integers; the only floats are the
         # per-bucket log ratio, the per-doc weighted sum, and the Gumbel

@@ -138,6 +138,7 @@ HEADLINE = [
     "subtitle_extract",
     "robots_gate",
     "sitemap_urls",
+    "crawl_schedule",
 ]
 
 
@@ -153,6 +154,9 @@ def _cpu_ticks() -> tuple[int, int]:
     vals = [int(v) for v in parts]
     steal = vals[7] if len(vals) > 7 else 0
     return steal, sum(vals)
+
+
+BEST_OF = int(os.environ.get("BENCH_BEST_OF", "2"))
 
 
 def _noise_snapshot() -> dict:
@@ -172,7 +176,7 @@ def _noise_block(start: dict, end: dict) -> dict:
         "steal_pct": round(100.0 * (end["steal"] - start["steal"]) / dt, 2),
         "load1_start": start["load1"],
         "load1_end": end["load1"],
-        "best_of": 3,
+        "best_of": BEST_OF,
     }
 
 
@@ -200,7 +204,7 @@ def main() -> None:
     noise_start = _noise_snapshot()
     timings: dict[str, float] = {}
 
-    def best_of(fn, k: int = 3) -> float:
+    def best_of(fn, k: int = BEST_OF) -> float:
         """Best of k timed runs — this VM shows bursty CPU-steal noise
         (single-shot timings occasionally read 10-100x high; a measured
         burst once put ngram_jaccard at 11s vs its usual 2s); noise only
@@ -212,7 +216,13 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         return best
 
-    t_extract = best_of(lambda: _noop(extract_nested(docs, num_partitions=CPUS * 2)))
+    # the north docs/sec metric keeps best-of-3 (it headlines BASELINE
+    # comparisons); the 80+ per-query timings use BEST_OF (default 2)
+    # to keep the whole suite inside a sane per-round wall time
+    t_extract = best_of(
+        lambda: _noop(extract_nested(docs, num_partitions=CPUS * 2)),
+        k=max(BEST_OF, 3),
+    )
     timings["extract_pipeline"] = round(t_extract, 3)
 
     for name in HEADLINE:

@@ -179,3 +179,39 @@ def robots_gate(
         .withColumn("n_rules", F.coalesce(F.col("n_rules"), F.lit(0)))
         .drop("rules", "sitemaps")
     )
+
+
+def crawl_schedule(
+    gated: DataFrame,
+    host_col: str = "host",
+    order_col: str = "doc_id",
+    delay_col: str = "crawl_delay",
+    default_delay: int = 1,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Politeness scheduling over a gated frontier: URLs that survived
+    :func:`robots_gate` (``allowed``) get a per-host fetch slot in
+    ``order_col`` order and a fetch time of ``slot × crawl_delay``
+    seconds (``default_delay`` where the host declared none).
+
+    Per-host sequencing is the SEMANTICS of politeness, so the one
+    shuffle here (hash by host for the window) is irreducible; what is
+    controllable at crawl scale is skew — a mega-host with 10^8 URLs
+    serializes its own window task.  ``max_per_host`` bounds that
+    (RefinedWeb-style frontier cap): rows past the cap are dropped
+    AFTER slot assignment, so the cap also bounds the window's output,
+    and the documented scale path is to pre-filter the frontier (e.g.
+    by priority) before scheduling rather than salt — a salted window
+    would break slot contiguity, which is the invariant downstream
+    fetchers rely on.
+
+    Adds ``slot`` (0-based per host) and ``fetch_at_sec``.
+    """
+    w = Window.partitionBy(host_col).orderBy(order_col)
+    out = gated.where(F.col("allowed")).withColumn(
+        "slot", F.row_number().over(w) - 1
+    )
+    if max_per_host is not None:
+        out = out.where(F.col("slot") < max_per_host)
+    delay = F.coalesce(F.col(delay_col), F.lit(default_delay))
+    return out.withColumn("fetch_at_sec", (F.col("slot") * delay).cast("long"))

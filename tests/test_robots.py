@@ -4,7 +4,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from reading_the_unreadable_spark.operators.robots import parse_robots, robots_gate
+from reading_the_unreadable_spark.operators.robots import (
+    crawl_schedule,
+    parse_robots,
+    robots_gate,
+)
 
 ROBOTS = """\
 # robots for h0 — exercises comments, case, grouping
@@ -118,6 +122,31 @@ def test_blank_lines_do_not_end_groups(spark):
     txt = "User-agent: rtu-bot\nDisallow: /a\n\n\nDisallow: /b\n"
     r = _rules(spark, txt=txt)
     assert {x["pattern"] for x in r["rules"]} == {"/a", "/b"}
+
+
+def test_crawl_schedule_slots_and_cap(spark):
+    gated = spark.createDataFrame(
+        [
+            (0, "a", True, 3),
+            (1, "a", True, 3),
+            (2, "a", False, 3),  # denied: never scheduled
+            (3, "a", True, 3),
+            (4, "b", True, None),  # no declared delay → default
+            (5, "b", True, None),
+        ],
+        "doc_id long, host string, allowed boolean, crawl_delay int",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in crawl_schedule(gated, default_delay=2).collect()
+    }
+    assert 2 not in rows
+    # slots are contiguous per host in doc_id order, skipping denials
+    assert [rows[i]["slot"] for i in (0, 1, 3)] == [0, 1, 2]
+    assert [rows[i]["fetch_at_sec"] for i in (0, 1, 3)] == [0, 3, 6]
+    assert [rows[i]["fetch_at_sec"] for i in (4, 5)] == [0, 2]
+    capped = crawl_schedule(gated, default_delay=2, max_per_host=2)
+    assert sorted(r["doc_id"] for r in capped.collect()) == [0, 1, 4, 5]
 
 
 def test_gate_plan_is_broadcast_no_url_shuffle(spark):
