@@ -1703,6 +1703,93 @@ def q_html_blocks(spark, sf):
     return html_blocks(_html_corpus(spark, sf))
 
 
+def q_page_metadata(spark, sf):
+    """Structured page-metadata extraction: each document rendered as a
+    head section carrying a title with an entity, OpenGraph meta tags
+    (quote style alternates by doc parity, attribute order flips every
+    fourth doc), an optional description, a canonical link, and an
+    optional schema.org JSON-LD article block — then projected back
+    through the native regex + from_json extractor
+    (`operators/html.py::page_metadata`).  Every field is closed-form
+    over (doc_id, text), so the oracle states expected values directly;
+    the attribute-order/quote variants exercise the parser but collapse
+    in the oracle."""
+    from reading_the_unreadable_spark.operators.html import page_metadata
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    q = F.when(d % 2 == 1, F.lit("'")).otherwise(F.lit('"'))
+    og_title_val = F.concat(F.lit("OG "), ds)
+    og_title_tag = F.when(
+        d % 4 == 0,
+        F.concat(
+            F.lit("<meta content="), q, og_title_val, q,
+            F.lit(" property="), q, F.lit("og:title"), q, F.lit("/>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<meta property="), q, F.lit("og:title"), q,
+            F.lit(" content="), q, og_title_val, q, F.lit("/>"),
+        )
+    )
+    og_type = (
+        F.when(d % 3 == 0, F.lit("article"))
+        .when(d % 3 == 1, F.lit("website"))
+        .otherwise(F.lit("video"))
+    )
+    desc_tag = F.when(d % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit('<meta name="description" content="desc '), ds, F.lit('"/>'))
+    )
+    canon = F.concat(
+        F.lit('<link rel="canonical" href="https://h'),
+        (d % 7).cast("string"),
+        F.lit(".example.com/p/"),
+        ds,
+        F.lit('"/>'),
+    )
+    n_words = F.size(F.split(F.col("text"), " "))
+    ld_date = F.date_format(
+        F.date_add(F.to_date(F.lit("2020-01-01")), (d % 300).cast("int")),
+        "yyyy-MM-dd",
+    )
+    ld_block = F.when(d % 7 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit('<script type="application/ld+json">{"@type":"'),
+            F.when(d % 2 == 1, F.lit("NewsArticle")).otherwise(F.lit("BlogPosting")),
+            F.lit('","headline":"H'),
+            ds,
+            F.lit('","datePublished":"'),
+            ld_date,
+            F.lit('","author":{"name":"Author '),
+            (d % 5).cast("string"),
+            F.lit('"},"wordCount":'),
+            n_words.cast("string"),
+            F.lit("}</script>"),
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head><title>A &amp; B "),
+        ds,
+        F.lit("</title>"),
+        og_title_tag,
+        F.concat(
+            F.lit("<meta property="), q, F.lit("og:type"), q,
+            F.lit(" content="), q, og_type, q, F.lit("/>"),
+        ),
+        desc_tag,
+        canon,
+        ld_block,
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    pages = _t(spark, sf, "documents").select("doc_id", html.alias("html"))
+    # the operator's ld_date is a typed DATE; the driver row formats it
+    # to string because a NULLABLE date hashes engine-differently
+    # (None vs NaT) in the comparators
+    return page_metadata(pages).withColumn(
+        "ld_date", F.date_format("ld_date", "yyyy-MM-dd")
+    )
+
+
 def _word_chunks(n_words: int, decorate=None):
     """Shared adapter helper: the text column's words in ``n_words``
     groups as an array<string> of lines; ``decorate(line, i)`` optionally
@@ -3151,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mail_extract": q_mail_extract,
         "subtitle_extract": q_subtitle_extract,
         "sitemap_urls": q_sitemap_urls,
+        "page_metadata": q_page_metadata,
         "zipf_fit": q_zipf_fit,
         "chunk_overlap": q_chunk_overlap,
         "pricing_summary": q_pricing_summary,
@@ -3809,6 +3897,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, host, leaf, loc, lastmod, changefreq,
                    priority, TRUE AS via_index
             FROM base WHERE k % 2 = 0
+        """,
+        # page metadata: the head section is a closed-form template, so
+        # expected fields restate directly; quote-style and attribute-
+        # order variants exist only to exercise the extractor
+        "page_metadata": """
+            SELECT doc_id,
+                   'A & B ' || doc_id AS title,
+                   'OG ' || doc_id AS og_title,
+                   ['article','website','video'][(doc_id % 3)::INT + 1]
+                     AS og_type,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE 'desc ' || doc_id END AS description,
+                   'https://h' || (doc_id % 7) || '.example.com/p/'
+                     || doc_id AS canonical,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        WHEN doc_id % 2 = 1 THEN 'NewsArticle'
+                        ELSE 'BlogPosting' END AS ld_type,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE 'H' || doc_id END AS ld_headline,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE (DATE '2020-01-01' + (doc_id % 300)::INT)
+                               ::VARCHAR
+                   END AS ld_date,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE 'Author ' || (doc_id % 5) END AS ld_author,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE len(string_split(text, ' '))::INT
+                   END AS ld_word_count
+            FROM documents
         """,
         # latex strip: the paper skeleton is a closed-form template over
         # sentence segmentation: input and expected sentences are

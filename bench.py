@@ -139,6 +139,7 @@ HEADLINE = [
     "robots_gate",
     "sitemap_urls",
     "crawl_schedule",
+    "page_metadata",
 ]
 
 

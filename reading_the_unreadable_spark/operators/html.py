@@ -149,3 +149,70 @@ def main_text(
     return blocks.groupBy("doc_id").agg(
         F.array_join(ordered, separator).alias("text")
     )
+
+
+def _unescape(c: Column) -> Column:
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return c
+
+
+def _attr_pair(html: Column, tag: str, key_attr: str, key: str, val_attr: str) -> Column:
+    """Extract ``val_attr`` from a ``<tag …>`` whose ``key_attr`` equals
+    ``key`` — tolerant of single/double attribute quoting and of either
+    attribute order (real-world meta tags carry both)."""
+    q = "[\"']"
+    fwd = F.regexp_extract(
+        html,
+        f"<{tag}[^>]*{key_attr}={q}{key}{q}[^>]*{val_attr}={q}([^\"']*){q}",
+        1,
+    )
+    rev = F.regexp_extract(
+        html,
+        f"<{tag}[^>]*{val_attr}={q}([^\"']*){q}[^>]*{key_attr}={q}{key}{q}",
+        1,
+    )
+    raw = F.when(fwd != "", fwd).otherwise(rev)
+    return F.when(raw == "", F.lit(None).cast("string")).otherwise(_unescape(raw))
+
+
+# target fields a curation pipeline pulls from JSON-LD article markup
+# (schema.org NewsArticle/BlogPosting); from_json is JVM-side, so the
+# whole metadata projection stays inside whole-stage codegen
+LD_SCHEMA = (
+    "struct<`@type`:string, headline:string, datePublished:date, "
+    "author:struct<name:string>, wordCount:int>"
+)
+
+
+def page_metadata(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Structured page metadata: ``<title>``, OpenGraph/named ``<meta>``
+    tags, the canonical link, and schema.org JSON-LD article fields.
+
+    The whole projection is native expressions — per-field regexes
+    (attribute-order- and quote-style-tolerant) plus one ``from_json``
+    over the first ``application/ld+json`` script block.  Zero UDFs,
+    zero shuffles: at corpus scale this runs inside the scan stage,
+    and missing tags surface as NULLs, never errors."""
+    html = F.col(html_col)
+    title = F.regexp_extract(html, "(?s)<title>(.*?)</title>", 1)
+    ld_raw = F.regexp_extract(
+        html, "(?s)<script type=\"application/ld\\+json\">(.*?)</script>", 1
+    )
+    ld = F.from_json(F.when(ld_raw != "", ld_raw), LD_SCHEMA)
+    return df.withColumns(
+        {
+            "title": F.when(title == "", F.lit(None).cast("string")).otherwise(
+                _unescape(title)
+            ),
+            "og_title": _attr_pair(html, "meta", "property", "og:title", "content"),
+            "og_type": _attr_pair(html, "meta", "property", "og:type", "content"),
+            "description": _attr_pair(html, "meta", "name", "description", "content"),
+            "canonical": _attr_pair(html, "link", "rel", "canonical", "href"),
+            "ld_type": ld["@type"],
+            "ld_headline": ld["headline"],
+            "ld_date": ld["datePublished"],
+            "ld_author": ld["author"]["name"],
+            "ld_word_count": ld["wordCount"],
+        }
+    ).drop(html_col)

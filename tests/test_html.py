@@ -107,3 +107,55 @@ def test_blocks_are_map_side_only(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_page_metadata_extraction(spark):
+    from reading_the_unreadable_spark.operators.html import page_metadata
+
+    pages = spark.createDataFrame(
+        [
+            (
+                0,
+                '<html><head><title>A &amp; B</title>'
+                "<meta content='OGT' property='og:title'/>"  # flipped + single-quoted
+                '<meta property="og:type" content="article"/>'
+                '<link rel="canonical" href="https://x/p/0"/>'
+                '<script type="application/ld+json">{"@type":"NewsArticle",'
+                '"headline":"H0","datePublished":"2021-02-03",'
+                '"author":{"name":"Ada"},"wordCount":7}</script>'
+                "</head><body/></html>",
+            ),
+            (1, "<html><head><title>only title</title></head><body/></html>"),
+        ],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r for r in page_metadata(pages).collect()}
+    r0 = rows[0]
+    assert r0["title"] == "A & B"
+    assert r0["og_title"] == "OGT"
+    assert r0["og_type"] == "article"
+    assert r0["canonical"] == "https://x/p/0"
+    assert r0["ld_type"] == "NewsArticle"
+    assert r0["ld_headline"] == "H0"
+    assert str(r0["ld_date"]) == "2021-02-03"
+    assert r0["ld_author"] == "Ada"
+    assert r0["ld_word_count"] == 7
+    r1 = rows[1]
+    assert r1["title"] == "only title"
+    # every absent tag is NULL, never an error
+    assert all(
+        r1[c] is None
+        for c in (
+            "og_title", "og_type", "description", "canonical",
+            "ld_type", "ld_headline", "ld_date", "ld_author", "ld_word_count",
+        )
+    )
+
+
+def test_page_metadata_is_jvm_only(spark):
+    from reading_the_unreadable_spark.operators.html import page_metadata
+
+    pages = spark.createDataFrame([(0, "<html/>")], "doc_id long, html string")
+    plan = page_metadata(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Exchange" not in plan  # pure projection, zero shuffles
