@@ -1790,6 +1790,73 @@ def q_page_metadata(spark, sf):
     )
 
 
+def q_exif_extract(spark, sf):
+    """EXIF metadata pass over an image corpus: each document gets a
+    metadata-only JPEG (SOI + APP1 + EOI) whose EXIF fields are pure
+    arithmetic over doc_id — byte order alternates II/MM by parity,
+    rationals carry exposure/f-number/GPS DMS — built and parsed by the
+    from-scratch codec (`operators/exif.py`).  The oracle restates
+    every field in closed form (printf for the timestamp, the same
+    left-associated DMS arithmetic for GPS, 6-dp rounding on the
+    rational-derived doubles)."""
+    import pandas as _pd
+
+    from reading_the_unreadable_spark.operators import exif as EX
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = d % 86400
+                fields = {
+                    "make": f"Maker{d % 5}",
+                    "model": f"Model{d % 3}",
+                    "orientation": (d % 8) + 1,
+                    "datetime": (
+                        f"2020:01:01 {s // 3600:02d}:"
+                        f"{(s // 60) % 60:02d}:{s % 60:02d}"
+                    ),
+                    "exposure": (1, 10 + d % 90),
+                    "fnumber": (10 + d % 80, 10),
+                    "iso": 100 * (1 + d % 16),
+                    "width": 640 + d % 7,
+                    "height": 480 + d % 5,
+                    "gps_lat_ref": "N" if d % 2 else "S",
+                    "gps_lat": [(d % 90, 1), (d % 60, 1), (d % 600, 10)],
+                    "gps_lon_ref": "E" if d % 3 else "W",
+                    "gps_lon": [
+                        (d % 180, 1),
+                        ((d * 7) % 60, 1),
+                        ((d * 13) % 600, 10),
+                    ],
+                }
+                payloads.append(
+                    EX.wrap_jpeg(
+                        EX.build_exif(fields, "II" if d % 2 else "MM")
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    files = (
+        _t(spark, sf, "documents")
+        .select("doc_id")
+        .mapInPandas(build, "doc_id long, payload binary")
+    )
+    out = EX.exif_features(files)
+    return out.select(
+        "doc_id", "make", "model", "orientation", "datetime",
+        F.round("exposure_s", 6).alias("exposure_s"),
+        F.round("f_number", 6).alias("f_number"),
+        "iso", "width", "height",
+        F.round("gps_lat", 6).alias("gps_lat"),
+        F.round("gps_lon", 6).alias("gps_lon"),
+        "err",
+    )
+
+
 def _word_chunks(n_words: int, decorate=None):
     """Shared adapter helper: the text column's words in ``n_words``
     groups as an array<string> of lines; ``decorate(line, i)`` optionally
@@ -3239,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtitle_extract": q_subtitle_extract,
         "sitemap_urls": q_sitemap_urls,
         "page_metadata": q_page_metadata,
+        "exif_extract": q_exif_extract,
         "zipf_fit": q_zipf_fit,
         "chunk_overlap": q_chunk_overlap,
         "pricing_summary": q_pricing_summary,
@@ -3925,6 +3993,34 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 7 = 0 THEN NULL
                         ELSE len(string_split(text, ' '))::INT
                    END AS ld_word_count
+            FROM documents
+        """,
+        # EXIF: every field is doc_id arithmetic; GPS restates the same
+        # left-associated deg + min/60 + sec/3600 sequence so the IEEE
+        # doubles match bit-for-bit before the shared 6-dp rounding
+        "exif_extract": """
+            SELECT doc_id,
+                   'Maker' || (doc_id % 5) AS make,
+                   'Model' || (doc_id % 3) AS model,
+                   ((doc_id % 8) + 1)::INT AS orientation,
+                   printf('2020:01:01 %02d:%02d:%02d',
+                          ((doc_id % 86400) // 3600)::INT,
+                          (((doc_id % 86400) // 60) % 60)::INT,
+                          ((doc_id % 86400) % 60)::INT) AS datetime,
+                   round(1.0 / (10 + doc_id % 90), 6) AS exposure_s,
+                   round((10 + doc_id % 80) / 10.0, 6) AS f_number,
+                   (100 * (1 + doc_id % 16))::INT AS iso,
+                   (640 + doc_id % 7)::INT AS width,
+                   (480 + doc_id % 5)::INT AS height,
+                   round(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE -1 END *
+                         ((doc_id % 90) + (doc_id % 60) / 60.0
+                          + ((doc_id % 600) / 10.0) / 3600.0), 6)
+                     AS gps_lat,
+                   round(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END *
+                         ((doc_id % 180) + ((doc_id * 7) % 60) / 60.0
+                          + (((doc_id * 13) % 600) / 10.0) / 3600.0), 6)
+                     AS gps_lon,
+                   NULL::VARCHAR AS err
             FROM documents
         """,
         # latex strip: the paper skeleton is a closed-form template over

@@ -140,6 +140,7 @@ HEADLINE = [
     "sitemap_urls",
     "crawl_schedule",
     "page_metadata",
+    "exif_extract",
 ]
 
 
