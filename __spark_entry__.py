@@ -1790,6 +1790,32 @@ def q_page_metadata(spark, sf):
     )
 
 
+def q_feed_extract(spark, sf):
+    """Feed-freshness ingestion end-to-end: each document becomes one
+    feed item on host h{doc_id%6} (even hosts RSS 2.0 with RFC 822
+    dates and CDATA titles every fourth doc, odd hosts Atom 1.0 with
+    RFC 3339 dates and href links), built per host and parsed back
+    through the native JVM parser (`sources/feeds.py`).  Every field is
+    doc_id arithmetic, so the oracle restates the item plan — including
+    the per-host 1-based item index, which collapses to doc_id//6 + 1
+    because hosts cycle on the residue."""
+    from reading_the_unreadable_spark.sources import feeds as FE
+
+    parsed = FE.parse_feeds(
+        FE.feeds_from_documents(_t(spark, sf, "documents"))
+    )
+    return parsed.select(
+        F.regexp_extract("link", r"/a/(\d+)$", 1).cast("long").alias("doc_id"),
+        "fmt",
+        "item_index",
+        "title",
+        "link",
+        "item_id",
+        "published",
+        F.array_join("categories", ",").alias("categories"),
+    )
+
+
 def q_exif_extract(spark, sf):
     """EXIF metadata pass over an image corpus: each document gets a
     metadata-only JPEG (SOI + APP1 + EOI) whose EXIF fields are pure
@@ -3307,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "page_metadata": q_page_metadata,
         "exif_extract": q_exif_extract,
+        "feed_extract": q_feed_extract,
         "zipf_fit": q_zipf_fit,
         "chunk_overlap": q_chunk_overlap,
         "pricing_summary": q_pricing_summary,
@@ -4021,6 +4048,24 @@ def oracle_sql() -> dict[str, str]:
                           + (((doc_id * 13) % 600) / 10.0) / 3600.0), 6)
                      AS gps_lon,
                    NULL::VARCHAR AS err
+            FROM documents
+        """,
+        # feeds: one item per document; hosts cycle on doc_id % 6 so the
+        # per-host 1-based document-order index is doc_id // 6 + 1
+        "feed_extract": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id % 6) % 2 = 0 THEN 'rss'
+                        ELSE 'atom' END AS fmt,
+                   ((doc_id // 6) + 1)::INT AS item_index,
+                   'T&' || doc_id AS title,
+                   'https://h' || (doc_id % 6) || '.example.com/a/'
+                     || doc_id AS link,
+                   'tag:' || doc_id AS item_id,
+                   TIMESTAMP '2021-01-01 00:00:00'
+                     + (doc_id % 500) * INTERVAL 1 MINUTE AS published,
+                   CASE doc_id % 3 WHEN 0 THEN ''
+                        WHEN 1 THEN 'alpha'
+                        ELSE 'alpha,beta' END AS categories
             FROM documents
         """,
         # latex strip: the paper skeleton is a closed-form template over

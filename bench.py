@@ -141,6 +141,7 @@ HEADLINE = [
     "crawl_schedule",
     "page_metadata",
     "exif_extract",
+    "feed_extract",
 ]
 
 
