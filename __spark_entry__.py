@@ -2002,6 +2002,35 @@ def q_para_dedup(spark, sf):
     return dedup_paragraphs(paras)
 
 
+def q_dedup_lines(spark, sf):
+    """Line-grain dedup (RefinedWeb §3.2 / CCNet cleanup): every document
+    is rebuilt as [lineA, blank, boiler, lineA again, lineB] — even-n_chars
+    docs carry an extra leading case/whitespace VARIANT of the boiler line.
+    The boiler line (document frequency = corpus size >= 3) is dropped from
+    every doc; the second lineA is a within-doc repeat; the blank line must
+    survive (empty normals never collide)."""
+    from reading_the_unreadable_spark.operators.quality import dedup_lines
+
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    half = F.greatest((n / 2).cast("int"), F.lit(1))
+    did = F.col("doc_id").cast("string")
+    line_a = F.concat(F.lit("d"), did, F.lit(" "), F.array_join(F.slice(words, 1, half), " "))
+    line_b = F.concat(
+        F.lit("d"), did, F.lit(" "), F.array_join(F.slice(words, half + 1, n), " ")
+    )
+    boiler = F.lit("share on facebook share on twitter")
+    variant = F.lit("SHARE ON FACEBOOK  share on twitter")
+    base = F.concat_ws("\n", line_a, F.lit(""), boiler, line_a, line_b)
+    text = F.when(F.col("n_chars") % 2 == 0, F.concat_ws("\n", variant, base)).otherwise(base)
+    docs = d.select(
+        F.concat(F.lit("doc-"), did).alias("doc_id"),
+        text.alias("text"),
+    )
+    return dedup_lines(docs)
+
+
 def q_unigram_logprob(spark, sf):
     """CCNet-style LM quality score: unigram distribution trained on the
     corpus itself, documents scored by mean token log-probability."""
@@ -3341,6 +3370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_signals": q_gopher_signals,
         "bigram_logprob": q_bigram_logprob,
         "para_dedup": q_para_dedup,
+        # dedup_lines: new operator, lands behind the window
+        # (pytest-replicated now, window candidate for r06)
+        "dedup_lines": q_dedup_lines,
         "extract_spans_filled": q_extract_spans_filled,
         "gopher_filter": q_gopher_filter,
         "embedding_near_dup": q_embedding_near_dup,
@@ -5631,6 +5663,64 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::INT AS n_paras_kept,
                    count(*)::INT AS n_paras_total
             FROM k GROUP BY doc_id
+        """,
+        "dedup_lines": """
+            -- replicate the adapter (lineA/blank/boiler/lineA/lineB with
+            -- an extra boiler VARIANT on even n_chars), then the full
+            -- algorithm: df >= 3 fingerprints are boilerplate dropped
+            -- everywhere; within-doc repeats keep first occurrence;
+            -- empty-normal lines never collide
+            WITH halves AS (
+              SELECT doc_id AS did, n_chars, string_split(text, ' ') AS w,
+                     greatest(len(string_split(text, ' ')) // 2, 1) AS half
+              FROM documents),
+            built AS (
+              SELECT 'doc-' || did AS doc_id, n_chars,
+                     'd' || did || ' ' || array_to_string(w[1:half], ' ') AS la,
+                     'd' || did || ' ' ||
+                       array_to_string(w[half+1:len(w)], ' ') AS lb
+              FROM halves),
+            docs AS (
+              SELECT doc_id,
+                     CASE WHEN n_chars % 2 = 0
+                          THEN 'SHARE ON FACEBOOK  share on twitter' || chr(10)
+                          ELSE '' END
+                     || la || chr(10) || chr(10)
+                     || 'share on facebook share on twitter' || chr(10)
+                     || la || chr(10) || lb AS text
+              FROM built),
+            lines AS (
+              SELECT doc_id, i - 1 AS pos, ln[i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ln
+                    FROM docs),
+                   LATERAL (SELECT unnest(generate_series(1, len(ln))) AS i)),
+            fps AS (
+              SELECT *, CASE
+                WHEN length(regexp_replace(lower(trim(line)),
+                            '\\s+', ' ', 'g')) > 0
+                THEN md5(regexp_replace(lower(trim(line)), '\\s+', ' ', 'g'))
+                END AS fp
+              FROM lines),
+            boiler AS (
+              SELECT fp FROM fps WHERE fp IS NOT NULL
+              GROUP BY fp HAVING count(DISTINCT doc_id) >= 3),
+            tagged AS (
+              SELECT f.*, (b.fp IS NOT NULL) AS is_boiler,
+                     CASE WHEN f.fp IS NOT NULL THEN
+                       row_number() OVER (PARTITION BY f.doc_id, f.fp
+                                          ORDER BY f.pos) > 1
+                     ELSE FALSE END AS rpt
+              FROM fps f LEFT JOIN boiler b ON f.fp = b.fp)
+            SELECT doc_id,
+                   coalesce(string_agg(
+                     CASE WHEN NOT is_boiler AND NOT rpt THEN line END,
+                     chr(10) ORDER BY pos), '') AS text,
+                   count(*)::INT AS n_lines_total,
+                   sum(CASE WHEN rpt AND NOT is_boiler THEN 1 ELSE 0 END)::INT
+                     AS n_dropped_within,
+                   sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)::INT
+                     AS n_dropped_boiler
+            FROM tagged GROUP BY doc_id
         """,
         "pdf_extract": """
             WITH w AS (

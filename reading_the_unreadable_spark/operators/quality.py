@@ -1124,3 +1124,90 @@ def curriculum_rank(
         )
         .drop("_pid")
     )
+
+
+def dedup_lines(
+    documents: DataFrame,
+    text_col: str = "text",
+    boiler_min_docs: int = 3,
+) -> DataFrame:
+    """Line-grain dedup, the RefinedWeb §3.2 / CCNet cleanup the
+    paragraph pass can't express: (a) WITHIN a document, an exact
+    repeat of an earlier line is dropped (nav menus and share bars
+    stutter inside one page); (b) ACROSS the corpus, a line whose
+    fingerprint appears in ``boiler_min_docs``-or-more DISTINCT
+    documents is boilerplate ("Share on Facebook") and is dropped from
+    every document — document frequency, not first-occurrence, is the
+    verdict, because boilerplate is wrong in the first page that
+    carried it too.
+
+    Distinct from :func:`dedup_paragraphs` (corpus-wide
+    first-occurrence at paragraph grain): this keeps one copy per doc
+    of lines that merely repeat within it, and zero copies anywhere of
+    corpus-frequent lines.
+
+    Fingerprint: md5 of the lowercased line with runs of whitespace
+    collapsed (CCNet hashes normalized lines); lines that normalize to
+    empty never count as duplicates of each other.
+
+    Scale shape (100 TB): the boilerplate side shuffles only narrow
+    (fp, doc_id) pairs — partial distinct collapses within-partition
+    repeats map-side, so a line repeated 1e6× in one partition ships
+    once — and yields a frame so small (fps with df >= threshold) the
+    verdict join broadcasts at any realistic threshold.  The line side
+    takes one (doc_id, fp) exchange shared by the within-doc rank and
+    the final doc reassembly; a corpus-hot fp is still split per doc by
+    the doc_id-prefixed window keys, so boilerplate skew cannot pile
+    one fp's occurrences onto one task.  The source IS scanned twice
+    (once per side) — deliberate: the alternative single-scan shapes
+    either shuffle full line text on the bare fp (skew: the hottest
+    boilerplate lands whole on one task) or spill the exploded corpus
+    to scratch (write ~= input size); two column-pruned scans of
+    splittable parquet are cheaper than both.  Never an n² join.
+
+    Output: doc_id, rebuilt ``text``, n_lines_total, n_dropped_within
+    (within-doc repeats), n_dropped_boiler (corpus-frequent lines).
+    """
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("line"))), "\\s+", " ")
+    lines = lines.withColumn(
+        "_fp", F.when(F.length(norm) > 0, F.md5(norm))
+    )
+    # corpus document frequency per fingerprint: partial distinct
+    # collapses (doc, fp) repeats map-side, so only narrow 16-byte pairs
+    # reach the network even for a line repeated 1e6× in one partition
+    boiler = (
+        lines.filter(F.col("_fp").isNotNull())
+        .groupBy("_fp")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .filter(F.col("_df") >= boiler_min_docs)
+        .select("_fp", F.lit(True).alias("_boiler"))
+    )
+    tagged = lines.join(boiler, "_fp", "left")
+    # within-doc repeat rank: partitioned by (doc_id, _fp) so the
+    # exchange hashes on doc_id-prefixed keys — AQE-coalescible and
+    # skew-immune (a fp hot across the corpus is still split per doc)
+    w = Window.partitionBy("doc_id", "_fp").orderBy("pos")
+    tagged = tagged.withColumn(
+        "_rpt",
+        F.when(F.col("_fp").isNotNull(), F.row_number().over(w) > 1).otherwise(
+            F.lit(False)
+        ),
+    )
+    is_boiler = F.coalesce(F.col("_boiler"), F.lit(False))
+    keep = ~is_boiler & ~F.col("_rpt")
+    kept = F.when(keep, F.struct("pos", "line"))
+    return tagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(kept)), lambda s: s["line"]),
+            "\n",
+        ).alias("text"),
+        F.count("*").cast("int").alias("n_lines_total"),
+        F.sum((F.col("_rpt") & ~is_boiler).cast("int"))
+        .cast("int")
+        .alias("n_dropped_within"),
+        F.sum(is_boiler.cast("int")).cast("int").alias("n_dropped_boiler"),
+    )

@@ -639,3 +639,16 @@ def test_allpairs_verify_is_candidate_bounded(spark):
     assert verify, "expected the verify joins in the plan"
     for ln in verify:
         assert re.search(r"doc_[ab]", ln.split("Join")[1]), ln
+
+
+def test_dedup_lines_plan_shape(spark):
+    """Line dedup: narrow boilerplate agg (partial-distinct map-side),
+    verdict join BROADCAST (never a shuffled join on the raw fp — that
+    is where boilerplate skew would land), window + reassembly on
+    doc_id-prefixed keys, no cartesian."""
+    plan = _plan(entrymod.q_dedup_lines(spark, SF))
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 4, f"{n} hash exchanges:\n{plan[:1500]}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -535,3 +535,60 @@ def test_blocklist_filter_word_boundaries(spark):
     assert rows[3]["hit_terms"] == "slow,slow scan" and rows[3]["n_hits"] == 2
     assert rows[4]["kept"] == 1 and rows[4]["hit_terms"] == ""
     assert rows[5]["kept"] == 1
+
+
+def test_dedup_lines_within_doc_and_boilerplate(spark):
+    from reading_the_unreadable_spark.operators.quality import dedup_lines
+
+    boiler = "Share on Facebook share on Twitter"
+    rows = [
+        # within-doc repeat of "alpha body" + boilerplate, empty line kept
+        ("doc-a", f"alpha body\n{boiler}\n\nalpha body\nalpha tail"),
+        # boilerplate twice, case/whitespace variant normalizes to same fp
+        ("doc-b", f"SHARE ON FACEBOOK  share on twitter\nbeta body\n{boiler}"),
+        ("doc-c", f"gamma body\n{boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in dedup_lines(df, boiler_min_docs=3).collect()}
+    # boiler appears in 3 distinct docs -> dropped from every doc,
+    # including the first one that carried it
+    assert got["doc-a"]["text"] == "alpha body\n\nalpha tail"
+    assert got["doc-a"]["n_lines_total"] == 5
+    assert got["doc-a"]["n_dropped_within"] == 1
+    assert got["doc-a"]["n_dropped_boiler"] == 1
+    # both boiler copies in doc-b count as boiler (not within-doc repeat)
+    assert got["doc-b"]["text"] == "beta body"
+    assert got["doc-b"]["n_dropped_boiler"] == 2
+    assert got["doc-b"]["n_dropped_within"] == 0
+    assert got["doc-c"]["text"] == "gamma body"
+
+
+def test_dedup_lines_below_threshold_kept(spark):
+    from reading_the_unreadable_spark.operators.quality import dedup_lines
+
+    rows = [
+        ("doc-a", "shared line\nunique a"),
+        ("doc-b", "shared line\nunique b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in dedup_lines(df, boiler_min_docs=3).collect()}
+    # df=2 < 3: the shared line is NOT boilerplate, kept in both docs
+    assert got["doc-a"]["text"] == "shared line\nunique a"
+    assert got["doc-b"]["text"] == "shared line\nunique b"
+    assert got["doc-a"]["n_dropped_boiler"] == 0
+
+
+def test_dedup_lines_empty_lines_never_collide(spark):
+    from reading_the_unreadable_spark.operators.quality import dedup_lines
+
+    df = spark.createDataFrame(
+        [("doc-a", "x\n\n\ny"), ("doc-b", "\n\nz"), ("doc-c", "\nw")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_lines(df, boiler_min_docs=2).collect()}
+    # blank lines normalize to empty -> null fp -> never duplicates,
+    # within-doc or corpus-wide
+    assert got["doc-a"]["text"] == "x\n\n\ny"
+    assert got["doc-b"]["text"] == "\n\nz"
+    assert got["doc-a"]["n_dropped_within"] == 0
+    assert got["doc-b"]["n_dropped_boiler"] == 0
