@@ -1328,6 +1328,55 @@ def q_wiki_extract(spark, sf):
     return wiki_extract(docs.select("doc_id", wt.alias("wikitext")))
 
 
+def q_markdown_extract(spark, sf):
+    """GitHub/docs-corpus markdown→prose cleaning: wrap each document's
+    text in a deterministic README skeleton (ATX headings, bold lead,
+    inline link, comment, fenced code block, pipe table, list item,
+    blockquote, image, autolink, inline code, reference-link
+    definition, entity) and run the one-projection regexp chain
+    (`operators/markdown.py`).  Expected output is closed-form over
+    (doc_id, text) — corpus text is pure [a-z ] (measured), so nothing
+    in it collides with markdown markup."""
+    from reading_the_unreadable_spark.operators.markdown import markdown_extract
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    md = F.concat(
+        F.lit("# Issue "),
+        did,
+        F.lit("\n\n**Issue "),
+        did,
+        F.lit("** is a [daily paper](https://example.org/"),
+        did,
+        F.lit(") covering "),
+        F.col("text"),
+        F.lit(".<!-- note "),
+        did,
+        F.lit(" -->\n\n## History\n\n```log\nbuild "),
+        did,
+        F.lit("\n```\n\n| col | val |\n|-----|-----|\n| cell "),
+        did,
+        F.lit(" | cell |\n\n- item "),
+        did,
+        F.lit("\n\n> quote "),
+        did,
+        F.lit("\n\nSee ![map "),
+        did,
+        F.lit("](m.png) and <https://example.org/"),
+        did,
+        F.lit("> plus `cmd "),
+        did,
+        F.lit("`.\n\n[r"),
+        did,
+        F.lit("]: https://example.org/ref"),
+        did,
+        F.lit("\n\nClosing &amp; paragraph "),
+        did,
+        F.lit(".\n"),
+    )
+    return markdown_extract(docs.select("doc_id", md.alias("markdown")))
+
+
 def q_split_sentences(spark, sf):
     """Abbreviation-aware sentence segmentation: wrap each document's
     first two words in a fixed four-sentence paragraph exercising every
@@ -1362,6 +1411,22 @@ def q_blocklist_filter(spark, sf):
     return blocklist_filter(
         docs, ("slow", "slow scan", "stale", "broken index")
     )
+
+
+def q_blocklist_scale(spark, sf):
+    """The blocklist gate's 10k+-term scale path over the same fixture
+    as `blocklist_filter`: terms as a broadcast dimension, doc n-grams
+    deduped then exploded, one group-back shuffle (`operators/quality.py
+    blocklist_join`).  Same output contract, same oracle shape — the
+    two paths are interchangeable by list size."""
+    from reading_the_unreadable_spark.operators.quality import blocklist_join
+
+    docs = _t(spark, sf, "documents")
+    terms = spark.createDataFrame(
+        [(0, "slow"), (1, "slow scan"), (2, "stale"), (3, "broken index")],
+        "term_idx long, term string",
+    )
+    return blocklist_join(docs, terms)
 
 
 def q_code_filters(spark, sf):
@@ -2158,6 +2223,38 @@ def q_redact_pii(spark, sf):
         ).alias("text"),
     )
     return redact_pii(injected)
+
+
+def q_cc_redact(spark, sf):
+    """Luhn-validated credit-card scrubbing: each document carries one
+    VALID card (format rotated by doc_id % 4: space-grouped Visa,
+    space-grouped MC, ungrouped 15-digit Amex, dash-grouped Discover)
+    and one Luhn-INVALID 16-digit run.  Only the valid one is redacted
+    (`operators/quality.py redact_credit_cards`); counts and the
+    redacted text are closed-form."""
+    from reading_the_unreadable_spark.operators.quality import (
+        redact_credit_cards,
+    )
+
+    d = _t(spark, sf, "documents")
+    card = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("4111 1111 1111 1111"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("5500 0055 5555 5559"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("340000000000009"))
+        .otherwise(F.lit("6011-0009-9013-9424"))
+    )
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("order "),
+            F.col("doc_id").cast("string"),
+            F.lit(" pay "),
+            card,
+            F.lit(" not 4111111111111112 says "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return redact_credit_cards(injected)
 
 
 def q_decontaminate(spark, sf):
@@ -3370,6 +3467,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_signals": q_gopher_signals,
         "bigram_logprob": q_bigram_logprob,
         "para_dedup": q_para_dedup,
+        # markdown_extract + cc_redact: new operators, land behind the
+        # window (pytest-replicated now, window candidates for r06)
+        "markdown_extract": q_markdown_extract,
+        "cc_redact": q_cc_redact,
+        "blocklist_scale": q_blocklist_scale,
         # dedup_lines: new operator, lands behind the window
         # (pytest-replicated now, window candidate for r06)
         "dedup_lines": q_dedup_lines,
@@ -4143,6 +4245,27 @@ def oracle_sql() -> dict[str, str]:
                    (len(hits) = 0)::INT AS kept
             FROM probed
         """,
+        # the join path must produce exactly the literal+HOF path's
+        # frame, so the oracle is the same normalized-probe replica
+        "blocklist_scale": """
+            WITH norm AS (
+              SELECT doc_id,
+                ' ' || trim(regexp_replace(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+', ' ', 'g')) || ' '
+                AS padded
+              FROM documents),
+            probed AS (
+              SELECT doc_id,
+                list_filter(['slow', 'slow scan', 'stale', 'broken index'],
+                            t -> contains(padded, ' ' || t || ' '))
+                AS hits
+              FROM norm)
+            SELECT doc_id,
+                   len(hits)::INT AS n_hits,
+                   coalesce(array_to_string(hits, ','), '') AS hit_terms,
+                   (len(hits) = 0)::INT AS kept
+            FROM probed
+        """,
         # wikitext cleaning: input and expected output are closed-form
         # over (doc_id, text); the replica rebuilds the article skeleton
         # (for n_chars_in) and emits the expected prose directly — an
@@ -4185,6 +4308,44 @@ def oracle_sql() -> dict[str, str]:
         # (doc_id, text); the replica rebuilds the template (for
         # n_chars_in) and emits the expected prose directly — an
         # independent statement of what the regexp chain must produce
+        "markdown_extract": """
+            WITH built AS (
+              SELECT doc_id,
+                '# Issue ' || doc_id || chr(10) || chr(10) ||
+                '**Issue ' || doc_id ||
+                '** is a [daily paper](https://example.org/' || doc_id ||
+                ') covering ' || text || '.<!-- note ' || doc_id ||
+                ' -->' || chr(10) || chr(10) ||
+                '## History' || chr(10) || chr(10) ||
+                '```log' || chr(10) || 'build ' || doc_id || chr(10) ||
+                '```' || chr(10) || chr(10) ||
+                '| col | val |' || chr(10) || '|-----|-----|' || chr(10) ||
+                '| cell ' || doc_id || ' | cell |' || chr(10) || chr(10) ||
+                '- item ' || doc_id || chr(10) || chr(10) ||
+                '> quote ' || doc_id || chr(10) || chr(10) ||
+                'See ![map ' || doc_id ||
+                '](m.png) and <https://example.org/' || doc_id ||
+                '> plus `cmd ' || doc_id || '`.' || chr(10) || chr(10) ||
+                '[r' || doc_id || ']: https://example.org/ref' || doc_id ||
+                chr(10) || chr(10) ||
+                'Closing &amp; paragraph ' || doc_id || '.' || chr(10)
+                AS markdown,
+                'Issue ' || doc_id || ' Issue ' || doc_id ||
+                ' is a daily paper covering ' || text ||
+                '. History col val cell ' || doc_id || ' cell item ' ||
+                doc_id || ' quote ' || doc_id || ' See map ' || doc_id ||
+                ' and plus cmd ' || doc_id || '. Closing & paragraph ' ||
+                doc_id || '.'
+                AS expected
+              FROM documents)
+            SELECT doc_id, expected AS text,
+                   strlen(markdown) AS n_chars_in,
+                   strlen(expected) AS n_chars_out,
+                   round(strlen(expected)::DOUBLE /
+                         greatest(strlen(markdown), 1), 6) AS reduction
+            FROM built
+        """,
+        # (doc_id, text); same closed-form contract as wiki_extract
         "latex_strip": """
             WITH built AS (
               SELECT doc_id,
@@ -4964,6 +5125,16 @@ def oracle_sql() -> dict[str, str]:
                    text || ' contact <EMAIL> or <PHONE> at <IP> via <URL>'
                      AS text,
                    1 AS n_url, 1 AS n_email, 1 AS n_phone, 1 AS n_ip
+            FROM documents
+        """,
+        # the valid card redacts, the Luhn-failing run stays; the
+        # replica states the redacted text directly (independent of the
+        # engine's checksum path)
+        "cc_redact": """
+            SELECT doc_id,
+                   'order ' || doc_id ||
+                   ' pay <CC> not 4111111111111112 says ' || text AS text,
+                   2 AS n_candidates, 1 AS n_valid
             FROM documents
         """,
         "decontaminate": """

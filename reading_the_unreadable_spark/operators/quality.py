@@ -380,6 +380,89 @@ def blocklist_filter(
     )
 
 
+def blocklist_join(
+    documents: DataFrame,
+    blocklist_df: DataFrame,
+    text_col: str = "text",
+    ngram_sizes: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """The 10k+-term scale path :func:`blocklist_filter`'s docstring
+    promises: the term list as a DIMENSION frame instead of a plan
+    literal.  At LDNOOBW size (~400 terms) the literal+HOF projection
+    wins (zero shuffle); at safety-vendor size (tens of thousands of
+    terms and phrases) K substring probes per document lose to a hash
+    join, and a literal that large bloats every serialized task.
+
+    Shape: documents normalize exactly like :func:`blocklist_filter`
+    (lowercase, non-alnum runs → one space), word n-grams for each size
+    in ``ngram_sizes`` are built with JVM higher-order functions and
+    deduped BEFORE the explode (verdicts need presence, not counts, so
+    within-doc repeats never shuffle), then one ``explode_outer`` →
+    broadcast join against the term dim → one groupBy(doc_id) with
+    map-side partials.  The ONLY corpus shuffle is the narrow
+    (doc_id, gram-hit) group-back; empty/no-hit docs survive through
+    the outer explode + left join.
+
+    ``blocklist_df`` needs (term_idx long, term string) — term
+    normalized the same way (lowercased, single-spaced); ``term_idx``
+    fixes the hit_terms output order so the frame matches
+    :func:`blocklist_filter` exactly (parity property-tested).
+    """
+    norm = F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z0-9]+", " "
+    )
+    tokens = F.split(F.trim(norm), " ")
+    # guard the short-doc case explicitly: sequence(1, 0) would infer a
+    # NEGATIVE step and emit [1, 0], crashing slice with start=0.
+    # NOTE the closure factory: a `lambda i, n=n:` would have TWO
+    # parameters, which pyspark's transform() binds as (element, index)
+    # — n would silently become the array index.
+    def _gram_at(n: int):
+        return lambda i: F.array_join(F.slice(tokens, i, n), " ")
+
+    gram_arrays = [
+        F.when(
+            F.size(tokens) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+                _gram_at(n),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        for n in ngram_sizes
+    ]
+    grams = F.array_distinct(F.concat(*gram_arrays))
+    exploded = documents.select(
+        "doc_id", F.explode_outer(grams).alias("gram")
+    )
+    dim = blocklist_df.select("term_idx", F.col("term").alias("gram"))
+    joined = exploded.join(F.broadcast(dim), "gram", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("term_idx").cast("int").alias("n_hits"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    # null struct for unmatched grams -> collect_list
+                    # skips them; only true hits reach the list
+                    F.collect_list(
+                        F.when(
+                            F.col("term_idx").isNotNull(),
+                            F.struct("term_idx", "gram"),
+                        )
+                    )
+                ),
+                lambda s: s["gram"],
+            ),
+            ",",
+        ).alias("hit_terms"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_hits",
+        "hit_terms",
+        (F.col("n_hits") == 0).cast("int").alias("kept"),
+    )
+
+
 # RE2-safe PII patterns (no backrefs/lookaround), shared with the oracle;
 # order matters: URLs first so their hosts aren't half-redacted later.
 PII_PATTERNS = (
@@ -409,6 +492,58 @@ def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         out.alias("text"),
         *[counts[n].alias(f"n_{n}") for n, _, _ in PII_PATTERNS],
+    )
+
+
+# Candidate pattern shared with the oracle: 13-19 digits, single
+# optional space/dash between any two (the groupings cards are written
+# in); \b is ASCII word-boundary in both Java regex and RE2.
+CC_CANDIDATE = r"\b[0-9](?:[ -]?[0-9]){12,18}\b"
+
+
+def _luhn_ok(c: Column) -> Column:
+    """Luhn mod-10 checksum over the digits of candidate ``c`` — pure
+    JVM higher-order functions (sequence/aggregate over reversed digit
+    positions), no UDF."""
+    digits = F.regexp_replace(c, r"[^0-9]", "")
+    rev = F.reverse(digits)
+
+    def term(i: Column) -> Column:
+        d = F.substr(rev, i, F.lit(1)).cast("int")
+        return F.when(i % 2 == 0, F.when(2 * d > 9, 2 * d - 9).otherwise(2 * d)).otherwise(d)
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(rev)),
+        F.lit(0),
+        lambda acc, i: acc + term(i),
+    )
+    return total % 10 == 0
+
+
+def redact_credit_cards(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Checksum-validated credit-card scrubbing: digit runs that LOOK
+    like card numbers are redacted only when the Luhn checksum passes —
+    the false-positive guard :func:`redact_pii`'s pattern-only pass
+    cannot give (order ids, ISBNs, and timestamps are 13-19 digit runs
+    too, but 90% of random digit strings fail Luhn).
+
+    Shape: one ``regexp_extract_all`` for candidates, a higher-order
+    ``filter`` applying the checksum JVM-side, and an ``aggregate``
+    fold replacing each valid candidate literally — a pure map stage,
+    zero shuffle, zero Python, composable in front of
+    :func:`redact_pii` in the same scan.  Returns (doc_id, text,
+    n_candidates, n_valid)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    cands = F.regexp_extract_all(text, F.lit(CC_CANDIDATE), 0)
+    valid = F.filter(cands, _luhn_ok)
+    redacted = F.aggregate(
+        valid, text, lambda acc, c: F.replace(acc, c, F.lit("<CC>"))
+    )
+    return documents.select(
+        "doc_id",
+        redacted.alias("text"),
+        F.size(cands).alias("n_candidates"),
+        F.size(valid).alias("n_valid"),
     )
 
 

@@ -477,6 +477,7 @@ def test_latex_and_code_filters_stay_jvm_side(spark):
     for q in (
         entrymod.q_latex_strip,
         entrymod.q_wiki_extract,
+        entrymod.q_markdown_extract,
         entrymod.q_code_filters,
     ):
         plan = _plan(q(spark, SF))
@@ -652,3 +653,24 @@ def test_dedup_lines_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cc_redact_is_one_jvm_projection(spark):
+    """Candidate extraction, the Luhn HOF filter, and the replace fold
+    are all JVM expressions in one map stage: zero exchanges, zero
+    Python crossings — the scrub rides inside the consuming scan."""
+    plan = _plan(entrymod.q_cc_redact(spark, SF))
+    assert len(re.findall(r"Exchange (hash|round|range)", plan)) == 0, plan[:2000]
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, (marker, plan[:2000])
+
+
+def test_blocklist_join_scale_shape(spark):
+    """The 10k-term path: term dim broadcasts (never a corpus-side
+    shuffle for the join), within-doc grams dedup BEFORE the explode,
+    and the only corpus exchange is the narrow group-back."""
+    plan = _plan(entrymod.q_blocklist_scale(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 1, f"{n} hash exchanges:\n{plan[:2000]}"

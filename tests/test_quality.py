@@ -592,3 +592,56 @@ def test_dedup_lines_empty_lines_never_collide(spark):
     assert got["doc-b"]["text"] == "\n\nz"
     assert got["doc-a"]["n_dropped_within"] == 0
     assert got["doc-b"]["n_dropped_boiler"] == 0
+
+
+def test_redact_credit_cards_luhn_gate(spark):
+    from reading_the_unreadable_spark.operators.quality import (
+        redact_credit_cards,
+    )
+
+    rows = [
+        # valid Visa (grouped) redacts; Luhn-failing run stays
+        ("a", "pay 4111 1111 1111 1111 not 4111111111111112 ok"),
+        # dash-grouped Discover and ungrouped 15-digit Amex both redact
+        ("b", "x 6011-0009-9013-9424 y 340000000000009 z"),
+        # 10-digit phone-shaped run is below the 13-digit floor
+        ("c", "call 555-123-4567 now"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in redact_credit_cards(df).collect()}
+    assert got["a"]["text"] == "pay <CC> not 4111111111111112 ok"
+    assert got["a"]["n_candidates"] == 2 and got["a"]["n_valid"] == 1
+    assert got["b"]["text"] == "x <CC> y <CC> z"
+    assert got["b"]["n_valid"] == 2
+    assert got["c"]["text"] == "call 555-123-4567 now"
+    assert got["c"]["n_candidates"] == 0
+    assert got["d"]["text"] == "" and got["d"]["n_candidates"] == 0
+
+
+def test_blocklist_join_parity_with_literal_path(spark):
+    """The broadcast-join scale path must produce exactly the
+    literal+HOF path's frame on the same corpus and term list."""
+    from reading_the_unreadable_spark.operators.quality import (
+        blocklist_filter,
+        blocklist_join,
+    )
+
+    terms = ("slow", "slow scan", "stale", "broken index")
+    rows = [
+        ("a", "the slow scan was slow and Slow-Scan again"),
+        ("b", "everything fine here"),
+        ("c", "STALE! broken index ahead"),
+        ("d", ""),
+        ("e", None),
+        ("f", "scan slow"),  # reversed order: unigram hits, phrase not
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    dim = spark.createDataFrame(
+        list(enumerate(terms)), "term_idx long, term string"
+    )
+    lit_rows = {r["doc_id"]: r.asDict() for r in blocklist_filter(df, terms).collect()}
+    join_rows = {r["doc_id"]: r.asDict() for r in blocklist_join(df, dim).collect()}
+    assert lit_rows == join_rows
+    assert lit_rows["a"]["hit_terms"] == "slow,slow scan"
+    assert join_rows["f"]["hit_terms"] == "slow" and join_rows["f"]["kept"] == 0
