@@ -2096,6 +2096,35 @@ def q_dedup_lines(spark, sf):
     return dedup_lines(docs)
 
 
+def q_host_boilerplate(spark, sf):
+    """Host-scoped template removal (`dedup_lines(scope_col="host")`):
+    docs are spread over 4 hosts (doc_id % 4); every doc carries its
+    host's nav-template line (per-host df ~ n/4 >= 3: dropped), a
+    within-doc repeat of its lead line (dropped), and — for doc_id < 8
+    only — a "global footer note" shared by 2 docs PER HOST (8
+    corpus-wide).  The global line is over a corpus-wide threshold but
+    under the per-host one, so it must SURVIVE — the row that proves
+    the verdict is scoped, not global."""
+    from reading_the_unreadable_spark.operators.quality import dedup_lines
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("string"))
+    la = F.concat(F.lit("d"), did, F.lit(" "), F.col("text"))
+    tpl = F.concat(F.lit("nav menu for "), host)
+    tail = F.concat(F.lit("d"), did, F.lit(" tail"))
+    text = F.when(
+        F.col("doc_id") < 8,
+        F.concat_ws("\n", la, tpl, la, F.lit("global footer note"), tail),
+    ).otherwise(F.concat_ws("\n", la, tpl, la, tail))
+    docs = d.select(
+        F.concat(F.lit("doc-"), did).alias("doc_id"),
+        host.alias("host"),
+        text.alias("text"),
+    )
+    return dedup_lines(docs, scope_col="host")
+
+
 def q_unigram_logprob(spark, sf):
     """CCNet-style LM quality score: unigram distribution trained on the
     corpus itself, documents scored by mean token log-probability."""
@@ -3472,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_extract": q_markdown_extract,
         "cc_redact": q_cc_redact,
         "blocklist_scale": q_blocklist_scale,
+        "host_boilerplate": q_host_boilerplate,
         # dedup_lines: new operator, lands behind the window
         # (pytest-replicated now, window candidate for r06)
         "dedup_lines": q_dedup_lines,
@@ -5834,6 +5864,23 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::INT AS n_paras_kept,
                    count(*)::INT AS n_paras_total
             FROM k GROUP BY doc_id
+        """,
+        # host-scoped template removal: expected output is closed-form —
+        # the per-host nav line and the within-doc repeat drop, the
+        # 2-docs-per-host "global footer note" (8 docs corpus-wide,
+        # over a GLOBAL threshold) must survive because the verdict is
+        # scoped to the host
+        "host_boilerplate": """
+            SELECT 'doc-' || doc_id AS doc_id,
+                   'd' || doc_id || ' ' || text ||
+                   CASE WHEN doc_id < 8
+                        THEN chr(10) || 'global footer note' ELSE '' END ||
+                   chr(10) || 'd' || doc_id || ' tail' AS text,
+                   (CASE WHEN doc_id < 8 THEN 5 ELSE 4 END)::INT
+                     AS n_lines_total,
+                   1::INT AS n_dropped_within,
+                   1::INT AS n_dropped_boiler
+            FROM documents
         """,
         "dedup_lines": """
             -- replicate the adapter (lineA/blank/boiler/lineA/lineB with

@@ -1265,6 +1265,7 @@ def dedup_lines(
     documents: DataFrame,
     text_col: str = "text",
     boiler_min_docs: int = 3,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Line-grain dedup, the RefinedWeb §3.2 / CCNet cleanup the
     paragraph pass can't express: (a) WITHIN a document, an exact
@@ -1300,11 +1301,24 @@ def dedup_lines(
     to scratch (write ~= input size); two column-pruned scans of
     splittable parquet are cheaper than both.  Never an n² join.
 
+    ``scope_col`` narrows the document-frequency verdict to a grouping
+    column (usually the URL host): a line then counts as boilerplate
+    only when ``boiler_min_docs`` distinct documents OF THE SAME SCOPE
+    carry it — the per-site template chrome ("About us | Contact")
+    that is frequent within one domain yet too rare corpus-wide to
+    cross a global threshold.  Scale note: scoping also de-skews the
+    df aggregation (keys become (host, fp), so one universal line
+    never concentrates its pairs), at the cost that the verdict join
+    keys on (host, fp) — still a broadcast at realistic thresholds
+    because the frame only holds over-threshold template lines.
+
     Output: doc_id, rebuilt ``text``, n_lines_total, n_dropped_within
     (within-doc repeats), n_dropped_boiler (corpus-frequent lines).
     """
+    scope = [scope_col] if scope_col else []
     lines = documents.select(
         "doc_id",
+        *scope,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
     norm = F.regexp_replace(F.lower(F.trim(F.col("line"))), "\\s+", " ")
@@ -1316,12 +1330,12 @@ def dedup_lines(
     # reach the network even for a line repeated 1e6× in one partition
     boiler = (
         lines.filter(F.col("_fp").isNotNull())
-        .groupBy("_fp")
+        .groupBy(*scope, "_fp")
         .agg(F.count_distinct("doc_id").alias("_df"))
         .filter(F.col("_df") >= boiler_min_docs)
-        .select("_fp", F.lit(True).alias("_boiler"))
+        .select(*scope, "_fp", F.lit(True).alias("_boiler"))
     )
-    tagged = lines.join(boiler, "_fp", "left")
+    tagged = lines.join(boiler, [*scope, "_fp"], "left")
     # within-doc repeat rank: partitioned by (doc_id, _fp) so the
     # exchange hashes on doc_id-prefixed keys — AQE-coalescible and
     # skew-immune (a fp hot across the corpus is still split per doc)

@@ -645,3 +645,29 @@ def test_blocklist_join_parity_with_literal_path(spark):
     assert lit_rows == join_rows
     assert lit_rows["a"]["hit_terms"] == "slow,slow scan"
     assert join_rows["f"]["hit_terms"] == "slow" and join_rows["f"]["kept"] == 0
+
+
+def test_dedup_lines_host_scoped_verdict(spark):
+    """scope_col narrows the df verdict: a line in 4 docs corpus-wide
+    but max 2 per host survives with scope_col='host', drops without."""
+    from reading_the_unreadable_spark.operators.quality import dedup_lines
+
+    rows = [
+        ("a1", "h1", "global line\nbody a1\ntpl one"),
+        ("a2", "h1", "global line\nbody a2\ntpl one"),
+        ("a3", "h1", "body a3\ntpl one"),
+        ("b1", "h2", "global line\nbody b1"),
+        ("b2", "h2", "global line\nbody b2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, host string, text string")
+    scoped = {r["doc_id"]: r for r in dedup_lines(df, boiler_min_docs=3, scope_col="host").collect()}
+    # "global line": df=4 corpus-wide, but 2 per host -> kept everywhere
+    assert scoped["a1"]["text"] == "global line\nbody a1"
+    assert scoped["b1"]["text"] == "global line\nbody b1"
+    # "tpl one": 3 distinct docs on h1 -> host template, dropped
+    assert scoped["a3"]["text"] == "body a3"
+    assert scoped["a1"]["n_dropped_boiler"] == 1
+    unscoped = {r["doc_id"]: r for r in dedup_lines(df, boiler_min_docs=3).collect()}
+    # global verdict drops "global line" (df=4 >= 3)
+    assert unscoped["a1"]["text"] == "body a1"
+    assert unscoped["b1"]["text"] == "body b1"
