@@ -2096,6 +2096,26 @@ def q_dedup_lines(spark, sf):
     return dedup_lines(docs)
 
 
+def q_corpus_drift(spark, sf):
+    """Crawl-over-crawl drift monitor: three snapshot slices
+    (doc_id % 3), each carrying a slice-specific marker token on top of
+    its documents' own word mix; JS divergence (integer nanobits)
+    between consecutive slices (`operators/textstats.py corpus_drift`).
+    The oracle replays counts, the pairwise full-outer token union, and
+    the rounded-contribution sum in DuckDB."""
+    from reading_the_unreadable_spark.operators.textstats import corpus_drift
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id") % 3
+    tagged = d.select(
+        sid.alias("sid"),
+        F.concat(
+            F.col("text"), F.lit(" marker"), sid.cast("string")
+        ).alias("text"),
+    )
+    return corpus_drift(tagged)
+
+
 def q_host_boilerplate(spark, sf):
     """Host-scoped template removal (`dedup_lines(scope_col="host")`):
     docs are spread over 4 hosts (doc_id % 4); every doc carries its
@@ -3502,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_redact": q_cc_redact,
         "blocklist_scale": q_blocklist_scale,
         "host_boilerplate": q_host_boilerplate,
+        "corpus_drift": q_corpus_drift,
         # dedup_lines: new operator, lands behind the window
         # (pytest-replicated now, window candidate for r06)
         "dedup_lines": q_dedup_lines,
@@ -5864,6 +5885,62 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::INT AS n_paras_kept,
                    count(*)::INT AS n_paras_total
             FROM k GROUP BY doc_id
+        """,
+        # full replay of the drift computation: counts, the per-pair
+        # token union, per-token JS contributions rounded to integer
+        # nanobits BEFORE the sum (the determinism contract), exact sums
+        "corpus_drift": """
+            WITH tagged AS (
+              SELECT doc_id % 3 AS sid,
+                     text || ' marker' || (doc_id % 3) AS text
+              FROM documents),
+            tok AS (
+              SELECT sid, unnest(string_split(text, ' ')) AS token
+              FROM tagged),
+            counts AS (
+              SELECT sid, token, count(*)::BIGINT AS cnt
+              FROM tok WHERE token <> '' GROUP BY sid, token),
+            totals AS (
+              SELECT sid, sum(cnt)::BIGINT AS total
+              FROM counts GROUP BY sid),
+            pairs AS (
+              SELECT a.sid AS sid_from, b.sid AS sid_to,
+                     a.total AS total_from, b.total AS total_to
+              FROM totals a JOIN totals b ON a.sid + 1 = b.sid),
+            tok_union AS (
+              SELECT DISTINCT p.sid_to, c.token
+              FROM pairs p JOIN counts c
+                ON c.sid = p.sid_from OR c.sid = p.sid_to),
+            pt AS (
+              SELECT u.sid_to, u.token,
+                     coalesce(cf.cnt, 0) AS cnt_from,
+                     coalesce(ct.cnt, 0) AS cnt_to
+              FROM tok_union u
+              LEFT JOIN counts cf
+                ON cf.sid = u.sid_to - 1 AND cf.token = u.token
+              LEFT JOIN counts ct
+                ON ct.sid = u.sid_to AND ct.token = u.token),
+            terms AS (
+              SELECT p.sid_from, p.sid_to, p.total_from, p.total_to,
+                     round((
+                       CASE WHEN t.cnt_from > 0 THEN
+                         (t.cnt_from::DOUBLE / p.total_from) *
+                         log2((t.cnt_from::DOUBLE / p.total_from) /
+                              ((t.cnt_from::DOUBLE / p.total_from +
+                                t.cnt_to::DOUBLE / p.total_to) / 2)) / 2
+                       ELSE 0 END +
+                       CASE WHEN t.cnt_to > 0 THEN
+                         (t.cnt_to::DOUBLE / p.total_to) *
+                         log2((t.cnt_to::DOUBLE / p.total_to) /
+                              ((t.cnt_from::DOUBLE / p.total_from +
+                                t.cnt_to::DOUBLE / p.total_to) / 2)) / 2
+                       ELSE 0 END) * 1e9)::BIGINT AS nano
+              FROM pt t JOIN pairs p ON t.sid_to = p.sid_to)
+            SELECT sid_from, sid_to, total_from, total_to,
+                   count(*)::BIGINT AS n_union_tokens,
+                   sum(nano)::BIGINT AS jsd_nano
+            FROM terms
+            GROUP BY sid_from, sid_to, total_from, total_to
         """,
         # host-scoped template removal: expected output is closed-form —
         # the per-host nav line and the within-doc repeat drop, the

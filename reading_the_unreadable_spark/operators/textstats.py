@@ -635,3 +635,92 @@ def split_sentences(documents: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("n_sents").cast("int"),
         )
     )
+
+
+def corpus_drift(
+    documents: DataFrame,
+    sid_col: str = "sid",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-over-crawl distribution drift: Jensen–Shannon divergence
+    (base 2) between the unigram distributions of consecutive corpus
+    snapshots — the monitoring signal that tells an incremental-crawl
+    pipeline its newest batch changed character (new spam campaign,
+    new language mix, a broken extractor) BEFORE the mixture weights or
+    quality gates silently shift downstream.
+
+    Input: documents tagged with an integer snapshot id ``sid_col``;
+    one output row per consecutive (sid, sid+1) pair present.
+
+    Determinism contract (the iterative-oracle discipline, see k-means/
+    PageRank): every per-token JS contribution is rounded to integer
+    NANOBITS (``round(term * 1e9) :: long``) before the sum, so the
+    aggregate is an exact-integer sum in any partitioning/order and the
+    DuckDB oracle replays it bit-for-bit; ``jsd_nano`` is that integer
+    (divide by 1e9 for bits, max ~1e9 = fully disjoint).
+
+    Scale shape (100 TB): token counts are one partial-aggregated
+    groupBy(sid, token); the pair frame full-outer-joins the counts
+    with themselves on (sid_to, token) — both sides pre-filtered to
+    valid pairs through a broadcast of the tiny per-snapshot totals
+    dim, so the join is vocabulary-sized, never corpus-sized, and the
+    hot path never shuffles document text.  The counts frame is
+    consumed four ways (totals, pair dim, both join sides) and is tiny
+    next to its rebuild cost (a full corpus scan + explode each), so it
+    sits behind a stage boundary — the measured boundary-vs-recompute
+    rule (SURVEY §10.m): without one the physical plan re-scans the
+    corpus four times."""
+    from reading_the_unreadable_spark.operators.dedup import _stage_boundary
+
+    counts = (
+        documents.select(
+            F.col(sid_col).cast("long").alias("sid"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("sid", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    counts = _stage_boundary(counts, "drift_counts")
+    totals = counts.groupBy("sid").agg(F.sum("cnt").alias("total"))
+    a, b = totals.alias("a"), totals.alias("b")
+    pair_dim = (
+        a.join(b, F.col("a.sid") + 1 == F.col("b.sid"))
+        .select(
+            F.col("a.sid").alias("sid_from"),
+            F.col("b.sid").alias("sid_to"),
+            F.col("a.total").alias("total_from"),
+            F.col("b.total").alias("total_to"),
+        )
+    )
+    af = counts.select(
+        (F.col("sid") + 1).alias("sid_to"),
+        "token",
+        F.col("cnt").alias("cnt_from"),
+    ).join(F.broadcast(pair_dim.select("sid_to")), "sid_to")
+    bf = counts.select(
+        F.col("sid").alias("sid_to"), "token", F.col("cnt").alias("cnt_to")
+    ).join(F.broadcast(pair_dim.select("sid_to")), "sid_to")
+    pt = af.join(bf, ["sid_to", "token"], "full_outer").join(
+        F.broadcast(pair_dim), "sid_to"
+    )
+    p = F.coalesce(F.col("cnt_from"), F.lit(0)).cast("double") / F.col("total_from")
+    q = F.coalesce(F.col("cnt_to"), F.lit(0)).cast("double") / F.col("total_to")
+    m = (p + q) / 2
+    term = (
+        F.when(p > 0, p * F.log2(p / m) / F.lit(2.0)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log2(q / m) / F.lit(2.0)).otherwise(F.lit(0.0))
+    )
+    nano = F.round(term * F.lit(1e9)).cast("long")
+    return (
+        pt.groupBy("sid_from", "sid_to", "total_from", "total_to")
+        .agg(F.sum(nano).alias("jsd_nano"), F.count("*").alias("n_union_tokens"))
+        .select(
+            "sid_from",
+            "sid_to",
+            F.col("total_from").cast("long"),
+            F.col("total_to").cast("long"),
+            F.col("n_union_tokens").cast("long"),
+            "jsd_nano",
+        )
+    )

@@ -674,3 +674,13 @@ def test_blocklist_join_scale_shape(spark):
     assert "SortMergeJoin" not in plan
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n <= 1, f"{n} hash exchanges:\n{plan[:2000]}"
+
+
+def test_corpus_drift_single_corpus_scan(spark):
+    """The counts frame sits behind a stage boundary: the final plan
+    reads only vocabulary-sized scratch — the documents parquet is
+    scanned exactly once (inside the boundary job), not once per
+    consumer (totals/pair-dim/join sides = 4 rebuilds without it)."""
+    plan = _plan(entrymod.q_corpus_drift(spark, SF))
+    assert "documents.parquet" not in plan, plan[:2000]
+    assert "rtu_stage" in plan

@@ -671,3 +671,23 @@ def test_dedup_lines_host_scoped_verdict(spark):
     # global verdict drops "global line" (df=4 >= 3)
     assert unscoped["a1"]["text"] == "body a1"
     assert unscoped["b1"]["text"] == "body b1"
+
+
+def test_corpus_drift_properties(spark):
+    """JSD: identical snapshots -> 0; disjoint snapshots -> 1e9 nano
+    (1.0 bit); only consecutive sid pairs appear."""
+    from reading_the_unreadable_spark.operators.textstats import corpus_drift
+
+    rows = [
+        (0, "a b a"), (1, "a b a"),       # sid 0 == sid 1
+        (2, "x y z"),                      # sid 2 disjoint from sid 1
+        (4, "p q"),                        # sid 4: no sid 3 -> no pair
+    ]
+    df = spark.createDataFrame(rows, "sid int, text string")
+    got = {(r["sid_from"], r["sid_to"]): r for r in corpus_drift(df).collect()}
+    assert set(got) == {(0, 1), (1, 2)}
+    assert got[(0, 1)]["jsd_nano"] == 0
+    # per-token quantization is ±0.5 nano: 5 union tokens -> ±3
+    assert abs(got[(1, 2)]["jsd_nano"] - 10**9) <= 3
+    assert got[(1, 2)]["n_union_tokens"] == 5
+    assert got[(0, 1)]["total_from"] == 3 and got[(0, 1)]["total_to"] == 3
