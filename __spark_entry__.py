@@ -2096,6 +2096,17 @@ def q_dedup_lines(spark, sf):
     return dedup_lines(docs)
 
 
+def q_text_tiling(spark, sf):
+    """TextTiling topic segmentation over the raw corpus at 10-token
+    blocks (`operators/textstats.py text_tiling`): per-gap cosine² in
+    integer parts-per-billion and the fixed-threshold boundary set —
+    all integer arithmetic, so the DuckDB oracle replays every gap
+    value exactly."""
+    from reading_the_unreadable_spark.operators.textstats import text_tiling
+
+    return text_tiling(_t(spark, sf, "documents"), block_tokens=10)
+
+
 def q_corpus_drift(spark, sf):
     """Crawl-over-crawl drift monitor: three snapshot slices
     (doc_id % 3), each carrying a slice-specific marker token on top of
@@ -3523,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_scale": q_blocklist_scale,
         "host_boilerplate": q_host_boilerplate,
         "corpus_drift": q_corpus_drift,
+        "text_tiling": q_text_tiling,
         # dedup_lines: new operator, lands behind the window
         # (pytest-replicated now, window candidate for r06)
         "dedup_lines": q_dedup_lines,
@@ -5885,6 +5897,56 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::INT AS n_paras_kept,
                    count(*)::INT AS n_paras_total
             FROM k GROUP BY doc_id
+        """,
+        # full integer replay: blocks via list slices, per-gap dot/norm
+        # sums via list lambdas, floor-division ppb, the same 4·dot² <
+        # Σl²·Σr² boundary rule
+        "text_tiling": """
+            WITH dims AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     cast(ceil(len(string_split(text, ' ')) / 10.0) AS INT)
+                       AS n_blocks
+              FROM documents),
+            gaps AS (
+              SELECT doc_id, g,
+                     ws[(g-1)*10+1 : (g-1)*10+10] AS l,
+                     ws[g*10+1 : g*10+10] AS r
+              FROM dims, LATERAL (
+                SELECT unnest(generate_series(1, n_blocks - 1)) AS g) s),
+            scored AS (
+              SELECT doc_id, g,
+                list_sum(list_transform(list_distinct(l),
+                  t -> len(list_filter(l, e -> e = t)) *
+                       len(list_filter(r, e -> e = t))))::BIGINT AS dot,
+                list_sum(list_transform(list_distinct(l),
+                  t -> len(list_filter(l, e -> e = t)) *
+                       len(list_filter(l, e -> e = t))))::BIGINT AS ssl,
+                list_sum(list_transform(list_distinct(r),
+                  t -> len(list_filter(r, e -> e = t)) *
+                       len(list_filter(r, e -> e = t))))::BIGINT AS ssr
+              FROM gaps),
+            vals AS (
+              SELECT doc_id, g,
+                     (dot * dot * 1000000000) // (ssl * ssr) AS sim2_ppb,
+                     4 * dot * dot < ssl * ssr AS boundary
+              FROM scored),
+            agg AS (
+              SELECT doc_id,
+                     sum(boundary::INT)::INT AS n_boundaries,
+                     string_agg(CASE WHEN boundary THEN g::VARCHAR END,
+                                ',' ORDER BY g) AS boundaries,
+                     string_agg(sim2_ppb::VARCHAR, ',' ORDER BY g)
+                       AS gap_sims_ppb
+              FROM vals GROUP BY doc_id)
+            SELECT d.doc_id,
+                   d.n_tokens::INT AS n_tokens,
+                   d.n_blocks,
+                   coalesce(a.n_boundaries, 0)::INT AS n_boundaries,
+                   (coalesce(a.n_boundaries, 0) + 1)::INT AS n_segments,
+                   coalesce(a.boundaries, '') AS boundaries,
+                   coalesce(a.gap_sims_ppb, '') AS gap_sims_ppb
+            FROM dims d LEFT JOIN agg a USING (doc_id)
         """,
         # full replay of the drift computation: counts, the per-pair
         # token union, per-token JS contributions rounded to integer

@@ -724,3 +724,87 @@ def corpus_drift(
             "jsd_nano",
         )
     )
+
+
+def text_tiling(
+    documents: DataFrame,
+    block_tokens: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst 1997, the fixed-
+    threshold variant): a document is cut into ``block_tokens``-token
+    pseudo-sentence blocks; every gap between adjacent blocks scores
+    the cosine similarity of the two blocks' term-frequency vectors,
+    and a gap is a topic boundary when similarity < 0.5.  The grain
+    RAG chunkers and article segmenters want when layout gives no
+    paragraph signal (OCR'd single-column scans, subtitle streams).
+
+    Exactness contract: the rule compares SQUARED cosine as a rational
+    number — ``boundary ⇔ 4·dot² < Σl²·Σr²`` — and reports
+    ``floor(dot²·1e9 / (Σl²·Σr²))`` parts-per-billion, all integer
+    arithmetic on term counts, so there is NO float anywhere and the
+    DuckDB oracle replays every value exactly.  (The adaptive
+    depth-score threshold of the full algorithm trades that for a
+    float chain; the fixed threshold is the deterministic variant.)
+
+    Shape: pure map stage — blocks, per-gap dot products and norms are
+    nested JVM higher-order functions over the token array (O(w²) per
+    gap with w = block size), zero shuffle, zero Python; streams over
+    100 TB inside the consuming scan."""
+    w = block_tokens
+    tokens = F.split(F.col(text_col), " ")
+    n_tokens = F.size(tokens)
+    n_blocks = F.ceil(n_tokens / F.lit(w)).cast("int")
+
+    def _cnt(arr, t):
+        return F.size(F.filter(arr, lambda e: e == t)).cast("long")
+
+    def _gap(g):
+        left = F.slice(tokens, (g - 1) * w + 1, w)
+        right = F.slice(tokens, g * w + 1, w)
+        dot = F.aggregate(
+            F.array_distinct(left),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + _cnt(left, t) * _cnt(right, t),
+        )
+        ss_l = F.aggregate(
+            F.array_distinct(left),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + _cnt(left, t) * _cnt(left, t),
+        )
+        ss_r = F.aggregate(
+            F.array_distinct(right),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + _cnt(right, t) * _cnt(right, t),
+        )
+        sim2_ppb = F.floor(
+            (dot * dot * F.lit(1_000_000_000)).cast("double") / (ss_l * ss_r)
+        ).cast("long")
+        return F.struct(
+            g.cast("int").alias("gap"),
+            sim2_ppb.alias("sim2_ppb"),
+            (4 * dot * dot < ss_l * ss_r).alias("boundary"),
+        )
+
+    gaps = F.when(
+        n_blocks >= 2,
+        F.transform(F.sequence(F.lit(1), n_blocks - 1), _gap),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<gap:int,sim2_ppb:bigint,boundary:boolean>>"
+        )
+    )
+    bounds = F.filter(gaps, lambda s: s["boundary"])
+    return documents.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        n_blocks.alias("n_blocks"),
+        F.size(bounds).alias("n_boundaries"),
+        (F.size(bounds) + 1).alias("n_segments"),
+        F.array_join(
+            F.transform(bounds, lambda s: s["gap"].cast("string")), ","
+        ).alias("boundaries"),
+        F.array_join(
+            F.transform(gaps, lambda s: s["sim2_ppb"].cast("string")), ","
+        ).alias("gap_sims_ppb"),
+    )

@@ -684,3 +684,12 @@ def test_corpus_drift_single_corpus_scan(spark):
     plan = _plan(entrymod.q_corpus_drift(spark, SF))
     assert "documents.parquet" not in plan, plan[:2000]
     assert "rtu_stage" in plan
+
+
+def test_text_tiling_zero_shuffle(spark):
+    """Segmentation is nested HOFs over the token array: a pure map
+    stage — no exchange, no Python crossing, rides the consuming scan."""
+    plan = _plan(entrymod.q_text_tiling(spark, SF))
+    assert len(re.findall(r"Exchange (hash|round|range)", plan)) == 0, plan[:2000]
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, (marker, plan[:2000])

@@ -691,3 +691,27 @@ def test_corpus_drift_properties(spark):
     assert abs(got[(1, 2)]["jsd_nano"] - 10**9) <= 3
     assert got[(1, 2)]["n_union_tokens"] == 5
     assert got[(0, 1)]["total_from"] == 3 and got[(0, 1)]["total_to"] == 3
+
+
+def test_text_tiling_boundary_rule(spark):
+    """cosine²<0.25 between adjacent blocks cuts: identical blocks
+    never, disjoint always; single-block docs have one segment."""
+    from reading_the_unreadable_spark.operators.textstats import text_tiling
+
+    rows = [
+        ("a", "a a b b"),          # blocks [a a][b b]: sim 0 -> boundary
+        ("b", "a b a b"),          # blocks [a b][a b]: sim 1 -> none
+        ("c", "x y"),              # one block (w=2): no gaps
+        ("d", "a a a b b b"),      # [a a][a b][b b]: sims 0.5 -> cut both
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in text_tiling(df, block_tokens=2).collect()}
+    assert got["a"]["boundaries"] == "1" and got["a"]["n_segments"] == 2
+    assert got["a"]["gap_sims_ppb"] == "0"
+    assert got["b"]["boundaries"] == "" and got["b"]["n_segments"] == 1
+    assert got["b"]["gap_sims_ppb"] == "1000000000"
+    assert got["c"]["n_blocks"] == 1 and got["c"]["n_segments"] == 1
+    assert got["c"]["gap_sims_ppb"] == ""
+    # [a a] vs [a b]: dot=2, ssl=4, ssr=2 -> sim2 = 4/8 = 0.5 -> 4*4 >= 8? 16>=8 no boundary
+    assert got["d"]["gap_sims_ppb"] == "500000000,500000000"
+    assert got["d"]["boundaries"] == "" and got["d"]["n_segments"] == 1
