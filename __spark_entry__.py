@@ -2096,6 +2096,38 @@ def q_dedup_lines(spark, sf):
     return dedup_lines(docs)
 
 
+def q_bloom_gate(spark, sf):
+    """Bloom-filter decontamination pre-gate (the third sketch-family
+    driver row next to HLL and count-min): eval-set doc fingerprints
+    (doc_id % 97 == 0) populate a 4096-bit / 5-hash filter; every
+    document probes its own fingerprint.  No false negatives by
+    construction (every true member flags); the handful of false
+    positives are exactly reproduced by the oracle because bit
+    positions are integer md5 arithmetic (`operators/sketches.py
+    bloom_bits/bloom_contains`).  At corpus scale the bit table
+    broadcasts (≤ m_bits rows) and probes never shuffle for the join —
+    the cheap first pass in front of the exact n-gram
+    `contamination_flags` join."""
+    from reading_the_unreadable_spark.operators.sketches import (
+        bloom_bits,
+        bloom_contains,
+    )
+
+    d = _t(spark, sf, "documents")
+    fp = d.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    members = fp.filter(F.col("doc_id") % 97 == 0).select("fp")
+    bits = bloom_bits(members, "fp", k=5, m_bits=4096)
+    verdict = bloom_contains(bits, fp.select("fp"), "fp", k=5, m_bits=4096)
+    return (
+        fp.join(verdict, "fp")
+        .select(
+            "doc_id",
+            F.col("maybe_present").cast("int").alias("flagged"),
+            (F.col("doc_id") % 97 == 0).cast("int").alias("is_member"),
+        )
+    )
+
+
 def q_text_tiling(spark, sf):
     """TextTiling topic segmentation over the raw corpus at 10-token
     blocks (`operators/textstats.py text_tiling`): per-gap cosine² in
@@ -3535,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": q_host_boilerplate,
         "corpus_drift": q_corpus_drift,
         "text_tiling": q_text_tiling,
+        "bloom_gate": q_bloom_gate,
         # dedup_lines: new operator, lands behind the window
         # (pytest-replicated now, window candidate for r06)
         "dedup_lines": q_dedup_lines,
@@ -5897,6 +5930,35 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::INT AS n_paras_kept,
                    count(*)::INT AS n_paras_total
             FROM k GROUP BY doc_id
+        """,
+        # exact replay of the bit geometry: 5 md5-seeded positions per
+        # fingerprint, member bits distinct, probe = all-positions-set;
+        # false positives reproduce exactly because positions are
+        # integer arithmetic
+        "bloom_gate": """
+            WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+            member_bits AS (
+              SELECT DISTINCT
+                ('0x' || substr(md5(i::VARCHAR || '#' || fp), 1, 8))::BIGINT
+                  % 4096 AS bit
+              FROM fp, LATERAL (
+                SELECT unnest(generate_series(0, 4)) AS i) s
+              WHERE doc_id % 97 = 0),
+            probe AS (
+              SELECT doc_id,
+                ('0x' || substr(md5(i::VARCHAR || '#' || fp), 1, 8))::BIGINT
+                  % 4096 AS bit
+              FROM fp, LATERAL (
+                SELECT unnest(generate_series(0, 4)) AS i) s),
+            v AS (
+              SELECT doc_id,
+                     (count(*) = sum(CASE WHEN b.bit IS NOT NULL
+                                          THEN 1 ELSE 0 END)) AS flagged
+              FROM probe p LEFT JOIN member_bits b ON p.bit = b.bit
+              GROUP BY doc_id)
+            SELECT doc_id, flagged::INT AS flagged,
+                   (doc_id % 97 = 0)::INT AS is_member
+            FROM v
         """,
         # full integer replay: blocks via list slices, per-gap dot/norm
         # sums via list lambdas, floor-division ppb, the same 4·dot² <
