@@ -2096,6 +2096,30 @@ def q_dedup_lines(spark, sf):
     return dedup_lines(docs)
 
 
+def q_trustrank(spark, sf):
+    """TrustRank spam gate over the same deterministic 2-out-link
+    graph as `pagerank`, seeds = nodes with doc_id % 31 == 0: three
+    fixed power steps of seed-teleport PageRank with 9-dp per-step
+    rounding (`operators/graph.py trustrank`) — the FIFTH iterative
+    distributed algorithm with a chained-CTE value oracle.  Nodes no
+    seed reaches within 3 hops keep trust 0 → suspect."""
+    from reading_the_unreadable_spark.operators.graph import trustrank
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    linkers = docs.filter(d % 17 != 0)
+    edges = linkers.select(
+        d.alias("src"), F.pmod(d * 7 + 3, F.lit(n)).alias("dst")
+    ).union(
+        linkers.select(
+            d.alias("src"), F.pmod(d * 13 + 5, F.lit(n)).alias("dst")
+        )
+    )
+    seeds = docs.filter(d % 31 == 0).select(d.alias("node"))
+    return trustrank(edges, seeds)
+
+
 def q_bloom_gate(spark, sf):
     """Bloom-filter decontamination pre-gate (the third sketch-family
     driver row next to HLL and count-min): eval-set doc fingerprints
@@ -3568,6 +3592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": q_corpus_drift,
         "text_tiling": q_text_tiling,
         "bloom_gate": q_bloom_gate,
+        "trustrank": q_trustrank,
         # dedup_lines: new operator, lands behind the window
         # (pytest-replicated now, window candidate for r06)
         "dedup_lines": q_dedup_lines,
@@ -5930,6 +5955,63 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::INT AS n_paras_kept,
                    count(*)::INT AS n_paras_total
             FROM k GROUP BY doc_id
+        """,
+        # pagerank's chained-CTE replay with the teleport vector
+        # concentrated on the seed set; dangling mass returns through
+        # the same vector ("rank = ((1-d) + d*dangling)*t + d*inflow")
+        "trustrank": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst
+              FROM documents, nn WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 5) % n
+              FROM documents, nn WHERE doc_id % 17 <> 0),
+            nodes AS (
+              SELECT DISTINCT node FROM
+                (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+            sd AS (SELECT node FROM nodes WHERE node % 31 = 0),
+            sc AS (SELECT count(*) AS k FROM sd),
+            tv AS (SELECT n.node,
+                     CASE WHEN s.node IS NOT NULL
+                          THEN round(1.0 / sc.k, 9) ELSE 0 END AS t
+                   FROM nodes n CROSS JOIN sc
+                   LEFT JOIN sd s ON n.node = s.node),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+            r0 AS (SELECT node, t AS rank FROM tv),
+            d0 AS (SELECT coalesce(sum(rank), 0) AS s FROM r0
+                   LEFT JOIN deg ON r0.node = deg.src WHERE deg.src IS NULL),
+            i0 AS (SELECT e.dst, sum(r0.rank / deg.deg) AS inflow
+                   FROM e JOIN r0 ON e.src = r0.node
+                   JOIN deg ON e.src = deg.src GROUP BY 1),
+            r1 AS (SELECT tv.node,
+                     round(((1 - 0.85) + 0.85 * d0.s) * tv.t
+                           + 0.85 * coalesce(i0.inflow, 0), 9) AS rank
+                   FROM tv CROSS JOIN d0
+                   LEFT JOIN i0 ON tv.node = i0.dst),
+            d1 AS (SELECT coalesce(sum(rank), 0) AS s FROM r1
+                   LEFT JOIN deg ON r1.node = deg.src WHERE deg.src IS NULL),
+            i1 AS (SELECT e.dst, sum(r1.rank / deg.deg) AS inflow
+                   FROM e JOIN r1 ON e.src = r1.node
+                   JOIN deg ON e.src = deg.src GROUP BY 1),
+            r2 AS (SELECT tv.node,
+                     round(((1 - 0.85) + 0.85 * d1.s) * tv.t
+                           + 0.85 * coalesce(i1.inflow, 0), 9) AS rank
+                   FROM tv CROSS JOIN d1
+                   LEFT JOIN i1 ON tv.node = i1.dst),
+            d2 AS (SELECT coalesce(sum(rank), 0) AS s FROM r2
+                   LEFT JOIN deg ON r2.node = deg.src WHERE deg.src IS NULL),
+            i2 AS (SELECT e.dst, sum(r2.rank / deg.deg) AS inflow
+                   FROM e JOIN r2 ON e.src = r2.node
+                   JOIN deg ON e.src = deg.src GROUP BY 1),
+            fin AS (SELECT tv.node,
+                     round(((1 - 0.85) + 0.85 * d2.s) * tv.t
+                           + 0.85 * coalesce(i2.inflow, 0), 9) AS rank
+                   FROM tv CROSS JOIN d2
+                   LEFT JOIN i2 ON tv.node = i2.dst)
+            SELECT node, rank AS trust,
+                   (rank = 0)::INT AS suspect
+            FROM fin
         """,
         # exact replay of the bit geometry: 5 md5-seeded positions per
         # fingerprint, member bits distinct, probe = all-positions-set;

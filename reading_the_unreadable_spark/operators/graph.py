@@ -168,3 +168,92 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     return auth.join(hub, "node").select(
         "node", F.col("auth").alias("authority"), "hub"
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    ndp: int = 9,
+) -> DataFrame:
+    """TrustRank (Gyöngyi et al. 2004): PageRank with the teleport
+    vector concentrated on a trusted seed set — the link-spam gate a
+    crawl curation pipeline runs next to raw PageRank.  Trust flows
+    ONLY out of seeds; a page unreachable from every seed within
+    ``iters`` hops keeps trust 0 and is spam-suspect.
+
+    Same fixed-step/rounding discipline as :func:`pagerank` (9-dp
+    per-step rounding makes scores engine-replicable; plans lineage-cut
+    per step): ``rank = ((1-d) + d·dangling)·t + d·inflow`` where ``t``
+    is 1/|seeds∩nodes| on seeds, 0 elsewhere — dangling mass teleports
+    back through ``t`` too, per the paper.  Shapes are pagerank's: one
+    out-degree groupBy, one rank-mass shuffle per step keyed on the
+    node id, a single-row dangling aggregate.
+
+    Output: (node, trust, suspect) for every node incident to an edge,
+    suspect = 1 where trust rounds to exactly 0."""
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed_nodes = nodes.join(
+        seeds.select(F.col("node").cast("long")).distinct(), "node", "semi"
+    ).localCheckpoint()
+    ns = seed_nodes.count()
+    if ns == 0:
+        raise ValueError("trustrank needs at least one seed incident to an edge")
+    tv = (
+        nodes.join(seed_nodes.withColumn("_s", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(
+                F.col("_s").isNotNull(), F.lit(round(1.0 / ns, ndp))
+            )
+            .otherwise(F.lit(0.0))
+            .alias("t"),
+        )
+        .localCheckpoint()
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    d = float(damping)
+    ranks = tv.select("node", F.col("t").alias("rank"))
+    for _ in range(iters):
+        with_deg = ranks.join(
+            out_deg, ranks["node"] == out_deg["src"], "left"
+        ).select("node", "rank", "deg")
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("s"))
+            .first()["s"]
+        )
+        contribs = (
+            e.join(
+                with_deg.filter(F.col("deg").isNotNull()),
+                e["src"] == F.col("node"),
+            )
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        coef = (1.0 - d) + d * float(dangling)
+        ranks = (
+            tv.join(contribs, tv["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(coef) * F.col("t")
+                    + d * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    ndp,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node",
+        F.col("rank").alias("trust"),
+        (F.col("rank") == 0.0).cast("int").alias("suspect"),
+    )

@@ -86,3 +86,33 @@ def test_hits_hand_computed(spark):
         for r in hits(edges, iters=2).collect()
     }
     assert got == {1: (0, 8), 2: (3, 5), 3: (5, 0)}
+
+
+def test_trustrank_flows_only_from_seeds(spark):
+    from reading_the_unreadable_spark.operators.graph import trustrank
+
+    # chain 1->2->3, isolated pair 4->5; seed = 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r for r in trustrank(edges, seeds, iters=3).collect()}
+    # seed keeps teleport mass; 2 and 3 receive down the chain
+    assert got[1]["trust"] > 0 and got[1]["suspect"] == 0
+    assert got[2]["trust"] > 0 and got[3]["trust"] > 0
+    # nothing reaches the disconnected component
+    assert got[4]["trust"] == 0.0 and got[4]["suspect"] == 1
+    assert got[5]["trust"] == 0.0 and got[5]["suspect"] == 1
+    # trust decays with distance from the seed
+    assert got[1]["trust"] > got[2]["trust"] > got[3]["trust"]
+
+
+def test_trustrank_seed_must_touch_graph(spark):
+    import pytest
+
+    from reading_the_unreadable_spark.operators.graph import trustrank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError):
+        trustrank(edges, seeds)
