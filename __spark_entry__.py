@@ -2096,6 +2096,51 @@ def q_dedup_lines(spark, sf):
     return dedup_lines(docs)
 
 
+def q_orc_roundtrip(spark, sf):
+    """ORC source/sink round trip (the second columnar format next to
+    parquet — Spark-native, zlib-striped): documents are written as an
+    ORC table partitioned by lang, read back, and summarized per lang
+    plus one partition-PRUNED window (lang = 'en' hits only that
+    directory) and one predicate window (n_chars > 500, pushed to the
+    ORC reader).  Distributed aggregation; only the per-lang summary
+    rows are collected so the scratch table can be removed before
+    returning.  Oracle: identical sums straight off documents."""
+    import shutil
+    import uuid as uuid_mod
+
+    root = f"/tmp/orc_query_{uuid_mod.uuid4().hex[:12]}"
+    docs = _t(spark, sf, "documents")
+    try:
+        docs.write.mode("overwrite").partitionBy("lang").orc(root)
+        back = spark.read.orc(root)
+        per_lang = [
+            (f"lang={r['lang']}", r["n"], r["s"])
+            for r in back.groupBy("lang")
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("s"),
+            )
+            .collect()
+        ]
+        pruned = back.filter(F.col("lang") == "en").agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("s"),
+        ).first()
+        pushed = back.filter(F.col("n_chars") > 500).agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("s"),
+        ).first()
+        rows = sorted(per_lang) + [
+            ("pruned_en", pruned["n"], pruned["s"]),
+            ("pushed_gt500", pushed["n"], pushed["s"]),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "window string, n_docs long, sum_chars long"
+    )
+
+
 def q_trustrank(spark, sf):
     """TrustRank spam gate over the same deterministic 2-out-link
     graph as `pagerank`, seeds = nodes with doc_id % 31 == 0: three
@@ -3593,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tiling": q_text_tiling,
         "bloom_gate": q_bloom_gate,
         "trustrank": q_trustrank,
+        "orc_roundtrip": q_orc_roundtrip,
         # dedup_lines: new operator, lands behind the window
         # (pytest-replicated now, window candidate for r06)
         "dedup_lines": q_dedup_lines,
@@ -5955,6 +6001,22 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::INT AS n_paras_kept,
                    count(*)::INT AS n_paras_total
             FROM k GROUP BY doc_id
+        """,
+        # the ORC round trip is lossless, so every window's sums come
+        # straight off documents
+        "orc_roundtrip": """
+            SELECT 'lang=' || lang AS window,
+                   count(*)::BIGINT AS n_docs,
+                   sum(strlen(text))::BIGINT AS sum_chars
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 'pruned_en', count(*)::BIGINT,
+                   coalesce(sum(strlen(text)), 0)::BIGINT
+            FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT 'pushed_gt500', count(*)::BIGINT,
+                   coalesce(sum(strlen(text)), 0)::BIGINT
+            FROM documents WHERE n_chars > 500
         """,
         # pagerank's chained-CTE replay with the teleport vector
         # concentrated on the seed set; dangling mass returns through

@@ -973,3 +973,25 @@ def test_snapshot_write_audit_publish(spark, tmp_path):
     res = S.expire_snapshots(spark, root, keep_n=10, orphan_grace_s=0)
     assert any("staged" in d for d in res["removed_dirs"])
     assert S.read_snapshot(spark, root).count() == before
+
+
+def test_orc_pushdown_and_partition_pruning(spark, tmp_path):
+    """The ORC reader must receive pushed predicates and prune lang
+    partitions — same scan discipline as the parquet path."""
+    import pyspark.sql.functions as F
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_orc")
+    src.write.mode("overwrite").partitionBy("lang").orc(path)
+    back = spark.read.orc(path)
+    plan = (
+        back.filter((F.col("lang") == "en") & (F.col("n_chars") > 500))
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,500)]" in plan, plan[:1500]
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:120], plan[:1500]
+    # round trip is lossless
+    assert back.count() == src.count()
