@@ -2096,6 +2096,107 @@ def q_dedup_lines(spark, sf):
     return dedup_lines(docs)
 
 
+def q_curation_pipeline(spark, sf):
+    """END-TO-END web-curation pipeline: URL gate → HTML main-content
+    extraction → Gopher quality gate → PII scrub, each stage feeding
+    only the previous stage's survivors (the gates prune BEFORE the
+    next stage pays its cost — the property that makes the chain
+    affordable at crawl scale).  Fixtures are the url_filter and
+    html_main_text closed forms (p2 carries one injected email);
+    output per doc: both gate verdicts, the final keep, and the
+    redacted extracted text for kept docs.  The oracle composes the
+    same stages: the closed-form URL verdict, the main-text closed
+    form, a full Gopher-metric replica over the extracted text, and
+    the email regexp."""
+    from reading_the_unreadable_spark.operators.html import main_text
+    from reading_the_unreadable_spark.operators.quality import (
+        gopher_filter,
+        redact_pii,
+    )
+    from reading_the_unreadable_spark.operators.urls import url_filter
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    host = (
+        F.when(did % 5 == 0, F.lit("news.example.com"))
+        .when(did % 5 == 1, F.lit("play.casino-spin.net"))
+        .when(did % 5 == 2, F.lit("blog.example.org:8080"))
+        .when(did % 5 == 3, F.concat(F.lit("cdn"), (did % 13).cast("string"),
+                                     F.lit(".img.bad.net")))
+        .otherwise(F.concat((did * 97).cast("string"), F.lit(".com")))
+    )
+    tail = F.when(
+        did % 3 == 0,
+        F.lit("?ref=a&utm=1&x=2&y=3&z=4&q1=1&q2=2&q3=3&q4=4"),
+    ).otherwise(F.lit(""))
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), ds, tail).alias("url"),
+    )
+    uv = url_filter(urls, blocked_domains=("bad.net",)).select(
+        "doc_id", F.col("url_keep").cast("int").alias("url_kept")
+    )
+
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    half = F.greatest((n / 2).cast("int"), F.lit(1))
+    first = F.array_join(F.slice(words, 1, half), " ")
+    second = F.concat(
+        F.array_join(F.slice(words, half + 1, n), " "),
+        F.lit(" contact bob@example.com"),
+    )
+    k = (F.col("n_chars") % 3 + 1).cast("int")
+    nav = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat(
+                F.lit('<a href="/p">link '), i.cast("string"), F.lit("</a>")
+            ),
+        ),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>t</title><script>var x = 1 < 2;</script></head>"),
+        F.lit("<body><nav>"),
+        nav,
+        F.lit("</nav><div><h1>SECTION "),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        first,
+        F.lit("</p><p>"),
+        second,
+        F.lit('</p></div><footer><a href="/t">terms &amp; conditions</a>'),
+        F.lit("</footer></body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+
+    extracted = main_text(pages)
+    survivors = extracted.join(
+        uv.filter(F.col("url_kept") == 1).select("doc_id"), "doc_id"
+    )
+    gk = gopher_filter(survivors).select(
+        "doc_id", F.col("kept").alias("gopher_kept")
+    )
+    red = redact_pii(survivors).select(
+        "doc_id", F.col("text").alias("rtext"), "n_email"
+    )
+    out = (
+        uv.join(gk, "doc_id", "left")
+        .join(red, "doc_id", "left")
+    )
+    g = F.coalesce(F.col("gopher_kept"), F.lit(0))
+    final = (F.col("url_kept") == 1) & (g == 1)
+    return out.select(
+        "doc_id",
+        "url_kept",
+        g.alias("gopher_kept"),
+        final.cast("int").alias("final_kept"),
+        F.when(final, F.col("rtext")).otherwise(F.lit("")).alias("text"),
+        F.when(final, F.col("n_email")).otherwise(F.lit(0)).alias("n_email"),
+    )
+
+
 def q_orc_roundtrip(spark, sf):
     """ORC source/sink round trip (the second columnar format next to
     parquet — Spark-native, zlib-striped): documents are written as an
@@ -3639,6 +3740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_gate": q_bloom_gate,
         "trustrank": q_trustrank,
         "orc_roundtrip": q_orc_roundtrip,
+        "curation_pipeline": q_curation_pipeline,
         # dedup_lines: new operator, lands behind the window
         # (pytest-replicated now, window candidate for r06)
         "dedup_lines": q_dedup_lines,
@@ -6001,6 +6103,79 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::INT AS n_paras_kept,
                    count(*)::INT AS n_paras_total
             FROM k GROUP BY doc_id
+        """,
+        # stage-composed replica: closed-form URL verdict (kept ⇔ host
+        # family 0/2 and no deep query — derived from the url_filter
+        # fixture), the main-text closed form with the injected email,
+        # a full Gopher-metric replay over the extracted text, and the
+        # shared email regexp
+        "curation_pipeline": r"""
+            WITH base AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w,
+                     greatest(len(string_split(text, ' ')) // 2, 1) AS half
+              FROM documents),
+            uv AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 IN (0, 2) AND doc_id % 3 <> 0
+                          THEN 1 ELSE 0 END AS url_kept
+              FROM documents),
+            parts AS (
+              SELECT doc_id, 'SECTION ' || source AS h1,
+                     array_to_string(w[1:half], ' ') AS p1,
+                     array_to_string(w[half+1:len(w)], ' ')
+                       || ' contact bob@example.com' AS p2
+              FROM base),
+            ext AS (
+              SELECT doc_id, array_to_string(list_filter(
+                [CASE WHEN length(h1) >= 10 THEN h1 END,
+                 CASE WHEN length(p1) >= 10 THEN p1 END,
+                 CASE WHEN length(p2) >= 10 THEN p2 END],
+                x -> x IS NOT NULL), chr(10) || chr(10)) AS text
+              FROM parts),
+            gop AS (
+              SELECT e.doc_id,
+                     string_split(e.text, chr(10)) AS lines,
+                     string_split(e.text, chr(10) || chr(10)) AS paras,
+                     string_split_regex(e.text, '\s+') AS words
+              FROM ext e JOIN uv USING (doc_id) WHERE uv.url_kept = 1),
+            gm AS (
+              SELECT doc_id,
+                round(1 - len(list_distinct(lines)) * 1.0 / len(lines), 6)
+                  AS dlf,
+                round(1 - len(list_distinct(paras)) * 1.0 / len(paras), 6)
+                  AS dpf,
+                round(list_sum(list_transform(words, x -> length(x))) * 1.0
+                      / len(words), 6) AS mwl,
+                round(len(list_filter(lines,
+                        l -> l LIKE '- %' OR l LIKE '• %'))
+                      * 1.0 / len(lines), 6) AS blf,
+                round(len(list_filter(lines,
+                        l -> l LIKE '%...' OR l LIKE '%…'))
+                      * 1.0 / len(lines), 6) AS elf
+              FROM gop),
+            gk AS (
+              SELECT doc_id,
+                     CASE WHEN dlf <= 0.30 AND dpf <= 0.30 AND mwl >= 3.0
+                               AND mwl <= 10.0 AND blf <= 0.90
+                               AND elf <= 0.30
+                          THEN 1 ELSE 0 END AS gopher_kept
+              FROM gm),
+            red AS (
+              SELECT doc_id,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS rtext
+              FROM ext)
+            SELECT u.doc_id, u.url_kept,
+                   coalesce(g.gopher_kept, 0) AS gopher_kept,
+                   CASE WHEN u.url_kept = 1 AND coalesce(g.gopher_kept, 0) = 1
+                        THEN 1 ELSE 0 END AS final_kept,
+                   CASE WHEN u.url_kept = 1 AND coalesce(g.gopher_kept, 0) = 1
+                        THEN r.rtext ELSE '' END AS text,
+                   CASE WHEN u.url_kept = 1 AND coalesce(g.gopher_kept, 0) = 1
+                        THEN 1 ELSE 0 END AS n_email
+            FROM uv u LEFT JOIN gk g USING (doc_id)
+            LEFT JOIN red r USING (doc_id)
         """,
         # the ORC round trip is lossless, so every window's sums come
         # straight off documents

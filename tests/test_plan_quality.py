@@ -693,3 +693,13 @@ def test_text_tiling_zero_shuffle(spark):
     assert len(re.findall(r"Exchange (hash|round|range)", plan)) == 0, plan[:2000]
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan, (marker, plan[:2000])
+
+
+def test_curation_pipeline_stays_native_and_gated(spark):
+    """URL gate, main-text extraction, Gopher metrics, and the PII
+    scrub are all JVM expressions: the whole end-to-end chain crosses
+    to Python zero times and never falls back to a cartesian join."""
+    plan = _plan(entrymod.q_curation_pipeline(spark, SF))
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, (marker, plan[:2000])
+    assert "CartesianProduct" not in plan
