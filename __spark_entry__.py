@@ -3638,6 +3638,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                window; pricing_summary shifts behind (green
     #                r01-r03 + pytest-replicated; top_customers and
     #                region_revenue keep the TPC family's fresh rows).
+    #                r05 final swap: curation_pipeline (end-to-end
+    #                chain), corpus_drift, text_tiling, trustrank,
+    #                bloom_gate, orc_roundtrip (all new, first rows)
+    #                join the window; hits, rouge_eval,
+    #                pmi_collocations, allpairs_sim, source_overlap,
+    #                ngram_novelty rotate behind — each evicted row's
+    #                family keeps a fresh window row
+    #                (pagerank+trustrank, bleu_eval, bpe_merges,
+    #                lsh_recall, dataset_split+split_leakage), and the
+    #                pytest replica replays every entry regardless.
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -3664,23 +3674,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "crawl_schedule": q_crawl_schedule,
         "pagerank": q_pagerank,
-        "hits": q_hits,
+        "trustrank": q_trustrank,
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bpe_merges": q_bpe_merges,
         "bm25": q_bm25,
         "bleu_eval": q_bleu_eval,
-        "rouge_eval": q_rouge_eval,
-        "pmi_collocations": q_pmi_collocations,
-        "allpairs_sim": q_allpairs_sim,
+        "corpus_drift": q_corpus_drift,
+        "text_tiling": q_text_tiling,
+        "curation_pipeline": q_curation_pipeline,
         "incremental_gate": q_incremental_gate,
         "pca_component": q_pca_component,
         "lsh_recall": q_lsh_recall,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
         "dataset_split": q_dataset_split,
-        "source_overlap": q_source_overlap,
-        "ngram_novelty": q_ngram_novelty,
+        "bloom_gate": q_bloom_gate,
+        "orc_roundtrip": q_orc_roundtrip,
         "split_leakage": q_split_leakage,
         "curriculum": q_curriculum,
         "tokenizer_stats": q_tokenizer_stats,
@@ -3735,12 +3745,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_redact": q_cc_redact,
         "blocklist_scale": q_blocklist_scale,
         "host_boilerplate": q_host_boilerplate,
-        "corpus_drift": q_corpus_drift,
-        "text_tiling": q_text_tiling,
-        "bloom_gate": q_bloom_gate,
-        "trustrank": q_trustrank,
-        "orc_roundtrip": q_orc_roundtrip,
-        "curation_pipeline": q_curation_pipeline,
+        # r05 window swap-outs (families keep fresh window rows via
+        # pagerank+trustrank, bleu_eval, bpe_merges, lsh_recall,
+        # dataset_split+split_leakage); pytest replica still replays
+        "hits": q_hits,
+        "rouge_eval": q_rouge_eval,
+        "pmi_collocations": q_pmi_collocations,
+        "allpairs_sim": q_allpairs_sim,
+        "source_overlap": q_source_overlap,
+        "ngram_novelty": q_ngram_novelty,
         # dedup_lines: new operator, lands behind the window
         # (pytest-replicated now, window candidate for r06)
         "dedup_lines": q_dedup_lines,
