@@ -2096,6 +2096,35 @@ def q_dedup_lines(spark, sf):
     return dedup_lines(docs)
 
 
+def q_wer_eval(spark, sf):
+    """Word error rate (`operators/metrics.py wer`): ground truth is
+    each doc's first 60 words; the prediction substitutes every 5th
+    word (suffix 'x') and deletes every 11th.  The operator encodes
+    each pair's words as UTF-16 code units and runs the native
+    char-level levenshtein (word distance is invariant under bijective
+    symbol renaming); the oracle re-encodes with single-byte ASCII
+    symbols — DuckDB's levenshtein counts BYTES, so its alphabet must
+    stay one-byte, which the 60-word cap guarantees (vocab ≤ ~72 per
+    pair) — and recomputes the same distance independently."""
+    from reading_the_unreadable_spark.operators.metrics import wer
+
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    gtw = F.slice(words, 1, 60)
+    gt = d.select("doc_id", F.array_join(gtw, " ").alias("text"))
+    predw = F.filter(
+        F.transform(
+            gtw,
+            lambda w, i: F.when((i + 1) % 11 == 0, F.lit(None))
+            .when((i + 1) % 5 == 0, F.concat(w, F.lit("x")))
+            .otherwise(w),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    pred = d.select("doc_id", F.array_join(predw, " ").alias("text"))
+    return wer(pred, gt)
+
+
 def q_curation_pipeline(spark, sf):
     """END-TO-END web-curation pipeline: URL gate → HTML main-content
     extraction → Gopher quality gate → PII scrub, each stage feeding
@@ -3745,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_redact": q_cc_redact,
         "blocklist_scale": q_blocklist_scale,
         "host_boilerplate": q_host_boilerplate,
+        "wer_eval": q_wer_eval,
         # r05 window swap-outs (families keep fresh window rows via
         # pagerank+trustrank, bleu_eval, bpe_merges, lsh_recall,
         # dataset_split+split_leakage); pytest replica still replays
@@ -6116,6 +6146,41 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::INT AS n_paras_kept,
                    count(*)::INT AS n_paras_total
             FROM k GROUP BY doc_id
+        """,
+        # independent re-encoding: word→single ASCII byte (DuckDB's
+        # levenshtein is byte-level), distance invariant under the
+        # renaming; fixture mirrors the every-5th-sub/every-11th-del
+        # perturbation
+        "wer_eval": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     (string_split(regexp_replace(lower(text), '\s+', ' ',
+                                                  'g'), ' '))[1:60] AS gw
+              FROM documents),
+            p AS (
+              SELECT doc_id, gw,
+                list_filter(list_transform(generate_series(1, len(gw)),
+                  i -> CASE WHEN i % 11 = 0 THEN NULL
+                            WHEN i % 5 = 0 THEN gw[i] || 'x'
+                            ELSE gw[i] END), x -> x IS NOT NULL) AS pw
+              FROM base),
+            v AS (
+              SELECT doc_id, gw, pw,
+                     list_distinct(list_concat(gw, pw)) AS vocab
+              FROM p),
+            e AS (
+              SELECT doc_id, len(gw) AS n_gt,
+                levenshtein(
+                  array_to_string(list_transform(gw,
+                    t -> chr(33 + list_position(vocab, t))), ''),
+                  array_to_string(list_transform(pw,
+                    t -> chr(33 + list_position(vocab, t))), '')) AS edits
+              FROM v)
+            SELECT doc_id,
+                   round(edits * 1.0 / n_gt, 6) AS wer,
+                   n_gt::BIGINT AS n_gt_words,
+                   edits::BIGINT AS word_edits
+            FROM e
         """,
         # stage-composed replica: closed-form URL verdict (kept ⇔ host
         # family 0/2 and no deep query — derived from the url_filter

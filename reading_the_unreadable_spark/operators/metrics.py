@@ -432,3 +432,55 @@ def chrf(
         F.round(cr, 4).alias("chrr"),
         F.round(score, 4).alias("chrf"),
     )
+
+
+def wer(
+    predictions: DataFrame, ground_truth: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """Word error rate per document: word-level levenshtein(gt, pred) /
+    |gt words| — the ASR/OCR metric at the word grain next to
+    :func:`cer`'s character grain.
+
+    Native trick: word-level edit distance equals CHARACTER-level edit
+    distance after any bijective word→symbol map, so each pair's
+    distinct words are numbered (``array_position`` into the pair's
+    vocab), each index becomes one UTF-16 code unit
+    (``unhex(lpad(hex(idx+255), 4)) → decode(..., 'UTF-16BE')``), and
+    the built-in ``levenshtein`` runs on the encoded strings — no UDF,
+    no O(n·m) Python.  The DuckDB oracle uses its own chr()-based
+    encoding: the maps differ, the metric cannot (edit distance is
+    invariant under symbol renaming).  Pair vocabularies are bounded by
+    the surrogate floor (~55k distinct words per PAIR — a full order
+    above real documents; beyond it the encoding would fold).
+
+    Normalization matches :func:`cer`: lowercase, whitespace runs
+    collapsed to one space."""
+    norm = lambda c: F.lower(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
+    joined = predictions.alias("p").join(ground_truth.alias("g"), key, "inner")
+    gw = F.split(norm(F.col("g.text")), " ")
+    pw = F.split(norm(F.col("p.text")), " ")
+    vocab = F.array_distinct(F.concat(gw, pw))
+
+    def enc(ws):
+        codes = F.transform(
+            ws,
+            lambda w: F.unhex(
+                F.lpad(F.hex(F.array_position(vocab, w) + 255), 4, "0")
+            ),
+        )
+        return F.decode(
+            F.aggregate(
+                codes,
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x),
+            ),
+            "UTF-16BE",
+        )
+
+    edits = F.levenshtein(enc(gw), enc(pw))
+    return joined.select(
+        key,
+        F.round(edits.cast("double") / F.size(gw), 6).alias("wer"),
+        F.size(gw).cast("long").alias("n_gt_words"),
+        edits.cast("long").alias("word_edits"),
+    )

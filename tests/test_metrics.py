@@ -279,3 +279,25 @@ def test_chrf_matches_python_reference(spark):
     assert got == expected
     # identical strings score a perfect 1.0
     assert got["b"] == (1.0, 1.0, 1.0)
+
+
+def test_wer_word_grain(spark):
+    from reading_the_unreadable_spark.operators.metrics import wer
+
+    gt = spark.createDataFrame(
+        [("a", "the cat sat"), ("b", "a b c"), ("c", "same exact words")],
+        "doc_id string, text string",
+    )
+    pred = spark.createDataFrame(
+        [
+            ("a", "the dog sat on"),   # 1 sub + 1 ins = 2 edits
+            ("b", "b c a"),            # rotation: del+ins = 2, NOT 3 subs
+            ("c", "Same  exact words"),  # normalization: 0 edits
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in wer(pred, gt).collect()}
+    assert got["a"]["word_edits"] == 2 and got["a"]["wer"] == round(2 / 3, 6)
+    assert got["b"]["word_edits"] == 2, "alignment must beat 3 substitutions"
+    assert got["c"]["word_edits"] == 0 and got["c"]["wer"] == 0.0
+    assert got["a"]["n_gt_words"] == 3
