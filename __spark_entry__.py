@@ -1108,6 +1108,24 @@ def q_image_dedup(spark, sf):
     return dhash_pairs(hashes, max_hamming=3)
 
 
+def q_image_ahash(spark, sf):
+    """Average-hash sibling of `image_dedup`: deterministic 8x8 images
+    (pixel formula closed-form over doc_id) through the same lossless
+    codec cycle, decoded and aHashed.  aHash's threshold is kept
+    RATIONAL (bit ⇔ 64·pixel > Σpixels, integers), so the oracle
+    rebuilds the full signed 64-bit hash value bit-for-bit — the
+    perceptual-hash family's value-exact member (dHash pairs are
+    certified by brute force in `image_dedup`; pHash is pinned by
+    invariance property tests)."""
+    from reading_the_unreadable_spark.operators.imagehash import (
+        image_ahash,
+        synth_ahash_images,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return image_ahash(synth_ahash_images(docs))
+
+
 def q_archive_extract(spark, sf):
     """Archive-container ingestion end-to-end: pack the documents table
     into ZIP (even doc_id; stored when doc_id % 3 == 0 else deflate) and
@@ -3775,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_scale": q_blocklist_scale,
         "host_boilerplate": q_host_boilerplate,
         "wer_eval": q_wer_eval,
+        "image_ahash": q_image_ahash,
         # r05 window swap-outs (families keep fresh window rows via
         # pagerank+trustrank, bleu_eval, bpe_merges, lsh_recall,
         # dataset_split+split_leakage); pytest replica still replays
@@ -4298,6 +4317,29 @@ def oracle_sql() -> dict[str, str]:
         # image dHash: bits recomputed from the closed-form pixel grid,
         # pairs brute-forced over the exploded (doc, bit) rows — the
         # band join's no-false-negative guarantee is what's certified
+        # exact integer replay of every aHash bit (64·v > Σv) and the
+        # two's-complement packing to the signed 64-bit hash
+        "image_ahash": """
+            WITH px AS (
+              SELECT doc_id, i.i AS i,
+                ((doc_id % 40) * 53 + (i.i // 8) * 17 + (i.i % 8) * 29)
+                  % 256 AS v
+              FROM documents,
+                   (SELECT unnest(generate_series(0, 63)) AS i) i),
+            tot AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY 1),
+            h AS (
+              SELECT p.doc_id,
+                     sum(CASE WHEN 64 * p.v > t.s
+                              THEN (1::HUGEINT << p.i)
+                              ELSE 0::HUGEINT END) AS hu
+              FROM px p JOIN tot t USING (doc_id) GROUP BY 1)
+            SELECT doc_id AS id,
+                   (CASE WHEN hu >= (1::HUGEINT << 63)
+                         THEN hu - (1::HUGEINT << 64)
+                         ELSE hu END)::BIGINT AS ahash,
+                   NULL::VARCHAR AS decode_err
+            FROM h
+        """,
         "image_dedup": """
             WITH bits AS (
               SELECT doc_id, i.i AS i,

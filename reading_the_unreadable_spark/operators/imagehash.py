@@ -207,3 +207,138 @@ def synth_dhash_images(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(
         fn, schema="doc_id long, payload binary"
     )
+
+
+def ahash64(arr: np.ndarray) -> int:
+    """64-bit average hash: grayscale, nearest resize to 8x8, bit
+    i (= y*8 + x, LSB first) set when the pixel EXCEEDS the 8x8 mean.
+    The comparison is kept rational — ``64*pixel > sum`` over integer
+    grays — so an oracle can replay every bit in exact arithmetic."""
+    gray = arr.astype(np.int64).sum(axis=2)  # 3*gray keeps integers exact
+    g = resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
+    total = int(g.sum())
+    bits = (g.ravel() * 64 > total).astype(np.uint64)
+    return int(bits @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    c = np.cos((2 * i + 1) * k * np.pi / (2 * n))
+    c[0] *= 1.0 / np.sqrt(2)
+    return c * np.sqrt(2.0 / n)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit perceptual hash (DCT): grayscale, nearest resize to
+    32x32, orthonormal 2-D DCT-II, top-left 8x8 coefficient block,
+    bit set where the coefficient exceeds the block's median — the
+    ImageHash-library convention.  Median-threshold makes the hash
+    invariant to global brightness shifts (only the DC coefficient
+    moves) and positive contrast scaling (all coefficients scale
+    together)."""
+    gray = arr.astype(np.float64).mean(axis=2)
+    g = resize_nearest(gray[:, :, None], 32, 32)[:, :, 0]
+    c = _dct_matrix(32)
+    block = (c @ g @ c.T)[:8, :8]
+    med = np.median(block)
+    bits = (block > med).astype(np.uint64).ravel()
+    return int(bits @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+
+
+def image_phash(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, payload binary) → (id, phash bigint, decode_err): the DCT
+    sibling of :func:`image_dhash`, same one-pass mapInPandas shape and
+    quarantine contract; pairs via the same band join on the hash."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, errs = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(i))
+                try:
+                    h = phash64(decode_image(bytes(payload)))
+                    hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+                    errs.append(None)
+                except (ValueError, NotImplementedError) as e:
+                    hashes.append(None)
+                    errs.append(f"{type(e).__name__}: {e}"[:200])
+            yield pd.DataFrame(
+                {"id": ids,
+                 "phash": pd.Series(hashes, dtype="Int64"),
+                 "decode_err": errs}
+            )
+
+    return media.mapInPandas(fn, schema="id long, phash long, decode_err string")
+
+
+def image_ahash(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, payload binary) → (id, ahash bigint, decode_err): average
+    hash over the same one-pass mapInPandas shape — the member of the
+    perceptual family whose bits an oracle can replay in EXACT integer
+    arithmetic (see :func:`ahash64`)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, errs = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(i))
+                try:
+                    h = ahash64(decode_image(bytes(payload)))
+                    hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+                    errs.append(None)
+                except (ValueError, NotImplementedError) as e:
+                    hashes.append(None)
+                    errs.append(f"{type(e).__name__}: {e}"[:200])
+            yield pd.DataFrame(
+                {"id": ids,
+                 "ahash": pd.Series(hashes, dtype="Int64"),
+                 "decode_err": errs}
+            )
+
+    return media.mapInPandas(fn, schema="id long, ahash long, decode_err string")
+
+
+def synth_ahash_images(documents: DataFrame) -> DataFrame:
+    """Deterministic 8x8 grayscale-RGB images, every pixel closed-form
+    over doc_id (the :func:`synth_dhash_images` recipe at aHash's
+    grid):
+
+        v(doc_id, y, x) = ((doc_id % 40) * 53 + y * 17 + x * 29) % 256
+
+    Encoding cycles BMP / PNG filter-1 / TIFF LZW by doc_id % 3, so
+    the Spark side certifies real decode round-trips while the oracle
+    recomputes every bit as ``64 * 3*v > Σ 3*v`` in integers."""
+    from .multimodal import encode_bmp, encode_png
+    from .tiff import encode_tiff
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = np.arange(8)[:, None]
+        xs = np.arange(8)[None, :]
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                v = ((doc_id % 40) * 53 + ys * 17 + xs * 29) % 256
+                img = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+                k = doc_id % 3
+                if k == 0:
+                    payload = encode_bmp(img)
+                elif k == 1:
+                    payload = encode_png(img, filter_type=1)
+                else:
+                    payload = encode_tiff(img, compression="lzw")
+                ids.append(doc_id)
+                payloads.append(bytearray(payload))
+            yield pd.DataFrame(
+                {"doc_id": ids,
+                 "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        fn, schema="doc_id long, payload binary"
+    )
