@@ -1108,6 +1108,29 @@ def q_image_dedup(spark, sf):
     return dhash_pairs(hashes, max_hamming=3)
 
 
+def q_table_checks(spark, sf):
+    """Declarative data-quality gate (`sources/docs.py validate_table`)
+    — the audit a publish step runs before a snapshot commits: five
+    rules (not-null, key uniqueness, lang membership, text regex, an
+    n_chars range chosen to FAIL) evaluate in one aggregation pass;
+    output one (rule, violations, ok) row each plus the _rows guard.
+    Oracle: the same conditional counts in plain SQL."""
+    from reading_the_unreadable_spark.sources.docs import validate_table
+
+    d = _t(spark, sf, "documents")
+    rules = [
+        {"name": "doc_id_not_null", "col": "doc_id", "check": "not_null"},
+        {"name": "doc_id_unique", "col": "doc_id", "check": "unique"},
+        {"name": "lang_known", "col": "lang", "check": "in_set",
+         "values": ["en", "de", "fr", "es", "zh"]},
+        {"name": "text_lowercase", "col": "text", "check": "regex",
+         "pattern": "^[a-z ]+$"},
+        {"name": "n_chars_small", "col": "n_chars", "check": "range",
+         "lo": 1, "hi": 500},
+    ]
+    return validate_table(d, rules)
+
+
 def q_image_ahash(spark, sf):
     """Average-hash sibling of `image_dedup`: deterministic 8x8 images
     (pixel formula closed-form over doc_id) through the same lossless
@@ -3794,6 +3817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": q_host_boilerplate,
         "wer_eval": q_wer_eval,
         "image_ahash": q_image_ahash,
+        "table_checks": q_table_checks,
         # r05 window swap-outs (families keep fresh window rows via
         # pagerank+trustrank, bleu_eval, bpe_merges, lsh_recall,
         # dataset_split+split_leakage); pytest replica still replays
@@ -4317,6 +4341,46 @@ def oracle_sql() -> dict[str, str]:
         # image dHash: bits recomputed from the closed-form pixel grid,
         # pairs brute-forced over the exploded (doc, bit) rows — the
         # band join's no-false-negative guarantee is what's certified
+        # same conditional counts in plain SQL, one SELECT per rule
+        "table_checks": """
+            SELECT '_rows' AS rule, count(*)::BIGINT AS violations,
+                   (count(*) > 0)::INT AS ok FROM documents
+            UNION ALL
+            SELECT 'doc_id_not_null',
+                   sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   (sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) = 0)::INT
+            FROM documents
+            UNION ALL
+            SELECT 'doc_id_unique',
+                   (count(doc_id) - count(DISTINCT doc_id))::BIGINT,
+                   (count(doc_id) = count(DISTINCT doc_id))::INT
+            FROM documents
+            UNION ALL
+            SELECT 'lang_known',
+                   sum(CASE WHEN lang IS NULL OR lang NOT IN
+                            ('en', 'de', 'fr', 'es', 'zh')
+                            THEN 1 ELSE 0 END)::BIGINT,
+                   (sum(CASE WHEN lang IS NULL OR lang NOT IN
+                             ('en', 'de', 'fr', 'es', 'zh')
+                             THEN 1 ELSE 0 END) = 0)::INT
+            FROM documents
+            UNION ALL
+            SELECT 'text_lowercase',
+                   sum(CASE WHEN text IS NULL
+                            OR NOT regexp_matches(text, '^[a-z ]+$')
+                            THEN 1 ELSE 0 END)::BIGINT,
+                   (sum(CASE WHEN text IS NULL
+                             OR NOT regexp_matches(text, '^[a-z ]+$')
+                             THEN 1 ELSE 0 END) = 0)::INT
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars_small',
+                   sum(CASE WHEN n_chars IS NULL OR n_chars < 1
+                            OR n_chars > 500 THEN 1 ELSE 0 END)::BIGINT,
+                   (sum(CASE WHEN n_chars IS NULL OR n_chars < 1
+                             OR n_chars > 500 THEN 1 ELSE 0 END) = 0)::INT
+            FROM documents
+        """,
         # exact integer replay of every aHash bit (64·v > Σv) and the
         # two's-complement packing to the signed 64-bit hash
         "image_ahash": """

@@ -172,3 +172,60 @@ def boxes_from_documents_table(documents: DataFrame) -> DataFrame:
         F.col("b.y2").alias("y2"),
         F.col("b.confidence").alias("confidence"),
     )
+
+
+def validate_table(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data-quality gate — the write-audit check a
+    publish step runs before :mod:`snapshots` commits a snapshot (the
+    WAP audit surface): every rule reduces to a conditional count, so
+    the WHOLE rule list evaluates in ONE aggregation pass over the
+    table (map-side partials; no per-rule scans).  ``unique`` is the
+    one exception in spirit — it still folds into the same pass as
+    ``count(*) − count(DISTINCT col)``; swap in approx_count_distinct
+    at the trillion-row tier if an exact key check is too hot.
+
+    Rule dicts: ``{"name", "col", "check", ...}`` with checks
+    ``not_null`` | ``unique`` | ``range`` (lo/hi inclusive) |
+    ``in_set`` (values) | ``regex`` (pattern, fullmatch semantics are
+    the caller's via anchors).  Output: one row per rule —
+    (rule, violations, ok) — plus a leading ``_rows`` row carrying the
+    table count so an empty table can't vacuously pass."""
+    aggs = [F.count("*").alias("_rows")]
+    for r in rules:
+        c = F.col(r["col"])
+        check = r["check"]
+        if check == "not_null":
+            bad = c.isNull()
+        elif check == "range":
+            bad = c.isNull() | (c < r["lo"]) | (c > r["hi"])
+        elif check == "in_set":
+            bad = c.isNull() | ~c.isin(*r["values"])
+        elif check == "regex":
+            bad = c.isNull() | ~c.rlike(r["pattern"])
+        elif check == "unique":
+            aggs.append(
+                (F.count(c) - F.count_distinct(c)).alias(r["name"])
+            )
+            continue
+        else:
+            raise ValueError(f"unknown check: {check}")
+        # coalesce: sum over an EMPTY table is NULL, not 0
+        aggs.append(
+            F.coalesce(F.sum(bad.cast("long")), F.lit(0)).alias(r["name"])
+        )
+    row = df.agg(*aggs)
+    names = ["_rows"] + [r["name"] for r in rules]
+    stacked = row.select(
+        F.stack(
+            F.lit(len(names)),
+            *[x for n in names for x in (F.lit(n), F.col(n))],
+        ).alias("rule", "violations")
+    )
+    return stacked.select(
+        "rule",
+        F.col("violations").cast("long"),
+        F.when(F.col("rule") == "_rows", F.col("violations") > 0)
+        .otherwise(F.col("violations") == 0)
+        .cast("int")
+        .alias("ok"),
+    )

@@ -995,3 +995,42 @@ def test_orc_pushdown_and_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:120], plan[:1500]
     # round trip is lossless
     assert back.count() == src.count()
+
+
+def test_validate_table_rules(spark):
+    from reading_the_unreadable_spark.sources.docs import validate_table
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "xx", 900), (2, None, None)],
+        "id long, lang string, n long",
+    )
+    rules = [
+        {"name": "id_unique", "col": "id", "check": "unique"},
+        {"name": "lang_nn", "col": "lang", "check": "not_null"},
+        {"name": "lang_set", "col": "lang", "check": "in_set", "values": ["en", "de"]},
+        {"name": "n_range", "col": "n", "check": "range", "lo": 1, "hi": 500},
+        {"name": "lang_re", "col": "lang", "check": "regex", "pattern": "^[a-z]{2}$"},
+    ]
+    got = {r["rule"]: r for r in validate_table(df, rules).collect()}
+    assert got["_rows"]["violations"] == 3 and got["_rows"]["ok"] == 1
+    assert got["id_unique"]["violations"] == 1 and got["id_unique"]["ok"] == 0
+    assert got["lang_nn"]["violations"] == 1
+    # null AND unknown both violate membership
+    assert got["lang_set"]["violations"] == 2
+    # null and out-of-range
+    assert got["n_range"]["violations"] == 2
+    assert got["lang_re"]["violations"] == 1  # only null ('xx' matches)
+    import pytest
+
+    with pytest.raises(ValueError):
+        validate_table(df, [{"name": "b", "col": "id", "check": "nope"}])
+
+
+def test_validate_table_empty_table_fails_guard(spark):
+    from reading_the_unreadable_spark.sources.docs import validate_table
+
+    df = spark.createDataFrame([], "id long")
+    got = {r["rule"]: r for r in validate_table(
+        df, [{"name": "id_nn", "col": "id", "check": "not_null"}]).collect()}
+    assert got["_rows"]["ok"] == 0, "empty table must not pass vacuously"
+    assert got["id_nn"]["violations"] == 0
