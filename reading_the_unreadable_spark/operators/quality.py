@@ -75,7 +75,8 @@ def c4_line_filters(
 
 
 def gopher_repetition_signals(
-    documents: DataFrame, text_col: str = "text"
+    documents: DataFrame, text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher/MassiveText repetition + shape signals, one row per doc:
 
@@ -114,6 +115,7 @@ def gopher_repetition_signals(
     )
     return documents.select(
         "doc_id",
+        *passthrough,
         dup(lines, n_lines).alias("dup_line_frac"),
         dup(paras, n_paras).alias("dup_para_frac"),
         dup(words, n_words).alias("dup_word_frac"),
@@ -323,13 +325,16 @@ GOPHER_THRESHOLDS = {
 }
 
 
-def gopher_filter(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_filter(
+    documents: DataFrame, text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """The Gopher document-level keep/drop decision over
     :func:`gopher_repetition_signals`: a doc survives iff every signal is
     inside its threshold.  Same zero-shuffle map stage, one extra
     conjunction column."""
     t = GOPHER_THRESHOLDS
-    s = gopher_repetition_signals(documents, text_col)
+    s = gopher_repetition_signals(documents, text_col, passthrough)
     kept = (
         (F.col("dup_line_frac") <= t["max_dup_line_frac"])
         & (F.col("dup_para_frac") <= t["max_dup_para_frac"])
@@ -473,7 +478,10 @@ PII_PATTERNS = (
 )
 
 
-def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def redact_pii(
+    documents: DataFrame, text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Training-data PII scrubbing: emails, phone numbers, IPv4 addresses,
     and URLs replaced with type tokens, with per-type match counts.
 
@@ -490,6 +498,7 @@ def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
         out = F.regexp_replace(out, pat, token)
     return documents.select(
         "doc_id",
+        *passthrough,
         out.alias("text"),
         *[counts[n].alias(f"n_{n}") for n, _, _ in PII_PATTERNS],
     )
