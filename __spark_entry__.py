@@ -1108,6 +1108,31 @@ def q_image_dedup(spark, sf):
     return dhash_pairs(hashes, max_hamming=3)
 
 
+def q_url_canonical(spark, sf):
+    """Crawl-frontier URL canonicalization (`operators/urls.py
+    canonicalize_url`): four URL families by doc_id % 4 exercise case
+    folding, default-port strip, fragment strip, dot-segment removal,
+    percent normalization (decode unreserved, uppercase reserved),
+    tracking-param drop, query sort, and the already-canonical no-op.
+    Expected canonical forms are closed-form over doc_id."""
+    from reading_the_unreadable_spark.operators.urls import canonicalize_url
+
+    d = _t(spark, sf, "documents")
+    ds = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://News.Example.COM:443/a/./p"), ds,
+            F.lit("?utm_source=x&b=2&a="), ds, F.lit("#s")))
+        .when(m == 1, F.concat(
+            F.lit("http://h"), ds, F.lit(".org:80/%41b/c"), ds))
+        .when(m == 2, F.concat(F.lit("https://h"), ds, F.lit(".org/p")))
+        .otherwise(F.concat(
+            F.lit("https://h.org/x/../y%2fz?ref=1&q="), ds))
+    )
+    return canonicalize_url(d.select("doc_id", url.alias("url")))
+
+
 def q_table_checks(spark, sf):
     """Declarative data-quality gate (`sources/docs.py validate_table`)
     — the audit a publish step runs before a snapshot commits: five
@@ -3817,6 +3842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wer_eval": q_wer_eval,
         "image_ahash": q_image_ahash,
         "table_checks": q_table_checks,
+        "url_canonical": q_url_canonical,
         # r05 window swap-outs (families keep fresh window rows via
         # pagerank+trustrank, bleu_eval, bpe_merges, lsh_recall,
         # dataset_split+split_leakage); pytest replica still replays
@@ -4340,6 +4366,28 @@ def oracle_sql() -> dict[str, str]:
         # image dHash: bits recomputed from the closed-form pixel grid,
         # pairs brute-forced over the exploded (doc, bit) rows — the
         # band join's no-false-negative guarantee is what's certified
+        # closed-form expected canonical per URL family — an
+        # independent statement of what the normalization must produce
+        "url_canonical": """
+            SELECT doc_id,
+              CASE doc_id % 4
+                WHEN 0 THEN 'HTTPS://News.Example.COM:443/a/./p' || doc_id
+                            || '?utm_source=x&b=2&a=' || doc_id || '#s'
+                WHEN 1 THEN 'http://h' || doc_id || '.org:80/%41b/c'
+                            || doc_id
+                WHEN 2 THEN 'https://h' || doc_id || '.org/p'
+                ELSE 'https://h.org/x/../y%2fz?ref=1&q=' || doc_id
+              END AS url,
+              CASE doc_id % 4
+                WHEN 0 THEN 'https://news.example.com/a/p' || doc_id
+                            || '?a=' || doc_id || '&b=2'
+                WHEN 1 THEN 'http://h' || doc_id || '.org/Ab/c' || doc_id
+                WHEN 2 THEN 'https://h' || doc_id || '.org/p'
+                ELSE 'https://h.org/y%2Fz?q=' || doc_id
+              END AS canonical_url,
+              CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 1 END AS changed
+            FROM documents
+        """,
         # same conditional counts in plain SQL, one SELECT per rule
         "table_checks": """
             SELECT '_rows' AS rule, count(*)::BIGINT AS violations,

@@ -126,3 +126,122 @@ def url_filter(
             "url_keep": F.size(reasons) == 0,
         }
     )
+
+
+# tracking parameters every crawl frontier strips before URL dedup
+TRACKING_PARAM_RE = r"^(utm_[^=]*|ref|fbclid|gclid)(=.*)?$"
+
+
+def _pct_normalize(c: Column) -> Column:
+    """Percent-encoding normalization (RFC 3986 §6.2.2.1-2): decode
+    %XX escapes of UNRESERVED characters (ALPHA / DIGIT / - . _ ~),
+    uppercase the hex of every other escape.  Pure higher-order fold
+    over '%'-split fragments — no UDF."""
+    parts = F.split(c, "%", -1)
+
+    def frag(p: Column) -> Column:
+        hexpair = F.upper(F.substring(p, 1, 2))
+        rest = F.substr(p, F.lit(3), F.length(p))
+        code = F.conv(hexpair, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 48) & (code <= 57))
+            | ((code >= 65) & (code <= 90))
+            | ((code >= 97) & (code <= 122))
+            | code.isin(45, 46, 95, 126)
+        )
+        return F.when(
+            p.rlike("^[0-9A-Fa-f]{2}"),
+            F.when(unreserved, F.concat(F.char(code), rest)).otherwise(
+                F.concat(F.lit("%"), hexpair, rest)
+            ),
+        ).otherwise(F.concat(F.lit("%"), p))
+
+    return F.when(F.size(parts) <= 1, c).otherwise(
+        F.concat(
+            F.element_at(parts, 1),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.slice(parts, 2, F.size(parts) - 1), frag
+                ),
+            ),
+        )
+    )
+
+
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal as an aggregate fold over
+    '/'-split segments; '..' never climbs above the root."""
+    segs = F.split(path, "/", -1)
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            s == "..",
+            F.when(
+                F.size(acc) > 1, F.slice(acc, 1, F.size(acc) - 1)
+            ).otherwise(acc),
+        )
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    return F.array_join(folded, "/")
+
+
+def canonicalize_url(
+    documents: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Crawl-frontier URL canonicalization — the normalization pass that
+    makes URL-grain dedup meaningful (the same page arrives as
+    ``HTTPS://News.Example.COM:443/a/./b/../p?utm_source=x&b=2&a=1#sec``
+    and ``https://news.example.com/a/p?a=1&b=2``):
+
+    1. fragment stripped;  2. scheme + host lowercased;  3. default
+    port dropped (:80 http / :443 https);  4. percent-escapes
+    normalized (unreserved decoded, others uppercased) in path and
+    query;  5. dot-segments removed;  6. tracking params
+    (utm_*/ref/fbclid/gclid) dropped and the rest SORTED;  7. empty
+    path → '/'.
+
+    Pure projection — every rule a native expression, zero shuffle;
+    schemeless inputs pass through unchanged (changed = 0).  Returns
+    (doc_id, url, canonical_url, changed)."""
+    url = F.col(url_col)
+    u0 = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(u0, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    auth = F.lower(
+        F.regexp_extract(u0, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    auth = F.when(
+        scheme == "https", F.regexp_replace(auth, ":443$", "")
+    ).when(scheme == "http", F.regexp_replace(auth, ":80$", "")).otherwise(auth)
+    path_raw = F.regexp_extract(
+        u0, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1
+    )
+    path = F.when(path_raw == "", F.lit("/")).otherwise(
+        _remove_dot_segments(_pct_normalize(path_raw))
+    )
+    query_raw = F.regexp_extract(u0, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(_pct_normalize(query_raw), "&", -1),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    q = F.array_join(params, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    canon = F.when(scheme == "", url).otherwise(canon)
+    return documents.select(
+        "doc_id",
+        url.alias("url"),
+        canon.alias("canonical_url"),
+        (~(canon.eqNullSafe(url))).cast("int").alias("changed"),
+    )

@@ -703,3 +703,12 @@ def test_curation_pipeline_stays_native_and_gated(spark):
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan, (marker, plan[:2000])
     assert "CartesianProduct" not in plan
+
+
+def test_url_canonical_zero_shuffle(spark):
+    """Canonicalization is one native projection: no exchange, no
+    Python crossing — it rides inside the frontier scan."""
+    plan = _plan(entrymod.q_url_canonical(spark, SF))
+    assert len(re.findall(r"Exchange (hash|round|range)", plan)) == 0, plan[:2000]
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, (marker, plan[:2000])

@@ -68,3 +68,27 @@ def test_url_filter_is_shuffle_free(spark):
     df = url_filter(_df(spark, ["https://a.example.com/x"]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_canonicalize_url_rules(spark):
+    from reading_the_unreadable_spark.operators.urls import canonicalize_url
+
+    rows = [
+        ("a", "HTTPS://News.Example.COM:443/a/./b/../p?utm_source=x&b=2&a=1#sec"),
+        ("b", "https://news.example.com/a/p?a=1&b=2"),       # already canonical
+        ("c", "http://h.org:80/x%41y/%7Euser/%2fesc?z=%3d"), # pct decode/uppercase
+        ("d", "https://h.org"),                              # empty path -> /
+        ("e", "not a url"),                                  # schemeless passthrough
+        ("f", "https://h.org/../..//p"),                     # .. never above root
+        ("g", "https://h.org/p?ref=x&fbclid=1&utm_a=2"),     # all-tracking query
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, url string")
+    got = {r["doc_id"]: r for r in canonicalize_url(df).collect()}
+    assert got["a"]["canonical_url"] == "https://news.example.com/a/p?a=1&b=2"
+    assert got["a"]["changed"] == 1
+    assert got["b"]["changed"] == 0
+    assert got["c"]["canonical_url"] == "http://h.org/xAy/~user/%2Fesc?z=%3D"
+    assert got["d"]["canonical_url"] == "https://h.org/"
+    assert got["e"]["canonical_url"] == "not a url" and got["e"]["changed"] == 0
+    assert got["f"]["canonical_url"] == "https://h.org//p"
+    assert got["g"]["canonical_url"] == "https://h.org/p"
