@@ -1108,6 +1108,49 @@ def q_image_dedup(spark, sf):
     return dhash_pairs(hashes, max_hamming=3)
 
 
+def q_sitemap_discovery(spark, sf):
+    """Crawl-discovery closure: the robots fixture's per-host
+    `Sitemap:` directive (`operators/robots.py parse_robots` collects
+    them per host) is exploded and joined onto per-host urlset XML,
+    which `sources/sitemaps.py parse_sitemaps` expands to the URL
+    grain — robots → sitemap → frontier in one chain.  One row per
+    document; every field closed-form over doc_id."""
+    from reading_the_unreadable_spark.operators.robots import parse_robots
+    from reading_the_unreadable_spark.sources.sitemaps import parse_sitemaps
+
+    _, robots = _robots_fixture(spark, sf)
+    discovered = parse_robots(robots, "rtu-bot").select(
+        "host", F.explode("sitemaps").alias("sitemap_url")
+    )
+    d = _t(spark, sf, "documents")
+    hk = (F.col("doc_id") % 7).cast("string")
+    entries = d.select(
+        F.concat(F.lit("h"), hk).alias("host"),
+        F.concat(
+            F.lit("<url><loc>https://h"), hk,
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            F.lit("</loc><lastmod>2020-01-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod></url>"),
+        ).alias("entry"),
+    )
+    xml = entries.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.concat_ws("", F.sort_array(F.collect_list("entry"))),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    ).select(
+        "host",
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit(".example.com/sitemap.xml")
+        ).alias("sitemap_url"),
+        "xml",
+    )
+    found = discovered.join(xml, ["host", "sitemap_url"])
+    return parse_sitemaps(found)
+
+
 def q_url_canonical(spark, sf):
     """Crawl-frontier URL canonicalization (`operators/urls.py
     canonicalize_url`): four URL families by doc_id % 4 exercise case
@@ -3843,6 +3886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash": q_image_ahash,
         "table_checks": q_table_checks,
         "url_canonical": q_url_canonical,
+        "sitemap_discovery": q_sitemap_discovery,
         # r05 window swap-outs (families keep fresh window rows via
         # pagerank+trustrank, bleu_eval, bpe_merges, lsh_recall,
         # dataset_split+split_leakage); pytest replica still replays
@@ -4366,6 +4410,23 @@ def oracle_sql() -> dict[str, str]:
         # image dHash: bits recomputed from the closed-form pixel grid,
         # pairs brute-forced over the exploded (doc, bit) rows — the
         # band join's no-false-negative guarantee is what's certified
+        # robots→sitemap→frontier closure: one URL row per document,
+        # every field a closed form over doc_id
+        "sitemap_discovery": """
+            SELECT 'h' || (doc_id % 7) AS host,
+                   'https://h' || (doc_id % 7) || '.example.com/sitemap.xml'
+                     AS root_sitemap,
+                   'https://h' || (doc_id % 7) || '.example.com/sitemap.xml'
+                     AS sitemap_url,
+                   FALSE AS via_index,
+                   'https://h' || (doc_id % 7) || '.example.com/p/' || doc_id
+                     AS loc,
+                   ('2020-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                     )::DATE AS lastmod,
+                   NULL::VARCHAR AS changefreq,
+                   0.5 AS priority
+            FROM documents
+        """,
         # closed-form expected canonical per URL family — an
         # independent statement of what the normalization must produce
         "url_canonical": """
