@@ -1108,6 +1108,29 @@ def q_image_dedup(spark, sf):
     return dhash_pairs(hashes, max_hamming=3)
 
 
+def q_charclass(spark, sf):
+    """Character-class mix signal (`operators/textstats.py
+    charclass_stats`): the corpus text (pure lowercase+space) gets a
+    deterministic tail by doc_id % 3 — a digit flood, a non-ASCII
+    marker pair, or nothing — so every class count, fraction, and the
+    suspicious flag are closed-form over (doc_id, n_chars)."""
+    from reading_the_unreadable_spark.operators.textstats import (
+        charclass_stats,
+    )
+
+    d = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 3
+    tail = (
+        F.when(m == 0, F.lit(" 0123456789012345678901234567890123456789"))
+        .when(m == 1, F.lit(" ©® damaged"))
+        .otherwise(F.lit(""))
+    )
+    docs = d.select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")
+    )
+    return charclass_stats(docs)
+
+
 def q_sitemap_discovery(spark, sf):
     """Crawl-discovery closure: the robots fixture's per-host
     `Sitemap:` directive (`operators/robots.py parse_robots` collects
@@ -3887,6 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checks": q_table_checks,
         "url_canonical": q_url_canonical,
         "sitemap_discovery": q_sitemap_discovery,
+        "charclass": q_charclass,
         # r05 window swap-outs (families keep fresh window rows via
         # pagerank+trustrank, bleu_eval, bpe_merges, lsh_recall,
         # dataset_split+split_leakage); pytest replica still replays
@@ -4410,6 +4434,40 @@ def oracle_sql() -> dict[str, str]:
         # image dHash: bits recomputed from the closed-form pixel grid,
         # pairs brute-forced over the exploded (doc, bit) rows — the
         # band join's no-false-negative guarantee is what's certified
+        # same subtraction counting over the same built text; classes
+        # share the regexes verbatim
+        "charclass": r"""
+            WITH built AS (
+              SELECT doc_id,
+                text || CASE doc_id % 3
+                  WHEN 0 THEN ' 0123456789012345678901234567890123456789'
+                  WHEN 1 THEN ' ©® damaged'
+                  ELSE '' END AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id, length(t) AS n,
+                length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+                  AS na,
+                length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+                  AS nd,
+                length(t) - length(regexp_replace(t, '[ ' || chr(9) ||
+                  chr(10) || chr(13) || ']', '', 'g')) AS ns,
+                length(t) - length(regexp_replace(t,
+                  '[!-/:-@\[-`{-~]', '', 'g')) AS np
+              FROM built)
+            SELECT doc_id,
+                   n::BIGINT AS n_chars_seen, na::BIGINT AS n_alpha,
+                   nd::BIGINT AS n_digit, ns::BIGINT AS n_space,
+                   np::BIGINT AS n_punct,
+                   (n - na - nd - ns - np)::BIGINT AS n_other,
+                   round(nd * 1.0 / greatest(n, 1), 6) AS digit_frac,
+                   round((n - na - nd - ns - np) * 1.0 / greatest(n, 1), 6)
+                     AS other_frac,
+                   (round(nd * 1.0 / greatest(n, 1), 6) > 0.3
+                    OR round((n - na - nd - ns - np) * 1.0
+                             / greatest(n, 1), 6) > 0.1)::INT AS suspicious
+            FROM c
+        """,
         # robots→sitemap→frontier closure: one URL row per document,
         # every field a closed form over doc_id
         "sitemap_discovery": """

@@ -808,3 +808,43 @@ def text_tiling(
             F.transform(gaps, lambda s: s["sim2_ppb"].cast("string")), ","
         ).alias("gap_sims_ppb"),
     )
+
+
+def charclass_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-class mix per document — the cheap script/spam signal
+    web-scale quality filters run before anything tokenizes: digit
+    floods (price/spam pages), non-ASCII floods in a declared-ASCII
+    source (encoding damage, script mixing).  Counts come from
+    ``length(text) − length(regexp_replace(text, class, ''))`` so the
+    whole operator is one zero-shuffle projection; ``other`` (non-ASCII
+    and control chars) is the remainder, so the five counts always sum
+    to n_chars.  Fractions 6-dp rounded; ``suspicious`` flags
+    digit_frac > 0.3 or other_frac > 0.1."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+
+    def cnt(pat):
+        return n - F.length(F.regexp_replace(t, pat, ""))
+
+    n_alpha = cnt("[A-Za-z]")
+    n_digit = cnt("[0-9]")
+    n_space = cnt(r"[ \t\n\r]")
+    n_punct = cnt(r"[!-/:-@\[-`{-~]")
+    n_other = n - n_alpha - n_digit - n_space - n_punct
+    frac = lambda c: F.round(  # noqa: E731
+        c.cast("double") / F.greatest(n, F.lit(1)), 6
+    )
+    return documents.select(
+        "doc_id",
+        n.cast("long").alias("n_chars_seen"),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_digit.cast("long").alias("n_digit"),
+        n_space.cast("long").alias("n_space"),
+        n_punct.cast("long").alias("n_punct"),
+        n_other.cast("long").alias("n_other"),
+        frac(n_digit).alias("digit_frac"),
+        frac(n_other).alias("other_frac"),
+        (
+            (frac(n_digit) > 0.3) | (frac(n_other) > 0.1)
+        ).cast("int").alias("suspicious"),
+    )

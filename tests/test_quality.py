@@ -715,3 +715,26 @@ def test_text_tiling_boundary_rule(spark):
     # [a a] vs [a b]: dot=2, ssl=4, ssr=2 -> sim2 = 4/8 = 0.5 -> 4*4 >= 8? 16>=8 no boundary
     assert got["d"]["gap_sims_ppb"] == "500000000,500000000"
     assert got["d"]["boundaries"] == "" and got["d"]["n_segments"] == 1
+
+
+def test_charclass_stats(spark):
+    from reading_the_unreadable_spark.operators.textstats import (
+        charclass_stats,
+    )
+
+    rows = [
+        ("a", "abc 12!"),          # 3 alpha, 2 digit, 1 space, 1 punct
+        ("b", "1234567890"),       # digit flood -> suspicious
+        ("c", "héllo wörld"),      # non-ascii letters count as other
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in charclass_stats(df).collect()}
+    a = got["a"]
+    assert (a["n_alpha"], a["n_digit"], a["n_space"], a["n_punct"]) == (3, 2, 1, 1)
+    assert a["n_other"] == 0 and a["suspicious"] == 0
+    assert got["b"]["digit_frac"] == 1.0 and got["b"]["suspicious"] == 1
+    c = got["c"]
+    assert c["n_other"] == 2 and c["n_alpha"] == 8
+    assert c["suspicious"] == 1  # 2/11 > 0.1
+    assert got["d"]["n_chars_seen"] == 0 and got["d"]["suspicious"] == 0
