@@ -750,7 +750,17 @@ def text_tiling(
     Shape: pure map stage — blocks, per-gap dot products and norms are
     nested JVM higher-order functions over the token array (O(w²) per
     gap with w = block size), zero shuffle, zero Python; streams over
-    100 TB inside the consuming scan."""
+    100 TB inside the consuming scan.
+
+    ``block_tokens`` is capped at 180: the exactness contract runs on
+    int64 (dot ≤ w², so the boundary compare computes 4·w⁴ and the ppb
+    numerator w⁴·1e9), and 4·180⁴ ≈ 4.2e18 is the last comfortable
+    fit under 2⁶³ — beyond it ANSI mode would kill the job mid-scan."""
+    if block_tokens > 180 or block_tokens < 1:
+        raise ValueError(
+            f"block_tokens must be in [1, 180] (int64 exactness bound), "
+            f"got {block_tokens}"
+        )
     w = block_tokens
     tokens = F.split(F.col(text_col), " ")
     n_tokens = F.size(tokens)

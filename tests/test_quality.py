@@ -738,3 +738,15 @@ def test_charclass_stats(spark):
     assert c["n_other"] == 2 and c["n_alpha"] == 8
     assert c["suspicious"] == 1  # 2/11 > 0.1
     assert got["d"]["n_chars_seen"] == 0 and got["d"]["suspicious"] == 0
+
+
+def test_text_tiling_block_size_bound(spark):
+    import pytest
+
+    from reading_the_unreadable_spark.operators.textstats import text_tiling
+
+    df = spark.createDataFrame([("a", "x y")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        text_tiling(df, block_tokens=181)
+    with pytest.raises(ValueError):
+        text_tiling(df, block_tokens=0)
