@@ -2269,12 +2269,7 @@ def q_curation_pipeline(spark, sf):
     same stages: the closed-form URL verdict, the main-text closed
     form, a full Gopher-metric replica over the extracted text, and
     the email regexp."""
-    from reading_the_unreadable_spark.operators.html import main_text
-    from reading_the_unreadable_spark.operators.quality import (
-        gopher_filter,
-        redact_pii,
-    )
-    from reading_the_unreadable_spark.operators.urls import url_filter
+    from reading_the_unreadable_spark.plans.curation import curate
 
     d = _t(spark, sf, "documents")
     did = F.col("doc_id")
@@ -2291,13 +2286,7 @@ def q_curation_pipeline(spark, sf):
         did % 3 == 0,
         F.lit("?ref=a&utm=1&x=2&y=3&z=4&q1=1&q2=2&q3=3&q4=4"),
     ).otherwise(F.lit(""))
-    urls = d.select(
-        "doc_id",
-        F.concat(F.lit("https://"), host, F.lit("/p/"), ds, tail).alias("url"),
-    )
-    uv = url_filter(urls, blocked_domains=("bad.net",)).select(
-        "doc_id", F.col("url_keep").cast("int").alias("url_kept")
-    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), ds, tail)
 
     words = F.split(F.col("text"), " ")
     n = F.size(words)
@@ -2330,31 +2319,10 @@ def q_curation_pipeline(spark, sf):
         F.lit('</p></div><footer><a href="/t">terms &amp; conditions</a>'),
         F.lit("</footer></body></html>"),
     )
-    pages = d.select("doc_id", html.alias("html"))
-
-    extracted = main_text(pages)
-    survivors = extracted.join(
-        uv.filter(F.col("url_kept") == 1).select("doc_id"), "doc_id"
-    )
-    # scrub-then-gate, ONE chained frame: redact_pii and gopher_filter
-    # are both projections of the survivor frame, so threading the
-    # redacted text + counts through gopher's passthrough keeps the
-    # whole post-extraction tail join-free (a prior 3-frame join shape
-    # sorted the per-doc text three times and measured 0.70 two-level
-    # scaling at 640k docs; this shape measures ≥0.8)
-    red = redact_pii(survivors)
-    gq = gopher_filter(red, passthrough=("text", "n_email"))
-    out = uv.join(gq, "doc_id", "left")
-    g = F.coalesce(F.col("kept"), F.lit(0))
-    final = (F.col("url_kept") == 1) & (g == 1)
-    return out.select(
-        "doc_id",
-        "url_kept",
-        g.alias("gopher_kept"),
-        final.cast("int").alias("final_kept"),
-        F.when(final, F.col("text")).otherwise(F.lit("")).alias("text"),
-        F.when(final, F.col("n_email")).otherwise(F.lit(0)).alias("n_email"),
-    )
+    pages = d.select("doc_id", url.alias("url"), html.alias("html"))
+    # the reusable chain (plans/curation.py) — the same function the
+    # Structured-Streaming form runs per micro-batch
+    return curate(pages, blocked_domains=("bad.net",))
 
 
 def q_orc_roundtrip(spark, sf):

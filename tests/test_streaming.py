@@ -146,3 +146,62 @@ def test_stateful_running_totals_survive_restart(spark):
     combined = dict(first)
     combined.update(drain())
     assert combined == expected
+
+
+def test_incremental_curation_matches_batch(spark):
+    """The streaming curation chain (plans/curation.incremental_curation)
+    is the batch `curate` plan run per micro-batch: across two drains it
+    processes each page file exactly once and its accumulated output
+    equals the batch chain filtered to final_kept==1 over the full input."""
+    import pyspark.sql.functions as F
+
+    from reading_the_unreadable_spark.plans.curation import (
+        PAGES_SCHEMA,
+        curate,
+        incremental_curation,
+    )
+
+    base = f"{BASE}_curation"
+    shutil.rmtree(base, ignore_errors=True)
+    pages_dir, out_dir, ckpt = f"{base}/pages", f"{base}/out", f"{base}/ckpt"
+
+    def make_pages(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            host = "bad.net" if i % 7 == 0 else f"site{i % 3}.example"
+            body = " ".join(f"word{j} stop the and of to" for j in range(40))
+            html = (
+                "<html><head><title>t</title></head><body>"
+                f"<div id='main'><p>{body} reach me at a{i}@ex.com.</p></div>"
+                "<footer><a href='/t'>terms</a></footer></body></html>"
+            )
+            rows.append((i, f"https://{host}/p/{i}", html))
+        return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    make_pages(0, 20).coalesce(1).write.mode("append").parquet(pages_dir)
+    q = incremental_curation(
+        spark, pages_dir, out_dir, ckpt, blocked_domains=("bad.net",)
+    )
+    q.awaitTermination()
+    first = spark.read.parquet(out_dir)
+    n_first = first.count()
+    assert n_first > 0
+    assert first.filter(F.col("final_kept") != 1).count() == 0
+
+    # second drain sees ONLY the new file; third drain adds nothing
+    make_pages(20, 45).coalesce(1).write.mode("append").parquet(pages_dir)
+    for _ in range(2):
+        q = incremental_curation(
+            spark, pages_dir, out_dir, ckpt, blocked_domains=("bad.net",)
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+    batch = curate(
+        spark.read.parquet(pages_dir), blocked_domains=("bad.net",)
+    ).filter(F.col("final_kept") == 1)
+    cols = ["doc_id", "url_kept", "gopher_kept", "final_kept", "text", "n_email"]
+    assert sorted(out.select(cols).collect()) == sorted(
+        batch.select(cols).collect()
+    )
