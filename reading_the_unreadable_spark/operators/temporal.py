@@ -1,0 +1,134 @@
+"""Temporal joins Spark's optimizer has no native operator for: as-of
+join and interval/range join, both expressed as compositions of
+exchanges Spark CAN plan well (single keyed shuffle + window; bounded
+bucket equi-join) instead of the inequality-join fallback (broadcast
+nested loop / unbounded sort-merge range scan) a naive ``ON a.ts >=
+b.ts`` condition triggers.
+
+Reference context: the reference pipeline is batch-only pandas and
+does ``merge_asof``-style alignment implicitly by sorting whole frames
+in memory (e.g. ordering content rows before the knit fold,
+``function_modules/knit_functions.py``); at cluster scale the same
+alignment must be a keyed shuffle, never a global sort.
+
+``asof_join`` — for every left row, the single latest right row with
+the same key and ``right_ts <= left_ts`` (backward direction, the
+``pandas.merge_asof`` default and DuckDB ``ASOF JOIN`` semantics).
+Implementation: union the two sides into one frame tagged with a sort
+sequence (right rows first within a timestamp tie), shuffle ONCE on
+the key, and run ``last(value_struct, ignorenulls=True)`` over a
+window ordered by (ts, seq, tiebreak) — each left row picks up the
+most recent right payload carried forward.  No inequality join, no
+per-key collect, no range explosion: cost is one exchange + one
+per-partition sort, identical to a plain windowed aggregation, and
+AQE's skew split applies to hot keys as usual.
+
+``range_point_join`` — all (interval, point) pairs with
+``start <= ts < end``, with NO equi-key required.  Naive Spark plans
+this as a cartesian/BNL join.  Here both sides are mapped onto
+fixed-width time buckets — intervals explode to the bucket ids they
+overlap (``sequence``), points map to exactly one bucket — and the
+candidate set is the bucket equi-join, bounded by bucket co-occupancy
+(replication factor = interval_len/bucket + 1, chosen by the caller to
+match the interval-length distribution).  Because a point occupies
+exactly one bucket, every qualifying pair is produced exactly once —
+no post-join dedup.  The exact predicate is applied AFTER the bucket
+join prunes candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: tuple[str, ...],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row joined to the latest
+    ``right`` row with equal ``on`` key and ``right_ts <= left_ts``
+    (ties at equal timestamps DO match, as in DuckDB ``ASOF JOIN`` /
+    ``merge_asof(allow_exact_matches=True)``).  Left rows with no
+    prior right row keep null values (left-join semantics).
+
+    ``tiebreak``: when several right rows share (key, ts), the row
+    with the greatest tiebreak value wins deterministically; pass None
+    only when (key, right_ts) is unique.
+
+    Returns all ``left`` columns plus ``value_cols`` from ``right``.
+    One shuffle on ``on``; window sort per key partition.
+    """
+    payload = F.struct(*[F.col(c) for c in value_cols]).alias("__asof_payload")
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    r = right.select(
+        F.col(on).alias("__asof_key"),
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(0).alias("__asof_seq"),
+        tb.cast("long").alias("__asof_tb"),
+        payload,
+        *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}") for f in left.schema.fields],
+    )
+    l_payload_t = r.schema["__asof_payload"].dataType
+    l = left.select(
+        F.col(on).alias("__asof_key"),
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(1).alias("__asof_seq"),
+        F.lit(0).cast("long").alias("__asof_tb"),
+        F.lit(None).cast(l_payload_t).alias("__asof_payload"),
+        *[F.col(f.name).alias(f"__l_{f.name}") for f in left.schema.fields],
+    )
+    w = (
+        Window.partitionBy("__asof_key")
+        .orderBy("__asof_ts", "__asof_seq", "__asof_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).withColumn(
+        "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__asof_seq") == 1).select(
+        *[F.col(f"__l_{f.name}").alias(f.name) for f in left.schema.fields],
+        *[F.col("__asof_match")[c].alias(c) for c in value_cols],
+    )
+    return out
+
+
+def range_point_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """All (interval row, point row) pairs with ``start <= ts < end``,
+    no equi-key.  Both sides bucketed to ``bucket_seconds``-wide epochs
+    so the candidate join is a bounded bucket equi-join (see module
+    docstring).  Returns intervals' columns + points' columns; callers
+    aggregate on top.  Column names must not collide.
+    """
+    b = F.lit(int(bucket_seconds)).cast("long")
+    iv = intervals.withColumn(
+        "__rng_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+                # end is exclusive; a point in the end-instant bucket can
+                # still precede it, so include that bucket
+                (F.unix_timestamp(F.col(end_col)) / b).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "__rng_bucket", (F.unix_timestamp(F.col(ts_col)) / b).cast("long")
+    )
+    joined = iv.join(pt, "__rng_bucket").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("__rng_bucket")

@@ -1,0 +1,179 @@
+"""Unit tests for operators/temporal.py (as-of join, binned range
+join) and operators/encoding.py (mojibake repair): semantics on
+hand-built edge cases, plus physical-plan audits — the as-of join is
+ONE keyed exchange, the range join never falls back to a nested-loop
+cartesian."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+from reading_the_unreadable_spark.operators.encoding import fix_mojibake
+from reading_the_unreadable_spark.operators.temporal import (
+    asof_join,
+    range_point_join,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _ts(s):
+    return F.to_timestamp(F.lit(s))
+
+
+def test_asof_semantics_ties_and_no_match(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "2020-01-05 00:00:00", "a"),  # after r2 -> picks ts 01-04
+            (1, "2020-01-04 00:00:00", "b"),  # EXACT tie with r2 -> matches it
+            (1, "2020-01-01 00:00:00", "c"),  # before everything -> null
+            (2, "2020-06-01 00:00:00", "d"),  # other key
+            (3, "2020-06-01 00:00:00", "e"),  # key with no right rows -> null
+        ],
+        "k long, ts string, tag string",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [
+            (1, "2020-01-02 00:00:00", 10),
+            (1, "2020-01-04 00:00:00", 20),
+            (2, "2020-05-01 00:00:00", 30),
+        ],
+        "k long, rts string, v int",
+    ).select("k", F.to_timestamp("rts").alias("rts"), "v")
+    out = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", value_cols=("v",)
+        ).collect()
+    }
+    assert out == {"a": 20, "b": 20, "c": None, "d": 30, "e": None}
+
+
+def test_asof_tiebreak_deterministic(spark):
+    """Two right rows at the same (key, ts): the max-tiebreak row wins."""
+    left = spark.createDataFrame([(1, "2020-01-02 00:00:00")], "k long, ts string")
+    left = left.select("k", F.to_timestamp("ts").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00", 7, 100), (1, "2020-01-01 00:00:00", 9, 200)],
+        "k long, rts string, pri long, v int",
+    ).select("k", F.to_timestamp("rts").alias("rts"), "pri", "v")
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_ts="ts",
+        right_ts="rts",
+        value_cols=("v",),
+        tiebreak="pri",
+    ).collect()
+    assert [r["v"] for r in out] == [200]
+
+
+def test_asof_plan_single_keyed_exchange(spark):
+    """The whole as-of join is one hash exchange on the key (plus the
+    union's inputs) and one window sort — no BroadcastNestedLoopJoin,
+    no CartesianProduct, no sort-merge range join."""
+    ev = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 50).alias("k"),
+        F.expr("timestamp'2020-01-01' + make_interval(0,0,0,0,0,0, id*97)").alias(
+            "ts"
+        ),
+    )
+    od = spark.range(200).select(
+        (F.col("id") % 50).alias("k"),
+        F.expr("timestamp'2020-01-01' + make_interval(0,0,0,0,0,0, id*403)").alias(
+            "rts"
+        ),
+        F.col("id").alias("v"),
+    )
+    plan = _plan(
+        asof_join(ev, od, on="k", left_ts="ts", right_ts="rts", value_cols=("v",))
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan[:2000]}"
+
+
+def test_range_join_boundaries_and_exactly_once(spark):
+    """start inclusive, end exclusive; an interval spanning a bucket
+    boundary still yields each qualifying pair exactly once."""
+    iv = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00", "2020-01-11 00:00:00")],
+        "iid long, s string, e string",
+    ).select("iid", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    pts = spark.createDataFrame(
+        [
+            (1, "2020-01-01 00:00:00"),  # == start -> in
+            (2, "2020-01-10 23:59:59"),  # just before end -> in
+            (3, "2020-01-11 00:00:00"),  # == end -> OUT (exclusive)
+            (4, "2019-12-31 23:59:59"),  # before start -> out
+            (5, "2020-01-05 12:00:00"),  # middle, other side of a
+            #   3-day bucket boundary than the start -> still once
+        ],
+        "pid long, ts string",
+    ).select("pid", F.to_timestamp("ts").alias("ts"))
+    out = range_point_join(iv, pts, "s", "e", "ts", bucket_seconds=3 * 86400)
+    got = sorted(r["pid"] for r in out.collect())
+    assert got == [1, 2, 5]
+
+
+def test_range_join_plan_is_bucket_equi_join(spark):
+    iv = spark.range(100).select(
+        F.col("id").alias("iid"),
+        F.expr("timestamp'2020-01-01' + make_interval(0,0,0,0,0,0, id*86400)").alias(
+            "s"
+        ),
+        F.expr(
+            "timestamp'2020-01-01' + make_interval(0,0,0,0,0,0, id*86400 + 172800)"
+        ).alias("e"),
+    )
+    pts = spark.range(1000).select(
+        F.col("id").alias("pid"),
+        F.expr("timestamp'2020-01-01' + make_interval(0,0,0,0,0,0, id*9000)").alias(
+            "ts"
+        ),
+    )
+    plan = _plan(range_point_join(iv, pts, "s", "e", "ts", bucket_seconds=86400))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the candidate join is a real equi-join on the bucket id
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    ), plan[:2000]
+
+
+def test_fix_mojibake_classes_and_idempotence(spark):
+    rows = spark.createDataFrame(
+        [
+            (0, "cafÃ© crÃ¨me"),
+            (1, "rÃ©sumÃ© Â© 2024"),
+            (2, "plain ascii only"),
+            (3, "already café fixed"),  # real é -> gate must not fire
+            (4, "â€” cp1252 dash"),  # unrepairable dialect
+            (5, None),
+        ],
+        "id long, text string",
+    )
+    fixed = fix_mojibake(rows, "text")
+    got = {r["id"]: (r["text"], r["was_mojibake"]) for r in fixed.collect()}
+    assert got[0] == ("café crème", 1)
+    assert got[1] == ("résumé © 2024", 1)
+    assert got[2] == ("plain ascii only", 0)
+    assert got[3] == ("already café fixed", 0)
+    assert got[4] == ("â€” cp1252 dash", 0)
+    assert got[5] == (None, 0)
+
+    # idempotent: a second application changes nothing and flags nothing
+    again = fix_mojibake(fixed.drop("was_mojibake"), "text")
+    got2 = {r["id"]: (r["text"], r["was_mojibake"]) for r in again.collect()}
+    assert all(got2[i] == (got[i][0], 0) for i in got2)
+
+    # zero shuffles: pure projection
+    assert "Exchange" not in _plan(fixed)
