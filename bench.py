@@ -142,6 +142,21 @@ HEADLINE = [
     "page_metadata",
     "exif_extract",
     "feed_extract",
+    "trustrank",
+    "text_tiling",
+    "corpus_drift",
+    "bloom_gate",
+    "curation_pipeline",
+    "dedup_lines",
+    "host_boilerplate",
+    "wer_eval",
+    "image_ahash",
+    "url_canonical",
+    "charclass",
+    "table_checks",
+    "asof_join",
+    "range_join",
+    "fix_mojibake",
 ]
 
 
