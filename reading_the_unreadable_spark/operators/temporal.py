@@ -51,21 +51,37 @@ def asof_join(
     right_ts: str,
     value_cols: tuple[str, ...],
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every ``left`` row joined to the latest
-    ``right`` row with equal ``on`` key and ``right_ts <= left_ts``
-    (ties at equal timestamps DO match, as in DuckDB ``ASOF JOIN`` /
-    ``merge_asof(allow_exact_matches=True)``).  Left rows with no
-    prior right row keep null values (left-join semantics).
+    """As-of join: every ``left`` row joined to the single ``right``
+    row with equal ``on`` key chosen by ``direction``:
+
+    - ``backward`` (default): latest right row with ``right_ts <=
+      left_ts`` — DuckDB ``ASOF JOIN`` / ``merge_asof`` default;
+    - ``forward``: earliest right row with ``right_ts >= left_ts``;
+    - ``nearest``: whichever of the two is closer in absolute time,
+      ties going to the backward match (deterministic; pandas leaves
+      this case unspecified).
+
+    Exact timestamp ties DO match in every direction
+    (``allow_exact_matches=True`` semantics).  Left rows with no
+    qualifying right row keep null values (left-join semantics).
 
     ``tiebreak``: when several right rows share (key, ts), the row
     with the greatest tiebreak value wins deterministically; pass None
     only when (key, right_ts) is unique.
 
     Returns all ``left`` columns plus ``value_cols`` from ``right``.
-    One shuffle on ``on``; window sort per key partition.
+    One shuffle on ``on``; window sort per key partition (``nearest``
+    runs both carry directions over the SAME sorted partition — still
+    one exchange, plan-asserted in tests/test_temporal.py).
     """
-    payload = F.struct(*[F.col(c) for c in value_cols]).alias("__asof_payload")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
+    payload = F.struct(
+        F.col(right_ts).cast("timestamp").alias("__asof_rts"),
+        *[F.col(c) for c in value_cols],
+    ).alias("__asof_payload")
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
     r = right.select(
         F.col(on).alias("__asof_key"),
@@ -84,14 +100,54 @@ def asof_join(
         F.lit(None).cast(l_payload_t).alias("__asof_payload"),
         *[F.col(f.name).alias(f"__l_{f.name}") for f in left.schema.fields],
     )
-    w = (
+    u = r.unionByName(l)
+    # Backward: right rows sort BEFORE left rows at an equal timestamp
+    # (seq 0 < 1) so last() over the preceding frame includes the tie;
+    # larger tiebreak sorts later -> carried value is the max-tiebreak
+    # row of the latest timestamp.  Forward: the mirror — right rows
+    # must sort AFTER left rows at an equal timestamp, and among equal
+    # (ts, seq) the max tiebreak must come FIRST so first() picks it.
+    w_back = (
         Window.partitionBy("__asof_key")
         .orderBy("__asof_ts", "__asof_seq", "__asof_tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = r.unionByName(l).withColumn(
-        "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w)
+    w_fwd = (
+        Window.partitionBy("__asof_key")
+        .orderBy("__asof_ts", F.col("__asof_seq").desc(), F.col("__asof_tb").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    if direction == "backward":
+        carried = u.withColumn(
+            "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w_back)
+        )
+    elif direction == "forward":
+        carried = u.withColumn(
+            "__asof_match", F.first("__asof_payload", ignorenulls=True).over(w_fwd)
+        )
+    else:  # nearest
+        carried = (
+            u.withColumn(
+                "__asof_b", F.last("__asof_payload", ignorenulls=True).over(w_back)
+            )
+            .withColumn(
+                "__asof_f", F.first("__asof_payload", ignorenulls=True).over(w_fwd)
+            )
+            .withColumn(
+                "__asof_match",
+                F.when(F.col("__asof_b").isNull(), F.col("__asof_f"))
+                .when(F.col("__asof_f").isNull(), F.col("__asof_b"))
+                .when(
+                    # tie -> backward (<=)
+                    F.unix_micros(F.col("__asof_ts"))
+                    - F.unix_micros(F.col("__asof_b.__asof_rts"))
+                    <= F.unix_micros(F.col("__asof_f.__asof_rts"))
+                    - F.unix_micros(F.col("__asof_ts")),
+                    F.col("__asof_b"),
+                )
+                .otherwise(F.col("__asof_f")),
+            )
+        )
     out = carried.filter(F.col("__asof_seq") == 1).select(
         *[F.col(f"__l_{f.name}").alias(f.name) for f in left.schema.fields],
         *[F.col("__asof_match")[c].alias(c) for c in value_cols],

@@ -177,3 +177,96 @@ def test_fix_mojibake_classes_and_idempotence(spark):
 
     # zero shuffles: pure projection
     assert "Exchange" not in _plan(fixed)
+
+
+def test_asof_forward_and_nearest(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "2020-01-05 00:00:00", "a"),
+            (1, "2020-01-02 00:00:00", "b"),  # exact tie with r1 (fwd + back)
+            (1, "2020-01-10 00:00:00", "c"),  # after everything -> fwd null
+            (1, "2020-01-03 00:00:00", "d"),  # equidistant 01-02/01-04 -> back
+        ],
+        "k long, ts string, tag string",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, "2020-01-02 00:00:00", 10), (1, "2020-01-04 00:00:00", 20)],
+        "k long, rts string, v int",
+    ).select("k", F.to_timestamp("rts").alias("rts"), "v")
+
+    def run(direction):
+        return {
+            r["tag"]: r["v"]
+            for r in asof_join(
+                left,
+                right,
+                on="k",
+                left_ts="ts",
+                right_ts="rts",
+                value_cols=("v",),
+                direction=direction,
+            ).collect()
+        }
+
+    assert run("forward") == {"a": None, "b": 10, "c": None, "d": 20}
+    assert run("nearest") == {"a": 20, "b": 10, "c": 20, "d": 10}
+    # nearest still plans as ONE keyed exchange
+    plan = _plan(
+        asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            value_cols=("v",), direction="nearest",
+        )
+    )
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 1, plan[:2000]
+
+
+def test_fix_mojibake_cp1252_dialect(spark):
+    from reading_the_unreadable_spark.operators.encoding import (
+        fix_mojibake_cp1252,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (0, "em dash here"),
+            (1, "price E90 today"),
+            (2, "plain ascii only"),
+            (3, "genuine café unchanged"),
+            (4, "cafÃ© latin1 dialect too"),
+            (5, None),
+        ],
+        "id long, text string",
+    )
+    # patch in the cp1252-dialect payloads (em dash / euro) without
+    # literal mojibake bytes in this source file
+    dash = "â€”"   # mojibake of U+2014
+    euro = "â‚¬"   # mojibake of U+20AC
+    quote = "â€œ"  # mojibake of U+201C
+    rows = rows.replace(
+        {"em dash here": f"{dash} em dash {quote}quoted text",
+         "price E90 today": f"price {euro}90 today"},
+        subset=["text"],
+    )
+    out = {
+        r["id"]: (r["text"], r["was_mojibake_cp1252"])
+        for r in fix_mojibake_cp1252(rows, "text").collect()
+    }
+    assert out[0] == ("— em dash “quoted text", 1)
+    assert out[1] == ("price €90 today", 1)
+    assert out[2] == ("plain ascii only", 0)
+    assert out[3] == ("genuine café unchanged", 0)
+    assert out[4] == ("café latin1 dialect too", 1)
+    assert out[5] == (None, 0)
+
+    # composes with the JVM path: only_where skips already-flagged rows
+    from reading_the_unreadable_spark.operators.encoding import fix_mojibake
+
+    both = fix_mojibake_cp1252(
+        fix_mojibake(rows, "text"), "text",
+        only_where=F.col("was_mojibake") == 0,
+    )
+    got = {r["id"]: (r["text"], r["was_mojibake"], r["was_mojibake_cp1252"])
+           for r in both.collect()}
+    assert got[4] == ("café latin1 dialect too", 1, 0)  # JVM path took it
+    assert got[0][0].startswith("— em dash")
+    assert (got[0][1], got[0][2]) == (0, 1)
