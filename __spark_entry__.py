@@ -3764,6 +3764,49 @@ def q_fix_mojibake(spark, sf):
     return fix_mojibake(corrupted, "text")
 
 
+def q_pack_interleaved(spark, sf):
+    """Multimodal sequence packing over the INTERLEAVED span grain
+    (operators/quality.py pack_interleaved): a deterministic span frame
+    is built per document — title span, body text span, and a figure
+    span with a media_ref for every third doc — then packed doc-
+    atomically into 96-token sequences where media spans cost a fixed
+    32-token patch allowance.  Sub-sharded by md5(doc_id) hex digit
+    exactly like pack_sequences; the oracle replicates the cost model,
+    sharding, and greedy prefix-sum packing verbatim."""
+    from reading_the_unreadable_spark.operators.quality import pack_interleaved
+
+    d = _t(spark, sf, "documents")
+    null_s = F.lit(None).cast("string")
+    title = d.select(
+        "doc_id",
+        F.lit("title").alias("kind"),
+        F.concat(F.lit("SECTION "), F.col("source")).alias("text"),
+        null_s.alias("media_ref"),
+        F.lit(0).alias("order"),
+    )
+    body = d.select(
+        "doc_id",
+        F.lit("text").alias("kind"),
+        F.col("text"),
+        null_s.alias("media_ref"),
+        F.lit(1).alias("order"),
+    )
+    figure = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            F.lit("figure").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias(
+                "media_ref"
+            ),
+            F.lit(2).alias("order"),
+        )
+    )
+    spans = title.unionByName(body).unionByName(figure)
+    return pack_interleaved(spans, token_budget=96, media_budget=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness samples the FIRST 50
     # entries of this dict at sf0.01 (TESTDATA.md: "t2 correctness (duckdb
@@ -3959,6 +4002,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    robots_gate + crawl_schedule, new this round, took two
         #    slots and region_revenue / rank_and_median moved just
         #    behind the window) --
+        # pack_interleaved: new operator, first slot just behind the
+        # window (pytest replica value-checks it every round; r06
+        # window candidate)
+        "pack_interleaved": q_pack_interleaved,
         "top_customers": q_top_customers,
         "pdf_extract": q_pdf_extract,
         "html_blocks": q_html_blocks,
@@ -4246,6 +4293,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, count(*) AS n_events, sum(mv) AS sum_millivalue
             FROM iv JOIN ev2 ON ts2 >= w_start AND ts2 < w_end
             GROUP BY o_orderkey
+        """,
+        # the interleaved cost model, md5 sharding, and greedy
+        # prefix-sum packing replicated verbatim
+        "pack_interleaved": """
+            WITH per_doc AS (
+              SELECT doc_id,
+                     CAST(len(string_split('SECTION ' || source, ' '))
+                          + len(string_split(text, ' '))
+                          + CASE WHEN doc_id % 3 = 0 THEN 32 ELSE 0 END
+                          AS BIGINT) AS doc_cost,
+                     CAST(len(string_split('SECTION ' || source, ' '))
+                          + len(string_split(text, ' ')) AS BIGINT)
+                       AS n_text_tokens,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                       AS n_media_spans
+              FROM documents),
+            sh AS (
+              SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+              FROM per_doc),
+            cu AS (
+              SELECT *, sum(doc_cost) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+              FROM sh),
+            sq AS (
+              SELECT *, CAST(floor((cum - doc_cost) / 96.0) AS INT) AS seq_id
+              FROM cu)
+            SELECT shard, seq_id,
+                   CAST(count(*) AS INT) AS n_docs,
+                   CAST(sum(n_text_tokens) AS BIGINT) AS n_text_tokens,
+                   CAST(sum(n_media_spans) AS INT) AS n_media_spans,
+                   CAST(sum(doc_cost) AS BIGINT) AS total_cost,
+                   round(sum(doc_cost) / 96.0, 6) AS fill_ratio,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM sq
+            GROUP BY shard, seq_id
         """,
         # closed-form per-class reconstruction of the repaired text:
         # classes 0/1 repair (café / résumé ©), 2 is clean ASCII,

@@ -609,6 +609,67 @@ def pack_sequences(
     )
 
 
+def pack_interleaved(
+    spans: DataFrame,
+    token_budget: int = 2048,
+    media_budget: int = 64,
+    shard_hex_chars: int = 1,
+) -> DataFrame:
+    """Multimodal training-sequence packing over the INTERLEAVED span
+    grain (doc_id, kind, text, media_ref, order) — the engine's core
+    data model (BASELINE input_hint): text spans cost their whitespace
+    token count, media spans cost a fixed ``media_budget`` (the
+    patch-token allowance an interleaved trainer reserves per image),
+    and documents are packed ATOMICALLY — a doc's spans never split
+    across sequences, exactly like :func:`pack_sequences`' GPT-style
+    contiguous packing but with the mixed-modality cost model.
+
+    Same distributed shape as :func:`pack_sequences`: the greedy
+    running-cost prefix sum is sub-sharded by the first
+    ``shard_hex_chars`` hex digits of md5(doc_id) so parallelism is
+    16^chars rather than one sequential task, sequences never cross
+    shards, and the sharding is engine-portable (replicated verbatim
+    in the DuckDB oracle).  Two shuffles total: the per-doc cost
+    aggregation and the shard window."""
+    is_media = F.col("media_ref").isNotNull()
+    text_toks = F.when(
+        is_media | F.col("text").isNull() | (F.length("text") == 0), F.lit(0)
+    ).otherwise(F.size(F.split(F.col("text"), " ")))
+    cost = F.when(is_media, F.lit(media_budget)).otherwise(text_toks)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(cost).cast("long").alias("doc_cost"),
+        F.sum(text_toks).cast("long").alias("n_text_tokens"),
+        F.sum(is_media.cast("int")).cast("int").alias("n_media_spans"),
+    )
+    d = per_doc.withColumn(
+        "shard",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, shard_hex_chars),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_cum", F.sum("doc_cost").over(w))
+    d = d.withColumn(
+        "seq_id",
+        F.floor((F.col("_cum") - F.col("doc_cost")) / F.lit(token_budget)).cast(
+            "int"
+        ),
+    )
+    return d.groupBy("shard", "seq_id").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_text_tokens").cast("long").alias("n_text_tokens"),
+        F.sum("n_media_spans").cast("int").alias("n_media_spans"),
+        F.sum("doc_cost").cast("long").alias("total_cost"),
+        F.round(
+            F.sum("doc_cost").cast("double") / F.lit(float(token_budget)), 6
+        ).alias("fill_ratio"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def dedup_paragraphs(
     documents: DataFrame, text_col: str = "text"
 ) -> DataFrame:

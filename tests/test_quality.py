@@ -750,3 +750,45 @@ def test_text_tiling_block_size_bound(spark):
         text_tiling(df, block_tokens=181)
     with pytest.raises(ValueError):
         text_tiling(df, block_tokens=0)
+
+
+def test_pack_interleaved_cost_model_and_atomicity(spark):
+    """Media spans cost the fixed patch budget, text spans their word
+    count; docs pack atomically (an oversized doc still lands in
+    exactly one sequence); total cost is conserved."""
+    import pyspark.sql.functions as F
+
+    from reading_the_unreadable_spark.operators.quality import pack_interleaved
+
+    rows = []
+    for doc in range(40):
+        rows.append((doc, "title", "a b c", None, 0))            # 3 tokens
+        rows.append((doc, "text", " ".join(["w"] * 10), None, 1))  # 10 tokens
+        if doc % 4 == 0:
+            rows.append((doc, "figure", "", f"img://{doc}", 2))  # media
+    spans = spark.createDataFrame(
+        rows, "doc_id long, kind string, text string, media_ref string, order int"
+    )
+    out = pack_interleaved(spans, token_budget=50, media_budget=20).collect()
+
+    # cost conservation: 40 docs x 13 text tokens + 10 figures x 20
+    assert sum(r["total_cost"] for r in out) == 40 * 13 + 10 * 20
+    assert sum(r["n_docs"] for r in out) == 40
+    assert sum(r["n_media_spans"] for r in out) == 10
+    # doc-atomic: every (shard, seq) holds >= 1 whole doc, and within a
+    # shard the doc ranges of consecutive sequences never overlap
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for seqs in by_shard.values():
+        seqs.sort(key=lambda r: r["seq_id"])
+        for a, b in zip(seqs, seqs[1:]):
+            assert a["last_doc"] < b["first_doc"]
+
+    # an oversized doc (cost > budget) still forms/joins exactly one seq
+    big = spark.createDataFrame(
+        [(1, "text", " ".join(["w"] * 100), None, 0)],
+        "doc_id long, kind string, text string, media_ref string, order int",
+    )
+    bout = pack_interleaved(big, token_budget=50, media_budget=20).collect()
+    assert len(bout) == 1 and bout[0]["n_docs"] == 1 and bout[0]["total_cost"] == 100
