@@ -3686,7 +3686,7 @@ def q_asof_join(spark, sf):
         value_cols=("o_orderkey", "o_totalprice", "o_orderdate"),
         tiebreak="o_orderkey",
     )
-    return j.select(
+    back = j.select(
         "event_id",
         "user_id",
         F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("matched_orderkey"),
@@ -3695,6 +3695,25 @@ def q_asof_join(spark, sf):
             F.datediff(F.to_date("ts2"), F.to_date("o_orderdate")), F.lit(-1)
         ).alias("days_since_order"),
     )
+    # the FORWARD direction over the same inputs (DuckDB: ASOF with a
+    # flipped inequality) — both directions pinned by one driver row
+    fwd = asof_join(
+        ev,
+        od,
+        on="user_id",
+        left_ts="ts2",
+        right_ts="o_orderdate",
+        value_cols=("o_orderkey", "o_orderdate"),
+        tiebreak="o_orderkey",
+        direction="forward",
+    ).select(
+        "event_id",
+        F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("fwd_orderkey"),
+        F.coalesce(
+            F.datediff(F.to_date("o_orderdate"), F.to_date("ts2")), F.lit(-1)
+        ).alias("days_until_order"),
+    )
+    return back.join(fwd, "event_id")
 
 
 def q_range_join(spark, sf):
@@ -4272,10 +4291,15 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(o.o_orderkey, -1) AS matched_orderkey,
                    coalesce(o.o_totalprice, 0.0) AS matched_price,
                    coalesce(date_diff('day', o.o_orderdate::date, e.ts2::date),
-                            -1) AS days_since_order
+                            -1) AS days_since_order,
+                   coalesce(f.o_orderkey, -1) AS fwd_orderkey,
+                   coalesce(date_diff('day', e.ts2::date, f.o_orderdate::date),
+                            -1) AS days_until_order
             FROM ev2 e
             ASOF LEFT JOIN (SELECT * FROM od2 WHERE rn = 1) o
               ON e.user_id = o.user_id AND e.ts2 >= o.o_orderdate
+            ASOF LEFT JOIN (SELECT * FROM od2 WHERE rn = 1) f
+              ON e.user_id = f.user_id AND e.ts2 <= f.o_orderdate
         """,
         # DuckDB's IEJoin over the raw inequality predicate is the
         # oracle for the bucketed range join
