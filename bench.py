@@ -157,6 +157,7 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "fix_mojibake",
+    "pack_interleaved",
 ]
 
 
