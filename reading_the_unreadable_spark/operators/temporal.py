@@ -52,6 +52,7 @@ def asof_join(
     value_cols: tuple[str, ...],
     tiebreak: str | None = None,
     direction: str = "backward",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """As-of join: every ``left`` row joined to the single ``right``
     row with equal ``on`` key chosen by ``direction``:
@@ -75,6 +76,16 @@ def asof_join(
     One shuffle on ``on``; window sort per key partition (``nearest``
     runs both carry directions over the SAME sorted partition — still
     one exchange, plan-asserted in tests/test_temporal.py).
+
+    ``num_partitions``: explicit width for the keyed exchange.  The
+    as-of rows are BYTE-small but the downstream sort+carry is the
+    job's entire cost, so AQE's byte-based coalescing can collapse the
+    exchange well below the core count and cap parallelism (measured:
+    8→16-core scaling 0.56 coalesced vs 0.77 pinned on a 16M-row
+    input — the same Generate/coalesce lesson as the eval-core
+    pin, SURVEY §10).  Pass an explicit count for large inputs; the
+    window reuses the repartition's hash distribution, so this does
+    NOT add a second exchange (plan-asserted).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction: {direction!r}")
@@ -101,6 +112,8 @@ def asof_join(
         *[F.col(f.name).alias(f"__l_{f.name}") for f in left.schema.fields],
     )
     u = r.unionByName(l)
+    if num_partitions is not None:
+        u = u.repartition(num_partitions, "__asof_key")
     # Backward: right rows sort BEFORE left rows at an equal timestamp
     # (seq 0 < 1) so last() over the preceding frame includes the tie;
     # larger tiebreak sorts later -> carried value is the max-tiebreak

@@ -270,3 +270,33 @@ def test_fix_mojibake_cp1252_dialect(spark):
     assert got[4] == ("café latin1 dialect too", 1, 0)  # JVM path took it
     assert got[0][0].startswith("— em dash")
     assert (got[0][1], got[0][2]) == (0, 1)
+
+
+def test_asof_num_partitions_single_exchange(spark):
+    """The explicit exchange-width pin is absorbed by the window (same
+    hash distribution) — still exactly ONE exchange, at the pinned
+    width."""
+    ev = spark.range(1000).select(
+        (F.col("id") % 50).alias("k"),
+        F.expr("timestamp'2020-01-01' + make_interval(0,0,0,0,0,0, id*97)").alias(
+            "ts"
+        ),
+    )
+    od = spark.range(200).select(
+        (F.col("id") % 50).alias("k"),
+        F.expr("timestamp'2020-01-01' + make_interval(0,0,0,0,0,0, id*403)").alias(
+            "rts"
+        ),
+        F.col("id").alias("v"),
+    )
+    plan = _plan(
+        asof_join(
+            ev, od, on="k", left_ts="ts", right_ts="rts", value_cols=("v",),
+            num_partitions=24,
+        )
+    )
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 1, plan[:2000]
+    assert re.search(r"Exchange hashpartitioning\(__asof_key#\d+[L]?, 24\b", plan), (
+        plan[:2000]
+    )
