@@ -3696,7 +3696,9 @@ def q_asof_join(spark, sf):
         ).alias("days_since_order"),
     )
     # the FORWARD direction over the same inputs (DuckDB: ASOF with a
-    # flipped inequality) — both directions pinned by one driver row
+    # flipped inequality) and NEAREST (abs-delta pick, ties backward —
+    # the oracle derives it from DuckDB's two native ASOF results) —
+    # all three directions pinned by one driver row
     fwd = asof_join(
         ev,
         od,
@@ -3713,7 +3715,20 @@ def q_asof_join(spark, sf):
             F.datediff(F.to_date("o_orderdate"), F.to_date("ts2")), F.lit(-1)
         ).alias("days_until_order"),
     )
-    return back.join(fwd, "event_id")
+    near = asof_join(
+        ev,
+        od,
+        on="user_id",
+        left_ts="ts2",
+        right_ts="o_orderdate",
+        value_cols=("o_orderkey",),
+        tiebreak="o_orderkey",
+        direction="nearest",
+    ).select(
+        "event_id",
+        F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("nearest_orderkey"),
+    )
+    return back.join(fwd, "event_id").join(near, "event_id")
 
 
 def q_range_join(spark, sf):
@@ -4294,7 +4309,16 @@ def oracle_sql() -> dict[str, str]:
                             -1) AS days_since_order,
                    coalesce(f.o_orderkey, -1) AS fwd_orderkey,
                    coalesce(date_diff('day', e.ts2::date, f.o_orderdate::date),
-                            -1) AS days_until_order
+                            -1) AS days_until_order,
+                   coalesce(
+                     CASE
+                       WHEN o.o_orderkey IS NULL THEN f.o_orderkey
+                       WHEN f.o_orderkey IS NULL THEN o.o_orderkey
+                       WHEN epoch(e.ts2 - o.o_orderdate)
+                            <= epoch(f.o_orderdate - e.ts2)
+                         THEN o.o_orderkey
+                       ELSE f.o_orderkey
+                     END, -1) AS nearest_orderkey
             FROM ev2 e
             ASOF LEFT JOIN (SELECT * FROM od2 WHERE rn = 1) o
               ON e.user_id = o.user_id AND e.ts2 >= o.o_orderdate
