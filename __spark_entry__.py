@@ -3798,6 +3798,44 @@ def q_fix_mojibake(spark, sf):
     return fix_mojibake(corrupted, "text")
 
 
+def q_interval_join(spark, sf):
+    """Interval × interval overlap join with NO equi-key
+    (operators/temporal.py range_interval_join): 30-day windows opened
+    by every 20th order against 14-day windows opened by orders ≡ 7
+    (mod 20), all overlapping pairs with their overlap length in days.
+    Exactly-once via the owner-bucket rule (a pair co-occupying many
+    buckets is emitted only from the bucket containing the overlap
+    start) — no distinct.  Oracle: DuckDB's IEJoin over the raw
+    half-open overlap predicate."""
+    from reading_the_unreadable_spark.operators.temporal import (
+        range_interval_join,
+    )
+
+    od = _t(spark, sf, "orders")
+    a = od.filter(F.col("o_orderkey") % 20 == 0).select(
+        F.col("o_orderkey").alias("a_orderkey"),
+        F.col("o_orderdate").alias("a_start"),
+        F.expr("o_orderdate + interval 30 days").alias("a_end"),
+    )
+    bset = od.filter(F.col("o_orderkey") % 20 == 7).select(
+        F.col("o_orderkey").alias("b_orderkey"),
+        F.col("o_orderdate").alias("b_start"),
+        F.expr("o_orderdate + interval 14 days").alias("b_end"),
+    )
+    j = range_interval_join(
+        a, bset, "a_start", "a_end", "b_start", "b_end",
+        bucket_seconds=30 * 86400,
+    )
+    return j.select(
+        "a_orderkey",
+        "b_orderkey",
+        F.datediff(
+            F.to_date(F.least(F.col("a_end"), F.col("b_end"))),
+            F.to_date(F.greatest(F.col("a_start"), F.col("b_start"))),
+        ).alias("overlap_days"),
+    )
+
+
 def q_pack_interleaved(spark, sf):
     """Multimodal sequence packing over the INTERLEAVED span grain
     (operators/quality.py pack_interleaved): a deterministic span frame
@@ -4036,10 +4074,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    robots_gate + crawl_schedule, new this round, took two
         #    slots and region_revenue / rank_and_median moved just
         #    behind the window) --
-        # pack_interleaved: new operator, first slot just behind the
-        # window (pytest replica value-checks it every round; r06
-        # window candidate)
+        # pack_interleaved + interval_join: new operators, first slots
+        # just behind the window (pytest replica value-checks them
+        # every round; r06 window candidates)
         "pack_interleaved": q_pack_interleaved,
+        "interval_join": q_interval_join,
         "top_customers": q_top_customers,
         "pdf_extract": q_pdf_extract,
         "html_blocks": q_html_blocks,
@@ -4341,6 +4380,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, count(*) AS n_events, sum(mv) AS sum_millivalue
             FROM iv JOIN ev2 ON ts2 >= w_start AND ts2 < w_end
             GROUP BY o_orderkey
+        """,
+        # DuckDB IEJoin over the raw half-open overlap predicate
+        "interval_join": """
+            WITH a AS (
+              SELECT o_orderkey AS a_orderkey, o_orderdate AS a_start,
+                     o_orderdate + INTERVAL 30 DAY AS a_end
+              FROM orders WHERE o_orderkey % 20 = 0),
+            b AS (
+              SELECT o_orderkey AS b_orderkey, o_orderdate AS b_start,
+                     o_orderdate + INTERVAL 14 DAY AS b_end
+              FROM orders WHERE o_orderkey % 20 = 7)
+            SELECT a_orderkey, b_orderkey,
+                   date_diff('day',
+                             greatest(a_start, b_start)::date,
+                             least(a_end, b_end)::date) AS overlap_days
+            FROM a JOIN b ON a_start < b_end AND b_start < a_end
         """,
         # the interleaved cost model, md5 sharding, and greedy
         # prefix-sum packing replicated verbatim

@@ -158,6 +158,7 @@ HEADLINE = [
     "range_join",
     "fix_mojibake",
     "pack_interleaved",
+    "interval_join",
 ]
 
 

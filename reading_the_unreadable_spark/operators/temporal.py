@@ -201,3 +201,53 @@ def range_point_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop("__rng_bucket")
+
+
+def range_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """All (left row, right row) pairs whose half-open intervals
+    OVERLAP (``l_start < r_end AND r_start < l_end``), no equi-key —
+    the interval×interval completion of :func:`range_point_join`.
+
+    Both sides explode to the fixed-width buckets they touch and the
+    candidate set is the bucket equi-join.  Overlapping pairs can
+    co-occupy MANY buckets, so each pair is emitted exactly once by
+    keeping it only in the bucket that contains the overlap's start
+    (``greatest(l_start, r_start)``) — a deterministic single owner per
+    pair, no ``distinct`` shuffle.  The exact overlap predicate is
+    applied after the bucket prune.  Replication factor per row =
+    interval_len/bucket + 1 (pick ``bucket_seconds`` near the typical
+    interval length).  Column names must not collide.
+    """
+    b = F.lit(int(bucket_seconds)).cast("long")
+
+    def explode_side(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__rng_bucket",
+            F.explode(
+                F.sequence(
+                    (F.unix_timestamp(F.col(s)) / b).cast("long"),
+                    (F.unix_timestamp(F.col(e)) / b).cast("long"),
+                )
+            ),
+        )
+
+    lv = explode_side(left, left_start, left_end)
+    rv = explode_side(right, right_start, right_end)
+    overlap = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    owner = (
+        F.unix_timestamp(F.greatest(F.col(left_start), F.col(right_start))) / b
+    ).cast("long")
+    joined = lv.join(rv, "__rng_bucket").filter(
+        overlap & (F.col("__rng_bucket") == owner)
+    )
+    return joined.drop("__rng_bucket")

@@ -300,3 +300,40 @@ def test_asof_num_partitions_single_exchange(spark):
     assert re.search(r"Exchange hashpartitioning\(__asof_key#\d+[L]?, 24\b", plan), (
         plan[:2000]
     )
+
+
+def test_range_interval_join_exactly_once_and_boundaries(spark):
+    """Overlap is half-open (touching intervals do NOT overlap); a pair
+    co-occupying many buckets is emitted exactly once (owner-bucket
+    rule); plan stays an equi-join."""
+    from reading_the_unreadable_spark.operators.temporal import (
+        range_interval_join,
+    )
+
+    a = spark.createDataFrame(
+        [
+            (1, "2020-01-01 00:00:00", "2020-01-20 00:00:00"),  # long: 19d
+            (2, "2020-02-01 00:00:00", "2020-02-02 00:00:00"),
+        ],
+        "aid long, s string, e string",
+    ).select("aid", F.to_timestamp("s").alias("a_s"), F.to_timestamp("e").alias("a_e"))
+    b = spark.createDataFrame(
+        [
+            (10, "2020-01-05 00:00:00", "2020-01-18 00:00:00"),  # spans many
+            #   3-day buckets inside a -> must appear ONCE
+            (11, "2020-01-20 00:00:00", "2020-01-25 00:00:00"),  # touches a's
+            #   end exactly -> NOT an overlap (half-open)
+            (12, "2019-12-30 00:00:00", "2020-01-01 00:00:01"),  # 1s overlap
+            (13, "2020-02-01 12:00:00", "2020-02-03 00:00:00"),  # overlaps aid 2
+        ],
+        "bid long, s string, e string",
+    ).select("bid", F.to_timestamp("s").alias("b_s"), F.to_timestamp("e").alias("b_e"))
+    out = range_interval_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", bucket_seconds=3 * 86400
+    )
+    pairs = sorted((r["aid"], r["bid"]) for r in out.collect())
+    assert pairs == [(1, 10), (1, 12), (2, 13)]
+
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
