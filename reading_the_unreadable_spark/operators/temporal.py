@@ -53,6 +53,8 @@ def asof_join(
     tiebreak: str | None = None,
     direction: str = "backward",
     num_partitions: int | None = None,
+    allow_exact_matches: bool = True,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join: every ``left`` row joined to the single ``right``
     row with equal ``on`` key chosen by ``direction``:
@@ -64,9 +66,20 @@ def asof_join(
       ties going to the backward match (deterministic; pandas leaves
       this case unspecified).
 
-    Exact timestamp ties DO match in every direction
-    (``allow_exact_matches=True`` semantics).  Left rows with no
-    qualifying right row keep null values (left-join semantics).
+    ``allow_exact_matches`` (default True): whether an exactly-equal
+    timestamp qualifies — with False, backward means strictly-before
+    and forward strictly-after (``merge_asof`` parity).  Implemented
+    purely in the tie-ordering: strict mode re-tags right rows so they
+    sort on the EXCLUDED side of same-timestamp left rows in both
+    window directions — no extra pass, no predicate.
+
+    ``tolerance_seconds``: maximum allowed |left_ts - right_ts| for a
+    match (inclusive, like ``merge_asof(tolerance=...)``); matches
+    beyond it become nulls.  For ``nearest`` the bound applies to each
+    direction BEFORE the closer-of-the-two pick.
+
+    Left rows with no qualifying right row keep null values
+    (left-join semantics).
 
     ``tiebreak``: when several right rows share (key, ts), the row
     with the greatest tiebreak value wins deterministically; pass None
@@ -94,10 +107,15 @@ def asof_join(
         *[F.col(c) for c in value_cols],
     ).alias("__asof_payload")
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    # Tie-ordering tag for right rows: 0 sorts on the INCLUDED side of
+    # same-timestamp left rows (seq 1) under BOTH window orderings
+    # (backward sorts seq ascending, forward descending), 2 on the
+    # EXCLUDED side of both — which is exactly strict-inequality mode.
+    r_seq = 0 if allow_exact_matches else 2
     r = right.select(
         F.col(on).alias("__asof_key"),
         F.col(right_ts).alias("__asof_ts"),
-        F.lit(0).alias("__asof_seq"),
+        F.lit(r_seq).alias("__asof_seq"),
         tb.cast("long").alias("__asof_tb"),
         payload,
         *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}") for f in left.schema.fields],
@@ -130,21 +148,40 @@ def asof_join(
         .orderBy("__asof_ts", F.col("__asof_seq").desc(), F.col("__asof_tb").desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    def _tol(match):
+        """Null out a carried match whose |left_ts - right_ts| exceeds
+        the tolerance (inclusive bound, merge_asof parity)."""
+        if tolerance_seconds is None:
+            return match
+        delta = F.abs(
+            F.unix_micros(F.col("__asof_ts"))
+            - F.unix_micros(match["__asof_rts"])
+        )
+        return F.when(
+            match.isNotNull()
+            & (delta <= F.lit(int(tolerance_seconds) * 1_000_000)),
+            match,
+        )
+
     if direction == "backward":
         carried = u.withColumn(
-            "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w_back)
+            "__asof_match",
+            _tol(F.last("__asof_payload", ignorenulls=True).over(w_back)),
         )
     elif direction == "forward":
         carried = u.withColumn(
-            "__asof_match", F.first("__asof_payload", ignorenulls=True).over(w_fwd)
+            "__asof_match",
+            _tol(F.first("__asof_payload", ignorenulls=True).over(w_fwd)),
         )
     else:  # nearest
         carried = (
             u.withColumn(
-                "__asof_b", F.last("__asof_payload", ignorenulls=True).over(w_back)
+                "__asof_b",
+                _tol(F.last("__asof_payload", ignorenulls=True).over(w_back)),
             )
             .withColumn(
-                "__asof_f", F.first("__asof_payload", ignorenulls=True).over(w_fwd)
+                "__asof_f",
+                _tol(F.first("__asof_payload", ignorenulls=True).over(w_fwd)),
             )
             .withColumn(
                 "__asof_match",

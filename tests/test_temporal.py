@@ -302,6 +302,109 @@ def test_asof_num_partitions_single_exchange(spark):
     )
 
 
+def test_asof_strict_and_tolerance(spark):
+    """allow_exact_matches=False excludes the exact-tie row in every
+    direction; tolerance_seconds nulls matches beyond the (inclusive)
+    bound — both per pandas ``merge_asof`` semantics."""
+    left = spark.createDataFrame(
+        [(1, "2020-01-04 00:00:00", "a")], "k long, ts string, tag string"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [
+            (1, "2020-01-01 00:00:00", 5),
+            (1, "2020-01-04 00:00:00", 20),  # exact tie with the left row
+            (1, "2020-01-05 00:00:00", 25),
+        ],
+        "k long, rts string, v int",
+    ).select("k", F.to_timestamp("rts").alias("rts"), "v")
+
+    def run(**kw):
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            value_cols=("v",), **kw,
+        ).collect()
+        return out[0]["v"]
+
+    # inclusive mode: the exact tie wins in every direction
+    assert run(direction="backward") == 20
+    assert run(direction="forward") == 20
+    assert run(direction="nearest") == 20
+    # strict mode: tie excluded -> strictly-before / strictly-after
+    assert run(direction="backward", allow_exact_matches=False) == 5
+    assert run(direction="forward", allow_exact_matches=False) == 25
+    # nearest strict: 01-05 (1 day) beats 01-01 (3 days)
+    assert run(direction="nearest", allow_exact_matches=False) == 25
+    # tolerance: strict-backward match is 3 days away -> null under a
+    # 1-day bound; strict-forward is exactly 1 day -> inclusive match
+    day = 86400
+    assert run(direction="backward", allow_exact_matches=False,
+               tolerance_seconds=day) is None
+    assert run(direction="forward", allow_exact_matches=False,
+               tolerance_seconds=day) == 25
+    assert run(direction="forward", allow_exact_matches=False,
+               tolerance_seconds=day - 1) is None
+    # nearest + tolerance: backward candidate pruned by the bound, the
+    # in-bound forward candidate still matches
+    assert run(direction="nearest", allow_exact_matches=False,
+               tolerance_seconds=day) == 25
+    assert run(direction="nearest", allow_exact_matches=False,
+               tolerance_seconds=3600) is None
+
+
+def test_asof_merge_asof_parity(spark):
+    """Randomized parity sweep against pandas ``merge_asof`` across
+    direction x allow_exact_matches x tolerance.  Right (key, ts) pairs
+    are unique (no tiebreak ambiguity); left timestamps mix a
+    never-colliding residue class with exact copies of right
+    timestamps so the exact-match path is exercised."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    n_keys = 6
+    r_ts = rng.choice(np.arange(1, 5000), size=150, replace=False) * 8
+    r_keys = rng.randint(0, n_keys, r_ts.size)
+    l_odd = rng.randint(0, 5000, 120) * 8 + 1  # never equals a right ts
+    l_exact = rng.choice(r_ts, 60)
+    l_ts = np.concatenate([l_odd, l_exact])
+    l_keys = rng.randint(0, n_keys, l_ts.size)
+
+    pdl = pd.DataFrame(
+        {"k": l_keys, "t": l_ts, "rowid": np.arange(l_ts.size)}
+    ).sort_values("t").reset_index(drop=True)
+    pdr = pd.DataFrame({"k": r_keys, "t": r_ts, "v": r_ts * 3 + r_keys}) \
+        .sort_values("t").reset_index(drop=True)
+
+    sl = spark.createDataFrame(pdl).select(
+        "k", F.timestamp_seconds("t").alias("ts"), "rowid"
+    )
+    sr = spark.createDataFrame(pdr).select(
+        "k", F.timestamp_seconds("t").alias("rts"), "v"
+    )
+
+    for direction in ("backward", "forward", "nearest"):
+        for exact in (True, False):
+            for tol in (None, 400):
+                expect = pd.merge_asof(
+                    pdl, pdr, on="t", by="k", direction=direction,
+                    allow_exact_matches=exact,
+                    tolerance=tol,
+                )
+                want = {
+                    int(r.rowid): (None if pd.isna(r.v) else int(r.v))
+                    for r in expect.itertuples()
+                }
+                got = {
+                    r["rowid"]: r["v"]
+                    for r in asof_join(
+                        sl, sr, on="k", left_ts="ts", right_ts="rts",
+                        value_cols=("v",), direction=direction,
+                        allow_exact_matches=exact, tolerance_seconds=tol,
+                    ).collect()
+                }
+                assert got == want, (direction, exact, tol)
+
+
 def test_range_interval_join_exactly_once_and_boundaries(spark):
     """Overlap is half-open (touching intervals do NOT overlap); a pair
     co-occupying many buckets is emitted exactly once (owner-bucket
