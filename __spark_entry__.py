@@ -3657,7 +3657,11 @@ def q_asof_join(spark, sf):
     keyed shuffle + a carry-forward window — no inequality join, no
     range explosion (see module docstring).  Orders are pre-deduped per
     (custkey, date) keeping the max orderkey so the tie among same-day
-    orders is deterministic in both engines."""
+    orders is deterministic in both engines.  Also certifies the
+    merge_asof parameter surface: strict inequality
+    (allow_exact_matches=False; oracle is DuckDB ASOF with `>`, with
+    every 10th event day-truncated so exact ties occur and differ) and
+    a 30-day tolerance (oracle nulls matches older than the bound)."""
     from reading_the_unreadable_spark.operators.temporal import asof_join
 
     ev = _t(spark, sf, "events").select(
@@ -3728,7 +3732,49 @@ def q_asof_join(spark, sf):
         "event_id",
         F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("nearest_orderkey"),
     )
-    return back.join(fwd, "event_id").join(near, "event_id")
+    # strict (allow_exact_matches=False) and tolerance modes over a
+    # timestamp column with FORCED exact ties: every 10th event is
+    # day-truncated so it can land exactly on an order date — strict
+    # must skip those to the previous order (DuckDB: ASOF with `>`),
+    # and a 30-day tolerance nulls matches older than a month
+    ev3 = ev.withColumn(
+        "ts3",
+        F.when(
+            F.col("event_id") % 10 == 0, F.date_trunc("day", F.col("ts2"))
+        ).otherwise(F.col("ts2")),
+    )
+    strict = asof_join(
+        ev3,
+        od,
+        on="user_id",
+        left_ts="ts3",
+        right_ts="o_orderdate",
+        value_cols=("o_orderkey",),
+        tiebreak="o_orderkey",
+        allow_exact_matches=False,
+    ).select(
+        "event_id",
+        F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("strict_orderkey"),
+    )
+    tol = asof_join(
+        ev3,
+        od,
+        on="user_id",
+        left_ts="ts3",
+        right_ts="o_orderdate",
+        value_cols=("o_orderkey",),
+        tiebreak="o_orderkey",
+        tolerance_seconds=30 * 86400,
+    ).select(
+        "event_id",
+        F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("tol30_orderkey"),
+    )
+    return (
+        back.join(fwd, "event_id")
+        .join(near, "event_id")
+        .join(strict, "event_id")
+        .join(tol, "event_id")
+    )
 
 
 def q_range_join(spark, sf):
@@ -4357,12 +4403,30 @@ def oracle_sql() -> dict[str, str]:
                             <= epoch(f.o_orderdate - e.ts2)
                          THEN o.o_orderkey
                        ELSE f.o_orderkey
-                     END, -1) AS nearest_orderkey
+                     END, -1) AS nearest_orderkey,
+                   st.strict_orderkey, st.tol30_orderkey
             FROM ev2 e
             ASOF LEFT JOIN (SELECT * FROM od2 WHERE rn = 1) o
               ON e.user_id = o.user_id AND e.ts2 >= o.o_orderdate
             ASOF LEFT JOIN (SELECT * FROM od2 WHERE rn = 1) f
               ON e.user_id = f.user_id AND e.ts2 <= f.o_orderdate
+            JOIN (
+              SELECT e3.event_id,
+                     coalesce(s.o_orderkey, -1) AS strict_orderkey,
+                     coalesce(CASE WHEN epoch(e3.ts3 - t.o_orderdate)
+                                        <= 30 * 86400
+                                   THEN t.o_orderkey END, -1)
+                       AS tol30_orderkey
+              FROM (SELECT event_id, user_id,
+                           CASE WHEN event_id % 10 = 0
+                                THEN date_trunc('day', ts2) ELSE ts2 END
+                             AS ts3
+                    FROM ev2) e3
+              ASOF LEFT JOIN (SELECT * FROM od2 WHERE rn = 1) s
+                ON e3.user_id = s.user_id AND e3.ts3 > s.o_orderdate
+              ASOF LEFT JOIN (SELECT * FROM od2 WHERE rn = 1) t
+                ON e3.user_id = t.user_id AND e3.ts3 >= t.o_orderdate
+            ) st ON st.event_id = e.event_id
         """,
         # DuckDB's IEJoin over the raw inequality predicate is the
         # oracle for the bucketed range join
