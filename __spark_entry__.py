@@ -3928,141 +3928,23 @@ def q_pack_interleaved(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness harness samples the FIRST 50
     # entries of this dict at sf0.01 (TESTDATA.md: "t2 correctness (duckdb
-    # oracle) uses sf0.01").  The flagship extraction chain leads;
-    # behind it sits a per-round ROTATION (r04 verdict §Next #2): each round
-    # five of the long-green TPC rows cycle back into the window, swapped
-    # against the cheapest multi-round-green family rows, so no query goes
-    # more than ~2 rounds without a fresh driver row.  Queries outside the
-    # window are still replayed every round by the pytest DuckDB replica
-    # (tests/test_queries_vs_duckdb.py).
-    # r05 rotation: in  = pricing_summary, top_customers, region_revenue,
-    #                     rank_and_median, monthly_revenue (last driver row r03)
-    #                     + snapshot_incremental, ann_quantized,
-    #                       scan_preprocess, page_blocks_pixels (new
-    #                       families, first driver rows)
-    #               out = html_strip, html_main_text, one_hot_labels,
-    #                     deterministic_sample, name_distance, except_customers,
-    #                     rollup_revenue, dow_revenue, union_segments,
-    #                     knit_reclassify (green r02-r04)
-    # r05 late adds: decontaminate, ccnet_buckets, winnow_pairs, kmeans
-    #                (new operators, first driver rows) join the window;
-    #                merge_overlap, fill_gaps, layout_postprocess,
-    #                combine_segments (all hash-green r04,
-    #                pytest-replicated) rotate behind until r06.
-    #                epoch_sample + dedup_substrings land BEHIND the
-    #                window (pytest-replicated now, window candidates
-    #                for r06).  dup_clusters (connected-component
-    #                near-dup resolution, new operator) joins the
-    #                window; quality_score shifts behind the 50-row
-    #                line (green r04, pytest-replicated).  warc_extract
-    #                (new WARC/WET container source) joins the window;
-    #                token_stats shifts behind (green r04,
-    #                pytest-replicated).  dsir (Gumbel-top-k importance
-    #                resampling, new operator) joins the window; lang_id
-    #                shifts behind (green r04, pytest-replicated).
-    #                wiki_extract (MediaWiki wikitext→prose) and
-    #                blocklist_filter (C4/LDNOOBW word-boundary gate),
-    #                and split_sentences (abbreviation-aware SBD), all
-    #                new operators, join the window; top_customers,
-    #                region_revenue, rank_and_median shift behind
-    #                (long-green TPC, pytest-replicated).
-    #                url_filter (URL-gate curation, new operator) joins
-    #                the window; bpe_tokens shifts behind (green r04,
-    #                pytest-replicated).  pagerank + anchor_texts
-    #                (link-graph family, new operators) join the
-    #                window; readability + json_permissive shift
-    #                behind (green r04, pytest-replicated).
-    #                hll_distinct (engine-portable HLL sketch, new
-    #                operator) joins the window; cer_eval shifts behind
-    #                (green r04, pytest-replicated).  cms_heavy_hitters
-    #                (count-min sketch, new operator) joins the window;
-    #                merge_overlap shifts behind (green r04,
-    #                pytest-replicated).  bpe_merges (distributed BPE
-    #                tokenizer training, new operator) joins the
-    #                window; fill_gaps shifts behind (green r04,
-    #                pytest-replicated).  bpe_encode (pretrained-rule
-    #                tokenization, new operator) joins the window;
-    #                label_centroids shifts behind (green r04,
-    #                pytest-replicated).  bm25 + tfidf_terms (lexical
-    #                retrieval family, new operators) join the window;
-    #                ann_ivf + ann_quantized shift behind (green r04,
-    #                pytest-replicated).  bleu_eval (n-gram eval
-    #                metric, new operator) joins the window;
-    #                ann_multiprobe shifts behind (green r04,
-    #                pytest-replicated).  kn_logprob (Kneser-Ney LM
-    #                scoring, new operator) joins the window;
-    #                ann_lsh shifts behind (green r04,
-    #                pytest-replicated).  pmi_collocations (PMI phrase
-    #                mining, new operator) joins the window;
-    #                cosine_topk shifts behind (green r04,
-    #                pytest-replicated).  rouge_eval + chrf_eval
-    #                (recall/char halves of the eval family, new
-    #                operators) join the window; monthly_revenue +
-    #                page_coverage shift behind (monthly_revenue was an
-    #                r05 rotation candidate — still pytest-replicated;
-    #                page_coverage green r04).  allpairs_sim (exact
-    #                prefix-filter similarity join, new operator) joins
-    #                the window; rank_and_median shifts behind (r05
-    #                rotation candidate, pytest-replicated).
-    #                dataset_split + source_overlap + zipf_fit (corpus
-    #                curation/diagnostics, new operators) join the
-    #                window; scan_preprocess + page_blocks_pixels +
-    #                xy_cut_pixels shift behind (green r04,
-    #                pytest-replicated) so the three fresh TPC rotation
-    #                rows stay inside the 50.  hits +
-    #                tokenizer_stats (link-graph + capacity families,
-    #                new operators) join the window; gopher_signals +
-    #                bigram_logprob shift behind (green r04; the gopher
-    #                and LM families keep fresh rows via gopher_filter
-    #                and kn_logprob).  length_quantiles (exact
-    #                collapsed-histogram percentiles, new operator)
-    #                joins the window; para_dedup shifts behind (green
-    #                r04, pytest-replicated).  ngram_novelty +
-    #                split_leakage (crawl-decay + leakage audits, new
-    #                operators) join the window; c4_filters +
-    #                unigram_logprob shift behind (green r04,
-    #                pytest-replicated; the C4 and LM families keep
-    #                fresh rows via gopher_filter and kn_logprob).
-    #                curriculum + chunk_overlap (global-rank pattern +
-    #                RAG chunker, new operators) join the window;
-    #                source_mix + redact_pii shift behind (green r04,
-    #                pytest-replicated; the mixture family keeps fresh
-    #                rows via epoch_sample and dsir).  incremental_gate
-    #                (batch-vs-history LSH gate, new operator) joins
-    #                the window; extract_spans_filled shifts behind
-    #                (green r04; the flagship chain keeps fresh rows
-    #                via extract_spans + extract_articles).
-    #                pca_component (power-iteration whitening, new
-    #                operator) joins the window; gopher_filter shifts
-    #                behind (green r04, pytest-replicated).  lsh_recall
-    #                (measured LSH-vs-exact calibration, new operator)
-    #                joins the window; embedding_near_dup shifts behind
-    #                (green r04, pytest-replicated).  archive_extract
-    #                (ZIP/TAR/tar.gz container sources, new family)
-    #                joins the window; pack_sequences shifts behind
-    #                (green r04, pytest-replicated).  image_dedup
-    #                (perceptual dHash near-dup, new family) joins the
-    #                window; pricing_summary shifts behind (green
-    #                r01-r03 + pytest-replicated; top_customers and
-    #                region_revenue keep the TPC family's fresh rows).
-    #                r05 final swap: curation_pipeline (end-to-end
-    #                chain), corpus_drift, text_tiling, trustrank,
-    #                bloom_gate, orc_roundtrip (all new, first rows)
-    #                join the window; hits, rouge_eval,
-    #                pmi_collocations, allpairs_sim, source_overlap,
-    #                ngram_novelty rotate behind — each evicted row's
-    #                family keeps a fresh window row
-    #                (pagerank+trustrank, bleu_eval, bpe_merges,
-    #                lsh_recall, dataset_split+split_leakage), and the
-    #                pytest replica replays every entry regardless.
-    #                r05 closing adds: asof_join + range_join
-    #                (operators/temporal.py — the two temporal joins
-    #                Spark lacks natively, DuckDB ASOF JOIN / IEJoin as
-    #                oracles) and fix_mojibake (Latin-1 double-encoding
-    #                repair) join the window with first rows;
-    #                pdf_extract + html_blocks (hash-green r04,
-    #                pytest-replicated) and top_customers (long-green
-    #                TPC) rotate behind.
+    # oracle) uses sf0.01").  Window policy (r04 verdict Next #2):
+    #   * the flagship extraction chain (extract_spans, extract_articles)
+    #     always leads;
+    #   * never-driver-checked operator families get first claim on the
+    #     remaining slots (88 of the 157 registered queries predate any
+    #     driver row; the window surfaces as many as fit);
+    #   * five long-green TPC rows rotate back in each round so no query
+    #     goes more than ~2 rounds without a fresh driver hash check —
+    #     r05 rotation: pricing_summary, top_customers, region_revenue,
+    #     rank_and_median, monthly_revenue (all last driver-checked r03)
+    #     close the window;
+    #   * centroid_dendrogram and media_pipeline keep window slots this
+    #     round because their oracles changed (rows-only in r04, now
+    #     closed-form VALUES oracles — the fresh row proves hash-green).
+    # Every entry OUTSIDE the window is still value-checked every round by
+    # the pytest DuckDB replica (tests/test_queries_vs_duckdb.py), which
+    # replays all oracle_sql() entries at sf0.01.
     return {
         # -- flagship extraction chain + never-driver-checked families first --
         "extract_spans": q_extract_spans,
@@ -4078,7 +3960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "winnow_pairs": q_winnow_pairs,
         "kmeans": q_kmeans,
-        "epoch_sample": q_epoch_sample,
         "dedup_substrings": q_dedup_substrings,
         "semdedup": q_semdedup,
         "image_dedup": q_image_dedup,
@@ -4090,7 +3971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "crawl_schedule": q_crawl_schedule,
         "pagerank": q_pagerank,
-        "trustrank": q_trustrank,
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bpe_merges": q_bpe_merges,
@@ -4099,9 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": q_corpus_drift,
         "text_tiling": q_text_tiling,
         "curation_pipeline": q_curation_pipeline,
-        "incremental_gate": q_incremental_gate,
         "pca_component": q_pca_component,
-        "lsh_recall": q_lsh_recall,
         "centroid_dendrogram": q_centroid_dendrogram,
         "media_pipeline": q_media_pipeline,
         "dataset_split": q_dataset_split,
@@ -4110,37 +3988,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "curriculum": q_curriculum,
         "tokenizer_stats": q_tokenizer_stats,
-        "length_quantiles": q_length_quantiles,
         "snapshot_incremental": q_snapshot_incremental,
         "wiki_extract": q_wiki_extract,
         "blocklist_filter": q_blocklist_filter,
         "split_sentences": q_split_sentences,
-        # -- r05 rotated-in TPC rows (fresh driver check this round;
-        #    window cut falls after top_customers at position 50 —
-        #    robots_gate + crawl_schedule, new this round, took two
-        #    slots and region_revenue / rank_and_median moved just
-        #    behind the window) --
-        # pack_interleaved + interval_join: new operators, first slots
-        # just behind the window (pytest replica value-checks them
-        # every round; r06 window candidates)
-        "pack_interleaved": q_pack_interleaved,
-        "interval_join": q_interval_join,
+        # -- r05 rotated-in TPC rows (r04 verdict Next #2: these five
+        #    were last driver-checked r03; each gets a fresh r05 row).
+        #    They displace trustrank, lsh_recall, incremental_gate,
+        #    length_quantiles, epoch_sample — every evicted row's
+        #    family keeps a fresh window row (pagerank, minhash_lsh
+        #    r04-green, curation_pipeline, tokenizer_stats,
+        #    curriculum/dataset_split) and all five stay value-checked
+        #    every round by the pytest DuckDB replica. --
+        "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
-        "pdf_extract": q_pdf_extract,
-        "html_blocks": q_html_blocks,
         "region_revenue": q_region_revenue,
         "rank_and_median": q_rank_and_median,
+        "monthly_revenue": q_monthly_revenue,
         # -- behind the 50-row window from here (pytest DuckDB replica
-        #    still replays every entry each round).  chrf_eval,
-        #    anchor_texts, bpe_encode, tfidf_terms ceded their window
-        #    slots to split_sentences + the three TPC rotation rows:
-        #    each evicted row's family keeps a fresh window row
-        #    (bleu_eval/rouge_eval, pagerank/hits, bpe_merges, bm25) --
+        #    still replays every entry each round).  pack_interleaved,
+        #    interval_join, and the rows evicted by the TPC rotation
+        #    sit first in line as r06 window candidates. --
+        "pack_interleaved": q_pack_interleaved,
+        "interval_join": q_interval_join,
+        "trustrank": q_trustrank,
+        "lsh_recall": q_lsh_recall,
+        "incremental_gate": q_incremental_gate,
+        "length_quantiles": q_length_quantiles,
+        "epoch_sample": q_epoch_sample,
+        "pdf_extract": q_pdf_extract,
+        "html_blocks": q_html_blocks,
         "chrf_eval": q_chrf_eval,
         "anchor_texts": q_anchor_texts,
         "bpe_encode": q_bpe_encode,
         "tfidf_terms": q_tfidf_terms,
-        "monthly_revenue": q_monthly_revenue,
         # -- remaining operator-family queries (driver-green r02-r04;
         #    unicode_nfc/zipf_fit/chunk_overlap pytest-replicated now,
         #    window candidates for r06 — zipf_fit and chunk_overlap
@@ -4157,7 +4038,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_extract": q_feed_extract,
         "zipf_fit": q_zipf_fit,
         "chunk_overlap": q_chunk_overlap,
-        "pricing_summary": q_pricing_summary,
         "pack_sequences": q_pack_sequences,
         "gopher_signals": q_gopher_signals,
         "bigram_logprob": q_bigram_logprob,
