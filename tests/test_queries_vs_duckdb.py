@@ -98,10 +98,11 @@ def test_query_matches_oracle(spark, ddb, name):
     assert not errs, f"{name}: " + "; ".join(errs)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    n = QUERIES[name](spark, SF_DIR).count()
-    assert n >= 0
+def test_no_rows_only_queries():
+    """Round 5 closed the last two no_oracle rows (media_pipeline,
+    centroid_dendrogram): every queries() entry now has a value oracle,
+    so the weaker rows-only check has no members left to run."""
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_entry_smoke(spark):
