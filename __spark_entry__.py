@@ -3732,6 +3732,38 @@ def q_asof_join(spark, sf):
         "event_id",
         F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("nearest_orderkey"),
     )
+    # the BROADCAST physical strategy (broadcast_right=True — the
+    # dimension-sized scale path that never exchanges the fact side)
+    # must produce the identical values: certified here by re-running
+    # backward and nearest through it under their own aliases; the
+    # oracle simply repeats the same ASOF expressions
+    bb = asof_join(
+        ev,
+        od,
+        on="user_id",
+        left_ts="ts2",
+        right_ts="o_orderdate",
+        value_cols=("o_orderkey",),
+        tiebreak="o_orderkey",
+        broadcast_right=True,
+    ).select(
+        "event_id",
+        F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("bcast_orderkey"),
+    )
+    bn = asof_join(
+        ev,
+        od,
+        on="user_id",
+        left_ts="ts2",
+        right_ts="o_orderdate",
+        value_cols=("o_orderkey",),
+        tiebreak="o_orderkey",
+        direction="nearest",
+        broadcast_right=True,
+    ).select(
+        "event_id",
+        F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("bcast_nearest_orderkey"),
+    )
     # strict (allow_exact_matches=False) and tolerance modes over a
     # timestamp column with FORCED exact ties: every 10th event is
     # day-truncated so it can land exactly on an order date — strict
@@ -3774,6 +3806,8 @@ def q_asof_join(spark, sf):
         .join(near, "event_id")
         .join(strict, "event_id")
         .join(tol, "event_id")
+        .join(bb, "event_id")
+        .join(bn, "event_id")
     )
 
 
@@ -4284,7 +4318,17 @@ def oracle_sql() -> dict[str, str]:
                          THEN o.o_orderkey
                        ELSE f.o_orderkey
                      END, -1) AS nearest_orderkey,
-                   st.strict_orderkey, st.tol30_orderkey
+                   st.strict_orderkey, st.tol30_orderkey,
+                   coalesce(o.o_orderkey, -1) AS bcast_orderkey,
+                   coalesce(
+                     CASE
+                       WHEN o.o_orderkey IS NULL THEN f.o_orderkey
+                       WHEN f.o_orderkey IS NULL THEN o.o_orderkey
+                       WHEN epoch(e.ts2 - o.o_orderdate)
+                            <= epoch(f.o_orderdate - e.ts2)
+                         THEN o.o_orderkey
+                       ELSE f.o_orderkey
+                     END, -1) AS bcast_nearest_orderkey
             FROM ev2 e
             ASOF LEFT JOIN (SELECT * FROM od2 WHERE rn = 1) o
               ON e.user_id = o.user_id AND e.ts2 >= o.o_orderdate

@@ -55,6 +55,7 @@ def asof_join(
     num_partitions: int | None = None,
     allow_exact_matches: bool = True,
     tolerance_seconds: int | None = None,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """As-of join: every ``left`` row joined to the single ``right``
     row with equal ``on`` key chosen by ``direction``:
@@ -99,9 +100,32 @@ def asof_join(
     pin, SURVEY §10).  Pass an explicit count for large inputs; the
     window reuses the repartition's hash distribution, so this does
     NOT add a second exchange (plan-asserted).
+
+    ``broadcast_right``: the dimension-sized scale path.  When the
+    right side is small (a rate table, a config history, a calendar —
+    anything that fits per-key in a broadcast hash map), the union +
+    keyed-shuffle plan above still EXCHANGES THE ENTIRE LEFT SIDE,
+    which at 10^12 fact rows is the whole job cost.  With
+    ``broadcast_right=True`` the right side collapses to one sorted
+    per-key match array (one tiny shuffle of the dimension only), is
+    broadcast, and each left row resolves its match with JVM
+    higher-order functions — the fact table never shuffles and never
+    sorts (plan-asserted: zero exchanges over the left input).
+    Semantics are identical across every direction / strict /
+    tolerance combination (equivalence-swept in tests).  The per-key
+    arrays live in executor memory; use the default shuffle path when
+    the right side is fact-sized.  ``num_partitions`` is ignored here
+    (there is no left exchange to widen).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction: {direction!r}")
+    if broadcast_right:
+        return _asof_join_broadcast(
+            left, right, on, left_ts, right_ts, value_cols,
+            tiebreak=tiebreak, direction=direction,
+            allow_exact_matches=allow_exact_matches,
+            tolerance_seconds=tolerance_seconds,
+        )
     payload = F.struct(
         F.col(right_ts).cast("timestamp").alias("__asof_rts"),
         *[F.col(c) for c in value_cols],
@@ -203,6 +227,110 @@ def asof_join(
         *[F.col("__asof_match")[c].alias(c) for c in value_cols],
     )
     return out
+
+
+def _asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: tuple[str, ...],
+    tiebreak: str | None,
+    direction: str,
+    allow_exact_matches: bool,
+    tolerance_seconds: int | None,
+) -> DataFrame:
+    """Broadcast physical strategy for :func:`asof_join` (see its
+    docstring for the semantics contract).  Right rows fold to ONE
+    sorted array per key — ascending (ts, tiebreak), so the last
+    element of any filtered prefix is the latest-timestamp /
+    max-tiebreak match, mirroring the shuffle path's window ordering —
+    then a broadcast hash join hands each left row its key's array and
+    ``filter``/``try_element_at`` higher-order functions resolve the
+    match entirely inside codegen.  No Python, no window, no left-side
+    exchange."""
+    tb = (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long")
+    elem = F.struct(
+        F.col(right_ts).cast("timestamp").alias("__asof_rts"),
+        tb.alias("__asof_tb"),
+        F.struct(
+            F.col(right_ts).cast("timestamp").alias("__asof_rts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__asof_payload"),
+    )
+    dim = (
+        right.select(F.col(on).alias("__asof_key"), elem.alias("__asof_e"))
+        .groupBy("__asof_key")
+        .agg(F.sort_array(F.collect_list("__asof_e")).alias("__asof_arr"))
+    )
+    lts = F.col("__asof_lts")
+    joined = left.withColumn(
+        "__asof_lts", F.col(left_ts).cast("timestamp")
+    ).join(F.broadcast(dim), F.col(on) == F.col("__asof_key"), "left")
+
+    def _match_backward(strict: bool):
+        pred = (
+            (lambda e: e["__asof_rts"] < lts)
+            if strict
+            else (lambda e: e["__asof_rts"] <= lts)
+        )
+        return F.try_element_at(F.filter(F.col("__asof_arr"), pred), F.lit(-1))
+
+    def _match_forward(strict: bool):
+        pred = (
+            (lambda e: e["__asof_rts"] > lts)
+            if strict
+            else (lambda e: e["__asof_rts"] >= lts)
+        )
+        cand = F.filter(F.col("__asof_arr"), pred)
+        first_ts = F.try_element_at(cand, F.lit(1))["__asof_rts"]
+        # earliest qualifying timestamp, max tiebreak among its ties —
+        # exactly the shuffle path's (ts asc, seq desc, tb desc) first()
+        return F.try_element_at(
+            F.filter(cand, lambda e: e["__asof_rts"] == first_ts), F.lit(-1)
+        )
+
+    def _tol(match):
+        payload = match["__asof_payload"]
+        if tolerance_seconds is None:
+            return payload
+        delta = F.abs(
+            F.unix_micros(lts) - F.unix_micros(payload["__asof_rts"])
+        )
+        return F.when(
+            match.isNotNull()
+            & (delta <= F.lit(int(tolerance_seconds) * 1_000_000)),
+            payload,
+        )
+
+    strict = not allow_exact_matches
+    if direction == "backward":
+        joined = joined.withColumn("__asof_match", _tol(_match_backward(strict)))
+    elif direction == "forward":
+        joined = joined.withColumn("__asof_match", _tol(_match_forward(strict)))
+    else:  # nearest: closer of the two, ties backward
+        joined = (
+            joined.withColumn("__asof_b", _tol(_match_backward(strict)))
+            .withColumn("__asof_f", _tol(_match_forward(strict)))
+            .withColumn(
+                "__asof_match",
+                F.when(F.col("__asof_b").isNull(), F.col("__asof_f"))
+                .when(F.col("__asof_f").isNull(), F.col("__asof_b"))
+                .when(
+                    F.unix_micros(lts)
+                    - F.unix_micros(F.col("__asof_b.__asof_rts"))
+                    <= F.unix_micros(F.col("__asof_f.__asof_rts"))
+                    - F.unix_micros(lts),
+                    F.col("__asof_b"),
+                )
+                .otherwise(F.col("__asof_f")),
+            )
+        )
+    return joined.select(
+        *[F.col(f.name) for f in left.schema.fields],
+        *[F.col("__asof_match")[c].alias(c) for c in value_cols],
+    )
 
 
 def range_point_join(

@@ -405,6 +405,77 @@ def test_asof_merge_asof_parity(spark):
                 assert got == want, (direction, exact, tol)
 
 
+def test_asof_broadcast_equivalence_sweep(spark):
+    """broadcast_right=True must agree with the shuffle path (itself
+    pandas merge_asof-certified above) on every direction x
+    allow_exact_matches x tolerance combination, including exact-tie
+    and no-match rows."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    r_ts = rng.choice(np.arange(1, 4000), size=120, replace=False) * 8
+    r_keys = rng.randint(0, 5, r_ts.size)
+    l_ts = np.concatenate(
+        [rng.randint(0, 4000, 90) * 8 + 1, rng.choice(r_ts, 40)]
+    )
+    l_keys = rng.randint(0, 6, l_ts.size)  # key 5 may miss entirely
+
+    sl = spark.createDataFrame(
+        pd.DataFrame({"k": l_keys, "t": l_ts, "rowid": np.arange(l_ts.size)})
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "rowid")
+    sr = spark.createDataFrame(
+        pd.DataFrame({"k": r_keys, "t": r_ts, "v": r_ts * 3 + r_keys})
+    ).select("k", F.timestamp_seconds("t").alias("rts"), "v")
+
+    for direction in ("backward", "forward", "nearest"):
+        for exact in (True, False):
+            for tol in (None, 400):
+                def run(bcast):
+                    return {
+                        r["rowid"]: r["v"]
+                        for r in asof_join(
+                            sl, sr, on="k", left_ts="ts", right_ts="rts",
+                            value_cols=("v",), direction=direction,
+                            allow_exact_matches=exact, tolerance_seconds=tol,
+                            broadcast_right=bcast,
+                        ).collect()
+                    }
+
+                assert run(True) == run(False), (direction, exact, tol)
+
+
+def test_asof_broadcast_plan_no_left_exchange(spark):
+    """The broadcast path never shuffles or sorts the left (fact) side:
+    the only hash exchange in the plan is the dimension's own
+    collect_list aggregation, the join is a BroadcastHashJoin, and no
+    window/Sort appears at all."""
+    ev = spark.range(100000).select(
+        (F.col("id") % 50).alias("k"),
+        F.expr("timestamp'2020-01-01' + make_interval(0,0,0,0,0,0, id*97)").alias(
+            "ts"
+        ),
+    )
+    od = spark.range(200).select(
+        (F.col("id") % 50).alias("k"),
+        F.expr("timestamp'2020-01-01' + make_interval(0,0,0,0,0,0, id*403)").alias(
+            "rts"
+        ),
+        F.col("id").alias("v"),
+    )
+    plan = _plan(
+        asof_join(
+            ev, od, on="k", left_ts="ts", right_ts="rts", value_cols=("v",),
+            direction="nearest", broadcast_right=True,
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 1, f"{n} exchanges:\n{plan[:2000]}"
+
+
 def test_range_interval_join_exactly_once_and_boundaries(spark):
     """Overlap is half-open (touching intervals do NOT overlap); a pair
     co-occupying many buckets is emitted exactly once (owner-bucket
