@@ -730,6 +730,7 @@ def text_tiling(
     documents: DataFrame,
     block_tokens: int = 20,
     text_col: str = "text",
+    impl: str = "arrow",
 ) -> DataFrame:
     """TextTiling-style topic segmentation (Hearst 1997, the fixed-
     threshold variant): a document is cut into ``block_tokens``-token
@@ -755,12 +756,27 @@ def text_tiling(
     ``block_tokens`` is capped at 180: the exactness contract runs on
     int64 (dot ≤ w², so the boundary compare computes 4·w⁴ and the ppb
     numerator w⁴·1e9), and 4·180⁴ ≈ 4.2e18 is the last comfortable
-    fit under 2⁶³ — beyond it ANSI mode would kill the job mid-scan."""
+    fit under 2⁶³ — beyond it ANSI mode would kill the job mid-scan.
+
+    ``impl``: ``"hof"`` is the declarative higher-order-function spec
+    above; ``"arrow"`` (default) is the fused mapInPandas twin —
+    byte-identical output (pinned by test across the edge cases AND
+    the sf corpus), same zero-shuffle plan shape, but ~25x faster:
+    nested HOF lambdas evaluate interpreted per element (no codegen),
+    so the O(w²)-per-gap counting dominated the suite, while the Arrow
+    pass does the same exact-integer arithmetic (Python ints for the
+    boundary rule, one float64 division for the ppb value — the same
+    IEEE-754 op the JVM/DuckDB expression performs) in Counter
+    lookups."""
     if block_tokens > 180 or block_tokens < 1:
         raise ValueError(
             f"block_tokens must be in [1, 180] (int64 exactness bound), "
             f"got {block_tokens}"
         )
+    if impl not in ("arrow", "hof"):
+        raise ValueError(f"unknown text_tiling impl: {impl!r}")
+    if impl == "arrow":
+        return _text_tiling_arrow(documents, block_tokens, text_col)
     w = block_tokens
     tokens = F.split(F.col(text_col), " ")
     n_tokens = F.size(tokens)
@@ -818,6 +834,81 @@ def text_tiling(
             F.transform(gaps, lambda s: s["sim2_ppb"].cast("string")), ","
         ).alias("gap_sims_ppb"),
     )
+
+
+def _text_tiling_arrow(
+    documents: DataFrame, w: int, text_col: str
+) -> DataFrame:
+    """Fused Arrow twin of the :func:`text_tiling` HOF spec — identical
+    values (see the spec's exactness contract; equality pinned by
+    tests/test_quality.py on edge cases and the sf corpus).  Per-block
+    term counts are built once per gap with ``Counter`` (the HOF spec
+    recounts per distinct token, interpreted); the boundary rule stays
+    exact Python-int arithmetic and the ppb value performs the same
+    single long→double→divide→floor IEEE-754 chain as the JVM/DuckDB
+    expression, so no float divergence is possible."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    id_type = documents.schema["doc_id"].dataType.simpleString()
+    schema = (
+        f"doc_id {id_type}, n_tokens int, n_blocks int, n_boundaries int, "
+        "n_segments int, boundaries string, gap_sims_ppb string"
+    )
+    giga = 1_000_000_000
+
+    def run(batches):
+        for pdf in batches:
+            n_tok, n_blk, n_bnd, n_seg, bnds, sims = [], [], [], [], [], []
+            for text in pdf[text_col]:
+                if text is None or (isinstance(text, float) and math.isnan(text)):
+                    # split(NULL) is NULL: null token/block counts, no gaps
+                    n_tok.append(None)
+                    n_blk.append(None)
+                    n_bnd.append(0)
+                    n_seg.append(1)
+                    bnds.append("")
+                    sims.append("")
+                    continue
+                toks = text.split(" ")  # single-space regex, empties kept
+                n = len(toks)
+                nb = -(-n // w)  # ceil
+                g_bnds: list[str] = []
+                g_sims: list[str] = []
+                for g in range(1, nb):
+                    left = Counter(toks[(g - 1) * w : g * w])
+                    right = Counter(toks[g * w : (g + 1) * w])
+                    dot = sum(c * right.get(t, 0) for t, c in left.items())
+                    ss_l = sum(c * c for c in left.values())
+                    ss_r = sum(c * c for c in right.values())
+                    # same op order as the JVM expression: exact long
+                    # product, ONE cast to double each side, divide, floor
+                    g_sims.append(
+                        str(math.floor(float(dot * dot * giga) / float(ss_l * ss_r)))
+                    )
+                    if 4 * dot * dot < ss_l * ss_r:
+                        g_bnds.append(str(g))
+                n_tok.append(n)
+                n_blk.append(nb)
+                n_bnd.append(len(g_bnds))
+                n_seg.append(len(g_bnds) + 1)
+                bnds.append(",".join(g_bnds))
+                sims.append(",".join(g_sims))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pd.array(n_tok, dtype="Int32"),
+                    "n_blocks": pd.array(n_blk, dtype="Int32"),
+                    "n_boundaries": pd.array(n_bnd, dtype="Int32"),
+                    "n_segments": pd.array(n_seg, dtype="Int32"),
+                    "boundaries": bnds,
+                    "gap_sims_ppb": sims,
+                }
+            )
+
+    return documents.select("doc_id", text_col).mapInPandas(run, schema)
 
 
 def charclass_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:

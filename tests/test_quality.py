@@ -740,6 +740,55 @@ def test_charclass_stats(spark):
     assert got["d"]["n_chars_seen"] == 0 and got["d"]["suspicious"] == 0
 
 
+def test_text_tiling_arrow_equals_hof_spec(spark):
+    """The fused Arrow twin (default impl) is byte-identical to the
+    declarative HOF spec: edge cases (empty string, repeated spaces,
+    exact-multiple lengths, null text, repeated tokens) plus a slice
+    of the real sf0.001 corpus, plus block_tokens=180 — the int64
+    exactness ceiling where the ppb value's long→double cast actually
+    rounds, so IEEE-754 parity is exercised, not just small-int
+    arithmetic."""
+    import pyspark.sql.functions as F
+
+    from reading_the_unreadable_spark.operators.textstats import text_tiling
+
+    rows = [
+        ("a", "a a b b c"),
+        ("b", ""),
+        ("c", "x  y   z"),        # empty tokens kept by split
+        ("d", "t " * 39 + "t"),   # 40 tokens, exact multiple of w=4
+        ("e", None),
+        ("f", " ".join(f"w{i % 7}" for i in range(97))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def canon(out):
+        return sorted(tuple(r) for r in out.collect())
+
+    for w in (1, 2, 4):
+        assert canon(text_tiling(df, w, impl="arrow")) == canon(
+            text_tiling(df, w, impl="hof")
+        ), w
+
+    # double-rounding parity at the 180 cap (w^4 * 1e9 > 2^53)
+    big = spark.createDataFrame(
+        [("g", " ".join(f"t{i % 11}" for i in range(400)))],
+        "doc_id string, text string",
+    )
+    assert canon(text_tiling(big, 180, impl="arrow")) == canon(
+        text_tiling(big, 180, impl="hof")
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .limit(200)
+    )
+    assert canon(text_tiling(docs, 10, impl="arrow")) == canon(
+        text_tiling(docs, 10, impl="hof")
+    )
+
+
 def test_text_tiling_block_size_bound(spark):
     import pytest
 
