@@ -687,12 +687,24 @@ def test_corpus_drift_single_corpus_scan(spark):
 
 
 def test_text_tiling_zero_shuffle(spark):
-    """Segmentation is nested HOFs over the token array: a pure map
-    stage — no exchange, no Python crossing, rides the consuming scan."""
-    plan = _plan(entrymod.q_text_tiling(spark, SF))
-    assert len(re.findall(r"Exchange (hash|round|range)", plan)) == 0, plan[:2000]
+    """Segmentation is a pure map stage in BOTH impls — no exchange
+    either way.  The declarative HOF spec additionally never crosses
+    to Python; the production Arrow twin crosses exactly once
+    (one MapInPandas, no pickle-row BatchEvalPython) and its values
+    are pinned byte-equal to the spec by test_quality.py."""
+    from reading_the_unreadable_spark.operators.textstats import text_tiling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    hof_plan = _plan(text_tiling(docs, block_tokens=10, impl="hof"))
+    assert len(re.findall(r"Exchange (hash|round|range)", hof_plan)) == 0
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
-        assert marker not in plan, (marker, plan[:2000])
+        assert marker not in hof_plan, (marker, hof_plan[:2000])
+
+    arrow_plan = _plan(entrymod.q_text_tiling(spark, SF))
+    assert len(re.findall(r"Exchange (hash|round|range)", arrow_plan)) == 0
+    assert arrow_plan.count("MapInPandas") == 1, arrow_plan[:2000]
+    assert "BatchEvalPython" not in arrow_plan, arrow_plan[:2000]
 
 
 def test_curation_pipeline_stays_native_and_gated(spark):
