@@ -228,13 +228,31 @@ def main() -> None:
         """Best of k timed runs — this VM shows bursty CPU-steal noise
         (single-shot timings occasionally read 10-100x high; a measured
         burst once put ngram_jaccard at 11s vs its usual 2s); noise only
-        ever slows a run, so min measures capability."""
-        best = float("inf")
-        for _ in range(k):
+        ever slows a run, so min measures capability.
+
+        A burst can span BOTH of a query's best-of-2 runs (measured: a
+        burst put minhash_lsh at 20.8s best-of-2 vs its reproducible
+        4.5s, while the suite-wide steal average read only 1.7% — the
+        aggregate can't localize bursts).  So retry on the DIRECT
+        per-run signal: a run whose /proc/stat steal share exceeds 3%
+        was contaminated; take up to 2 extra runs until one lands in a
+        quiet window, and min() over everything."""
+
+        def timed() -> tuple[float, float]:
+            s0, tt0 = _cpu_ticks()
             t0 = time.monotonic()
             fn()
-            best = min(best, time.monotonic() - t0)
-        return best
+            wall = time.monotonic() - t0
+            s1, tt1 = _cpu_ticks()
+            steal = 100.0 * (s1 - s0) / max(tt1 - tt0, 1)
+            return wall, steal
+
+        runs = [timed() for _ in range(k)]
+        extra = 0
+        while extra < 2 and min(steal for _, steal in runs) > 3.0:
+            runs.append(timed())
+            extra += 1
+        return min(wall for wall, _ in runs)
 
     # the north docs/sec metric keeps best-of-3 (it headlines BASELINE
     # comparisons); the 80+ per-query timings use BEST_OF (default 2)
