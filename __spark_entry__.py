@@ -3823,7 +3823,9 @@ def q_range_join(spark, sf):
     DuckDB's native IEJoin over the same predicate.  The value sum is
     carried as integer milli-units so the aggregate is
     order-independent and engine-exact."""
-    from reading_the_unreadable_spark.operators.temporal import range_point_join
+    from reading_the_unreadable_spark.operators.temporal import (
+        range_point_prefix_agg,
+    )
 
     ev = _t(spark, sf, "events").select(
         "event_id",
@@ -3842,10 +3844,20 @@ def q_range_join(spark, sf):
             F.expr("o_orderdate + interval 30 days").alias("w_end"),
         )
     )
-    j = range_point_join(iv, ev, "w_start", "w_end", "ts2", bucket_seconds=30 * 86400)
-    return j.groupBy("o_orderkey").agg(
-        F.count("*").alias("n_events"),
-        F.sum("mv").alias("sum_millivalue"),
+    # aggregation-level rewrite (guide §2.3/§2.4): the join+groupBy form
+    # materialized the full (window, event) pair set — quadratic in sf
+    # (~10^10 pairs at sf1.0); per-window count/sum is a difference of
+    # day-grain prefix sums, O(events + windows).  Equivalence vs the
+    # pair-join form is pinned in tests/test_temporal.py; the driver
+    # oracle (DuckDB IEJoin) is unchanged.  sum cast to double to match
+    # the oracle's HUGEINT->float64 output dtype (r05 hash mismatch).
+    j = range_point_prefix_agg(
+        iv, ev, "w_start", "w_end", "ts2", "mv", grain_seconds=86400
+    )
+    return j.select(
+        "o_orderkey",
+        F.col("n_points").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_millivalue"),
     )
 
 

@@ -368,6 +368,141 @@ def range_point_join(
     return joined.drop("__rng_bucket")
 
 
+def range_point_prefix_agg(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    value_col: str,
+    grain_seconds: int = 86400,
+) -> DataFrame:
+    """Per-interval ``count``/``sum`` over points in ``[start, end)``
+    — the AGGREGATION-level complement to :func:`range_point_join` for
+    callers that never need the pair rows themselves.
+
+    :func:`range_point_join` + groupBy materializes every qualifying
+    (interval, point) pair before collapsing it; with dense overlapping
+    windows that pair set is O(intervals x points-per-window) — it grew
+    quadratically with scale factor in the bench.  A count/sum per
+    half-open interval is a difference of two PREFIX SUMS, so this
+    operator is O(points + intervals):
+
+    1. points pre-aggregate to ``grain_seconds`` cells (one map-side-
+       combined shuffle; output is bounded by the corpus TIME SPAN /
+       grain, not by data size);
+    2. a single-row higher-order fold turns the sorted cell array into
+       a dense cumulative lookup table (cell -> points/sum at or before
+       cell) — the global step touches only the span-bounded cell
+       table, never data rows, and uses no unpartitioned window;
+    3. the lookup table broadcast-hash-joins back to the intervals
+       twice (end-1 and start-1 cells, clamped to the observed span).
+
+    Intervals with zero qualifying points emit no row — exactly the
+    inner-join + groupBy contract.  Null point timestamps never match
+    (predicate semantics).
+
+    PRECONDITION: interval bounds aligned to ``grain_seconds`` (e.g.
+    date bounds with the default day grain).  Point timestamps are
+    arbitrary.  Equivalence against the join+groupBy form is pinned in
+    tests/test_temporal.py.
+
+    Output: all ``intervals`` columns + ``n_points`` (long) +
+    ``sum_value`` (same type family as ``sum(value_col)``).
+    """
+    g = F.lit(int(grain_seconds)).cast("long")
+    cell = lambda c: F.floor(F.unix_timestamp(F.col(c)) / g).cast("long")  # noqa: E731
+    cells = (
+        points.filter(F.col(ts_col).isNotNull())
+        .select(cell(ts_col).alias("c"), F.col(value_col).alias("v"))
+        .groupBy("c")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    # ONE row holding the sorted populated-cell array; every global
+    # step below runs inside this row over span/grain entries.
+    arr = cells.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("c", "n", "s"))).alias("a")
+    )
+    zero = F.expr(
+        "array(struct(cast(0 as long) as c, cast(0 as long) as n,"
+        " cast(0 as long) as s))"
+    )
+    # running sums over the sorted array (seeded with a zero struct the
+    # filter drops again via its position — we keep it: it becomes the
+    # lo-1 row of the dense table)
+    cum = F.aggregate(
+        "a",
+        zero,
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["c"].alias("c"),
+                    (F.element_at(acc, -1)["n"] + x["n"]).alias("n"),
+                    (F.element_at(acc, -1)["s"] + x["s"]).alias("s"),
+                )
+            ),
+        ),
+    )
+    lo = F.element_at("a", 1)["c"]
+    hi = F.element_at("a", -1)["c"]
+    folded = arr.select(
+        lo.alias("__rpa_lo"), hi.alias("__rpa_hi"), cum.alias("cum")
+    )
+    # dense gap-fill: entry i of cum covers cells [c_i, c_{i+1} - 1]
+    # (the seed zero row is re-labelled lo-1 and covers up to the first
+    # populated cell); explode to one row per covered cell so interval
+    # lookups are plain broadcast hash equi-joins.
+    lut = (
+        folded.select(
+            F.explode(
+                F.expr(
+                    "transform(cum, (e, i) -> struct("
+                    " sequence(if(i = 0, __rpa_lo - 1, e.c),"
+                    "          if(i = size(cum) - 1, e.c,"
+                    "             cum[i + 1].c - 1)) as cs,"
+                    " e.n as n, e.s as s))"
+                )
+            ).alias("sp")
+        )
+        .select(
+            F.explode("sp.cs").alias("k"),
+            F.col("sp.n").alias("n"),
+            F.col("sp.s").alias("s"),
+        )
+    )
+    bounds = folded.select("__rpa_lo", "__rpa_hi").withColumn(
+        "__rpa_one", F.lit(1)
+    )
+    iv = intervals.withColumn("__rpa_one", F.lit(1)).join(
+        F.broadcast(bounds), "__rpa_one"
+    )
+    clamp = lambda c: F.greatest(  # noqa: E731
+        F.least(c, F.col("__rpa_hi")), F.col("__rpa_lo") - 1
+    )
+    iv = iv.withColumn("__rpa_k0", clamp(cell(start_col) - 1)).withColumn(
+        "__rpa_k1", clamp(cell(end_col) - 1)
+    )
+    lut0 = lut.select(
+        F.col("k").alias("__rpa_k0"),
+        F.col("n").alias("__rpa_n0"),
+        F.col("s").alias("__rpa_s0"),
+    )
+    lut1 = lut.select(
+        F.col("k").alias("__rpa_k1"),
+        F.col("n").alias("__rpa_n1"),
+        F.col("s").alias("__rpa_s1"),
+    )
+    out = (
+        iv.join(F.broadcast(lut0), "__rpa_k0")
+        .join(F.broadcast(lut1), "__rpa_k1")
+        .withColumn("n_points", F.col("__rpa_n1") - F.col("__rpa_n0"))
+        .withColumn("sum_value", F.col("__rpa_s1") - F.col("__rpa_s0"))
+        .filter(F.col("n_points") > 0)
+    )
+    return out.select(*intervals.columns, "n_points", "sum_value")
+
+
 def range_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -511,3 +511,81 @@ def test_range_interval_join_exactly_once_and_boundaries(spark):
     plan = _plan(out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_point_prefix_agg_equivalence(spark):
+    """The aggregation-level prefix-sum form must equal the pair-join +
+    groupBy form row-for-row: randomized day-aligned intervals x
+    second-grain points, including empty windows (emit no row), points
+    outside every window, null timestamps (never match), and
+    before/after-span windows (clamped lookups)."""
+    from reading_the_unreadable_spark.operators.temporal import (
+        range_point_prefix_agg,
+    )
+
+    iv = spark.range(200).select(
+        F.col("id").alias("iid"),
+        F.expr(
+            "timestamp'2020-01-01' + make_interval(0,0,0,0,0,0,"
+            " ((id * 37) % 500 - 120) * 86400)"
+        ).alias("s"),
+        F.expr(
+            "timestamp'2020-01-01' + make_interval(0,0,0,0,0,0,"
+            " ((id * 37) % 500 - 120 + 1 + id % 40) * 86400)"
+        ).alias("e"),
+    )
+    pts = spark.range(5000).select(
+        F.col("id").alias("pid"),
+        F.when(
+            F.col("id") % 97 != 0,
+            F.expr(
+                "timestamp'2020-01-01' + make_interval(0,0,0,0,0,0,"
+                " (id * 7919) % 25920000)"
+            ),
+        ).alias("ts"),  # nulls every 97th row
+        (F.col("id") % 1000).cast("long").alias("v"),
+    )
+    expected = {
+        (r["iid"]): (r["n"], r["s2"])
+        for r in range_point_join(iv, pts, "s", "e", "ts", bucket_seconds=40 * 86400)
+        .groupBy("iid")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s2"))
+        .collect()
+    }
+    got = {
+        r["iid"]: (r["n_points"], r["sum_value"])
+        for r in range_point_prefix_agg(iv, pts, "s", "e", "ts", "v").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_range_point_prefix_agg_no_pair_materialization(spark):
+    """The prefix-sum plan must never materialize the (interval, point)
+    pair set: the interval side joins only broadcast lookups — two
+    broadcast hash joins against the span-bounded cumulative table and
+    one single-row bounds attach (a 1-row BroadcastNestedLoopJoin the
+    optimizer makes of the constant-key join) — never a sort-merge /
+    shuffled join and never a cartesian over data rows."""
+    from reading_the_unreadable_spark.operators.temporal import (
+        range_point_prefix_agg,
+    )
+
+    iv = spark.range(100).select(
+        F.col("id").alias("iid"),
+        F.expr("timestamp'2020-01-01' + make_interval(0,0,0, cast(id % 50 as int))").alias("s"),
+        F.expr(
+            "timestamp'2020-01-01' + make_interval(0,0,0, cast(id % 50 + 30 as int))"
+        ).alias("e"),
+    )
+    pts = spark.range(1000).select(
+        F.col("id").alias("pid"),
+        F.expr("timestamp'2020-01-01' + make_interval(0,0,0,0,0,0, id*9000)").alias("ts"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    plan = _plan(range_point_prefix_agg(iv, pts, "s", "e", "ts", "v"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    # two span-bounded lookups; the bounds attach may plan as a 1-row BNL
+    assert plan.count("BroadcastHashJoin") == 2, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
