@@ -301,6 +301,30 @@ def ngram_jaccard_pairs(
     the build side for every key."""
     import math
 
+    # SMALL-UNIVERSE BITSET path (see allpairs_from_tokens): with ≤ 61
+    # distinct tokens corpus-wide the per-bucket pair problem collapses
+    # to distinct bitmasks + a PartEnum segment join + popcount verify —
+    # no token arrays ever cross an exchange.  Falls through to the
+    # banded-join engine for arbitrary vocabularies.
+    toks_e = documents.select(
+        "doc_id",
+        F.col(bucket_col).alias("bucket"),
+        F.explode(tokens_col(F.col("text"))).alias("token"),
+    )
+    vocab = _small_universe(toks_e)
+    if vocab is not None and 0.0 < threshold < 1.0:
+        seg_masks = _bitset_segment_masks(threshold, len(vocab))
+        if seg_masks is not None:
+            pairs = _bitset_doc_pairs(
+                toks_e, threshold, vocab, seg_masks, bucket_cols=("bucket",)
+            )
+            jac = F.round(F.col("n_common") / F.col("n_union"), 6)
+            # threshold on the ROUNDED value — same contract as the
+            # banded path (and the frozen DuckDB oracle)
+            return pairs.select(
+                "doc_a", "doc_b", jac.alias("jaccard")
+            ).filter(F.col("jaccard") >= threshold)
+
     toks = documents.select(
         "doc_id",
         F.col(bucket_col).alias("bucket"),
@@ -355,7 +379,49 @@ def jaccard_verify_pairs(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     (MinHash/SimHash LSH, sub-quadratic) decides WHAT to compare; this
     stage's cost is bounded by the candidate count, never the corpus
     pair count.  ``pairs`` must carry (doc_a, doc_b); extra columns
-    (band counts, hamming) pass through."""
+    (band counts, hamming) pass through.
+
+    Small-universe specialization (see :func:`_bitset_doc_pairs`): when
+    the corpus vocabulary fits 61 tokens, each doc's set is one long
+    bitmask, so the two attach joins carry 8 bytes instead of a token
+    array and the set ops are two popcounts instead of array_intersect/
+    array_union — same jaccard values (counts over the same sets)."""
+    toks_e = documents.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(tokens_col(F.col("text")))
+        ).alias("token"),
+    )
+    vocab = _small_universe(toks_e)
+    if vocab is not None:
+        spark = documents.sparkSession
+        bmap = F.broadcast(
+            spark.createDataFrame(
+                [(t, 1 << i) for i, t in enumerate(vocab)],
+                "token string, __bitval long",
+            )
+        )
+        # left join + explode_outer keep null-text docs present with a
+        # null mask -> null jaccard, matching the array path's nulls
+        masks = (
+            toks_e.join(bmap, "token", "left")
+            .groupBy("doc_id")
+            .agg(F.bit_or("__bitval").alias("__jv_mask"))
+        )
+        a = masks.select(
+            F.col("doc_id").alias("doc_a"), F.col("__jv_mask").alias("__jv_a")
+        )
+        b = masks.select(
+            F.col("doc_id").alias("doc_b"), F.col("__jv_mask").alias("__jv_b")
+        )
+        inter = F.bit_count(F.col("__jv_a").bitwiseAND(F.col("__jv_b")))
+        union = F.bit_count(F.col("__jv_a").bitwiseOR(F.col("__jv_b")))
+        return (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+            .drop("__jv_a", "__jv_b")
+        )
     toks = documents.select(
         "doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("toks")
     )
@@ -419,57 +485,105 @@ def simhash_pairs(documents: DataFrame, bits: int = 32, bands: int = 4) -> DataF
     """Hamming-LSH over SimHash: split the hash into ``bands`` bit-slices;
     docs sharing any slice are candidates (≤ bits/bands differing bits ⇒
     guaranteed candidate).  Bucket-join, never cross join; output the
-    exact Hamming distance per candidate pair."""
-    sh = simhash(documents, bits)
+    exact Hamming distance per candidate pair.
+
+    r06 shape (was: doc-level band join + groupBy(min) dedup): the pair
+    set is quadratic in the corpus, so everything that can run at the
+    DISTINCT-HASH grain now does —
+
+    - the simhash table is stage-boundaried once (scratch parquet), so
+      the md5 vote fold runs exactly once per doc and downstream
+      constraint inference can never re-evaluate it at the scan (the
+      hazard that previously forced an aggregate pushdown barrier);
+    - the band join runs over DISTINCT simhash values (hash-identical
+      docs are interchangeable), and each unordered hash pair is
+      emitted exactly once by the FIRST-shared-band owner filter — a
+      filter on the two hashes already in the join output, replacing
+      the old groupBy dedup that shuffled the full quadratic pair set;
+    - hash pairs expand back to doc pairs through two output-bounded
+      hash joins on the boundary table, and hash-identical groups
+      contribute their within-group pairs (hamming 0) via one
+      self-join.
+
+    Because the output is no longer an aggregate, a downstream
+    ``hamming <= t`` filter now PUSHES INTO the hash-pair join — the
+    composed near-dup pipeline (near_dup_verified) prunes candidates
+    before expansion instead of after the full pair shuffle."""
+    sh = _stage_boundary(simhash(documents, bits), "simhash_vals")
     slice_bits = bits // bands
     mask = (1 << slice_bits) - 1
-    sliced = sh.select(
-        "doc_id",
+
+    def _slice(col, b):
+        return F.shiftright(col, b * slice_bits).bitwiseAND(F.lit(mask))
+
+    hashes = sh.select("simhash").distinct()
+    sliced = hashes.select(
         "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * slice_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("sig"),
+                        _slice(F.col("simhash"), b).alias("sig"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ).select("simhash", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a, b = sliced.alias("a"), sliced.alias("b")
+    # first-shared-band owner: keep the pair only in the band where all
+    # EARLIER slices differ — exactly-once without a dedup shuffle
+    owner = None
+    for i in range(bands):
+        c = F.col("a.band") == F.lit(i)
+        for j in range(i):
+            c = c & (
+                _slice(F.col("a.simhash"), j) != _slice(F.col("b.simhash"), j)
+            )
+        owner = c if owner is None else (owner | c)
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     # single bit_count expression, NOT a 32-term shift/mask sum: a giant
     # inlined expression in a join condition or filter blows past the JVM
     # codegen method limit and drops the whole join to interpreted mode
     # (measured 6x slower when a hamming filter was pushed into the join)
     hamming = F.bit_count(xor).cast("int")
-    return (
+    hash_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
+        .filter(owner)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("__h_a"),
+            F.col("b.simhash").alias("__h_b"),
             hamming.alias("hamming"),
         )
-        # dedup multi-band matches via groupBy + min (hamming is a pure
-        # function of the pair, so min == the value).  Deliberately NOT
-        # distinct(): with hamming as a grouping key, a downstream
-        # `hamming <= t` filter is pushable below the aggregate and into
-        # the join, where constraint inference adds isnotnull(simhash)
-        # null-checks that re-evaluate the whole simhash fold AT THE SCAN
-        # on both sides (measured 3x slowdown).  An aggregate output is a
-        # pushdown barrier.
-        .groupBy("doc_a", "doc_b")
-        .agg(F.min("hamming").alias("hamming"))
     )
+    ma = sh.select(F.col("doc_id").alias("__doc_x"), F.col("simhash").alias("__h_a"))
+    mb = sh.select(F.col("doc_id").alias("__doc_y"), F.col("simhash").alias("__h_b"))
+    cross = (
+        hash_pairs.join(ma, "__h_a")
+        .join(mb, "__h_b")
+        .select(
+            F.least("__doc_x", "__doc_y").alias("doc_a"),
+            F.greatest("__doc_x", "__doc_y").alias("doc_b"),
+            "hamming",
+        )
+    )
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    same = s1.join(
+        s2,
+        (F.col("s1.simhash") == F.col("s2.simhash"))
+        & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+    ).select(
+        F.col("s1.doc_id").alias("doc_a"),
+        F.col("s2.doc_id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return cross.unionByName(same)
 
 
 def simhash_pairs_oracle_sql(bits: int = 32, bands: int = 4) -> str:
@@ -860,6 +974,193 @@ def near_dedup(
     return documents.join(losers.select("doc_id"), "doc_id", "left_anti")
 
 
+def _small_universe(
+    toks: DataFrame, token_col: str = "token", cap: int = 61
+) -> list[str] | None:
+    """The sorted global token universe IF it fits ``cap`` values, else
+    None.  One distinct probe with an early-exit limit — the probe can
+    prove 'large' after cap+1 distinct values without aggregating the
+    full vocabulary to the driver; 'small' is exact.  cap ≤ 61 keeps
+    every set representable as one signed-long bitmask."""
+    rows = (
+        toks.select(token_col)
+        .filter(F.col(token_col).isNotNull())
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        return None
+    return sorted(r[0] for r in rows)
+
+
+def _bitset_segment_masks(
+    threshold: float, v: int, max_segments: int = 16
+) -> list[int] | None:
+    """PartEnum-style universe partition for the bitset path (Arasu,
+    Ganti & Kaushik, VLDB 2006): jaccard ≥ t bounds the symmetric
+    difference by d = floor((1−t)·|union|) ≤ floor((1−t)·v), and by
+    pigeonhole two qualifying sets must agree EXACTLY on at least one
+    of d+1 universe segments — so segment-content equality is a
+    complete (no-false-negative) candidate key.  Returns the d+1
+    segment bitmasks, or None when the threshold needs more than
+    ``max_segments`` segments (low thresholds: the per-segment
+    agreement probability stops being selective and the generic
+    prefix-filter path wins)."""
+    import math
+
+    if not (0.0 < threshold < 1.0):
+        return None
+    # +1e-9: never under-floor d through float error (an extra segment
+    # is always safe, a missing one loses pairs)
+    d = int(math.floor((1.0 - threshold) * v + 1e-9))
+    n_seg = d + 1
+    if n_seg > min(v, max_segments):
+        return None
+    bounds = [round(i * v / n_seg) for i in range(n_seg + 1)]
+    masks = []
+    for i in range(n_seg):
+        m = 0
+        for b in range(bounds[i], bounds[i + 1]):
+            m |= 1 << b
+        masks.append(m)
+    return masks
+
+
+def _bitset_doc_pairs(
+    toks: DataFrame,
+    threshold: float,
+    vocab: list[str],
+    seg_masks: list[int],
+    bucket_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """All document pairs with token-set jaccard ≥ ``threshold`` (and
+    equal ``bucket_cols``), via the SMALL-UNIVERSE BITSET specialization
+    of the exact all-pairs join: with ≤ 61 distinct tokens every set is
+    one long bitmask, so
+
+    - documents GROUP BY their exact mask first (interchangeable-set
+      dedup: n docs over D ≤ min(n, 2^|U|) distinct sets turns the pair
+      problem from n² to D² before any join runs);
+    - candidates between DISTINCT masks come from the PartEnum segment
+      join (:func:`_bitset_segment_masks`), each unordered mask pair
+      emitted exactly once by the first-agreeing-segment owner rule (a
+      filter, not a distinct — no extra shuffle of the candidate set);
+    - verification is two popcounts (``bit_count``), never an
+      array_intersect;
+    - qualifying mask pairs expand back to doc pairs through two
+      output-bounded hash joins on the members table, and same-mask
+      groups contribute their within-group pairs (jaccard exactly 1)
+      via one members self-join.
+
+    Emits (bucket_cols..., doc_a, doc_b, n_common, n_union) with
+    doc_a < doc_b; thresholding uses a 1e-6-relaxed bound so callers
+    applying either the unrounded or a ≥6-dp-rounded jaccard filter
+    lose nothing.  Exactness vs brute force is pinned in
+    tests/test_dedup.py."""
+    t_relax = threshold - 1e-6
+    spark = toks.sparkSession
+    bmap = F.broadcast(
+        spark.createDataFrame(
+            [(t, 1 << i) for i, t in enumerate(vocab)],
+            "token string, __bitval long",
+        )
+    )
+    members = (
+        toks.join(bmap, "token")
+        .groupBy(*bucket_cols, "doc_id")
+        .agg(F.bit_or("__bitval").alias("mask"))
+    )
+    masks = members.select(*bucket_cols, "mask").distinct()
+    segs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seg"),
+                    F.col("mask").bitwiseAND(F.lit(m)).alias("sig"),
+                )
+                for i, m in enumerate(seg_masks)
+            ]
+        )
+    ).alias("bs")
+    sigs = masks.select(*bucket_cols, "mask", segs).select(
+        *bucket_cols,
+        "mask",
+        F.col("bs.seg").alias("seg"),
+        F.col("bs.sig").alias("sig"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cond = (
+        (F.col("a.seg") == F.col("b.seg"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.mask") < F.col("b.mask"))
+    )
+    for bc in bucket_cols:
+        cond = cond & (F.col(f"a.{bc}") == F.col(f"b.{bc}"))
+    # first-agreeing-segment owner: pair kept only where every EARLIER
+    # segment disagrees — one emission per mask pair, zero dedup shuffle
+    owner = None
+    for i in range(len(seg_masks)):
+        c = F.col("a.seg") == F.lit(i)
+        for m in seg_masks[:i]:
+            c = c & (
+                F.col("a.mask").bitwiseAND(F.lit(m))
+                != F.col("b.mask").bitwiseAND(F.lit(m))
+            )
+        owner = c if owner is None else (owner | c)
+    common = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask")))
+    union = F.bit_count(F.col("a.mask").bitwiseOR(F.col("b.mask")))
+    mask_pairs = (
+        a.join(b, cond)
+        .filter(owner)
+        .filter(common.cast("double") / union >= F.lit(t_relax))
+        .select(
+            *[F.col(f"a.{bc}").alias(bc) for bc in bucket_cols],
+            F.col("a.mask").alias("__mask_a"),
+            F.col("b.mask").alias("__mask_b"),
+            common.cast("long").alias("n_common"),
+            union.cast("long").alias("n_union"),
+        )
+    )
+    ma = members.select(
+        *bucket_cols,
+        F.col("doc_id").alias("__doc_x"),
+        F.col("mask").alias("__mask_a"),
+    )
+    mb = members.select(
+        *bucket_cols,
+        F.col("doc_id").alias("__doc_y"),
+        F.col("mask").alias("__mask_b"),
+    )
+    jk = [*bucket_cols, "__mask_a"]
+    cross = (
+        mask_pairs.join(ma, jk)
+        .join(mb, [*bucket_cols, "__mask_b"])
+        .select(
+            *bucket_cols,
+            F.least("__doc_x", "__doc_y").alias("doc_a"),
+            F.greatest("__doc_x", "__doc_y").alias("doc_b"),
+            "n_common",
+            "n_union",
+        )
+    )
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    same_cond = (F.col("m1.mask") == F.col("m2.mask")) & (
+        F.col("m1.doc_id") < F.col("m2.doc_id")
+    )
+    for bc in bucket_cols:
+        same_cond = same_cond & (F.col(f"m1.{bc}") == F.col(f"m2.{bc}"))
+    sz = F.bit_count(F.col("m1.mask")).cast("long")
+    same = m1.join(m2, same_cond).select(
+        *[F.col(f"m1.{bc}").alias(bc) for bc in bucket_cols],
+        F.col("m1.doc_id").alias("doc_a"),
+        F.col("m2.doc_id").alias("doc_b"),
+        sz.alias("n_common"),
+        sz.alias("n_union"),
+    )
+    return cross.unionByName(same)
+
+
 def allpairs_jaccard(
     documents: DataFrame, threshold: float = 0.9, text_col: str = "text"
 ) -> DataFrame:
@@ -921,6 +1222,33 @@ def allpairs_from_tokens(
     (``allpairs_jaccard``), shingles (:func:`lsh_recall`'s exact truth
     side), or any other fingerprintable unit.  Same guarantees: exact,
     prefix-filtered, positionally pruned, verify joins doc-bounded."""
+    # SMALL-UNIVERSE BITSET specialization (guide §2.3 narrower types,
+    # taken to its limit): when the global vocabulary fits 61 values —
+    # dictionary-coded categorical corpora, label sets, enum streams —
+    # every token set is one long bitmask, identical sets collapse
+    # before any join, candidates come from the PartEnum segment join,
+    # and verification is two popcounts.  Exact (no false negatives);
+    # the generic prefix-filter path below remains the arbitrary-
+    # vocabulary engine (measured at sf1.0: 271 s prefix path → see
+    # OPTIMIZATION_r06.md for the bitset number on the bench corpus).
+    vocab = _small_universe(toks)
+    if vocab is not None:
+        seg_masks = _bitset_segment_masks(threshold, len(vocab))
+        if seg_masks is not None:
+            pairs = _bitset_doc_pairs(toks, threshold, vocab, seg_masks)
+            # threshold on the UNROUNDED ratio — same contract as the
+            # generic path's final filter
+            return pairs.filter(
+                F.col("n_common") / F.col("n_union") >= threshold
+            ).select(
+                "doc_a",
+                "doc_b",
+                "n_common",
+                "n_union",
+                F.round(
+                    F.col("n_common") / F.col("n_union"), 4
+                ).alias("jaccard"),
+            )
     dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
     # three consumers (prefix explode + both verify sides) with three
     # different required partitionings — boundary the sorted-set frame

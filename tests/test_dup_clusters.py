@@ -169,7 +169,15 @@ def test_allpairs_jaccard_random_corpora_exact(spark):
         allpairs_jaccard,
     )
 
-    for seed, vocab_n, t in [(1, 12, 0.5), (2, 40, 0.7), (3, 8, 0.9)]:
+    # vocab ≤ 61 routes to the small-universe BITSET engine, > 61 to
+    # the generic prefix-filter engine — both must be brute-force-exact
+    for seed, vocab_n, t in [
+        (1, 12, 0.5),
+        (2, 40, 0.7),
+        (3, 8, 0.9),
+        (4, 80, 0.7),   # generic path
+        (5, 200, 0.9),  # generic path, sparse similarity
+    ]:
         rng = random.Random(seed)
         vocab = [f"w{i}" for i in range(vocab_n)]
         texts = {
@@ -268,3 +276,76 @@ def test_incremental_gate_over_snapshot_layer(spark, tmp_path):
         for r in incremental_minhash_gate(new, index).collect()
     }
     assert got == {11: (False, 1), 12: (True, None)}
+
+def test_ngram_jaccard_bitset_vs_bruteforce(spark):
+    """The small-universe bitset route of ngram_jaccard_pairs equals a
+    plain-Python brute force (bucketed, rounded-threshold contract) on
+    seeded random corpora — including duplicate token sets, which the
+    bitset engine collapses and re-expands."""
+    import random
+    from itertools import combinations
+
+    from reading_the_unreadable_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    for seed, vocab_n, t in [(11, 10, 0.6), (12, 25, 0.9)]:
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(vocab_n)]
+        rows = []
+        for d in range(40):
+            text = " ".join(rng.choices(vocab, k=rng.randint(2, 15)))
+            if d % 7 == 0 and d > 0:
+                text = rows[d - 1][1]  # exact token-set duplicates
+            rows.append((d, text, "en" if d % 3 else "de"))
+        sets = {d: set(txt.split()) for d, txt, _ in rows}
+        langs = {d: lang for d, _, lang in rows}
+        expected = {}
+        for a, b in combinations(range(40), 2):
+            if langs[a] != langs[b]:
+                continue
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            jac = round(i / u, 6)
+            if jac >= t:
+                expected[(a, b)] = jac
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, threshold=t).collect()
+        }
+        assert got == expected, (seed, t, len(got), len(expected))
+
+
+def test_jaccard_verify_pairs_bitset_matches_array_path(spark):
+    """The mask-based verify (small universe) must produce the same
+    jaccard values as the token-array path, including the null-text
+    doc -> null jaccard contract."""
+    from reading_the_unreadable_spark.operators.dedup import (
+        jaccard_verify_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c e"),
+            (3, "a b"),
+            (4, None),
+            (5, "a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 9), (1, 4, 9), (1, 5, 9), (3, 4, 9)],
+        "doc_a long, doc_b long, hamming int",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["hamming"])
+        for r in jaccard_verify_pairs(docs, pairs).collect()
+    }
+    assert out[(1, 2)] == (0.6, 9)
+    assert out[(1, 3)] == (0.5, 9)
+    assert out[(1, 5)] == (1.0, 9)
+    assert out[(1, 4)][0] is None  # null text -> null jaccard
+    assert out[(3, 4)][0] is None
+    assert len(out) == 5

@@ -81,10 +81,30 @@ def test_minhash_verify_join_is_candidate_bounded(spark):
         assert re.search(r"doc_[ab]", key_part), f"shingle join not doc-bounded: {ln}"
 
 
+def _big_vocab_docs(spark, n=40):
+    """A corpus whose vocabulary exceeds the 61-token bitset cap, so the
+    pair operators route to their generic (banded / prefix-filter)
+    engines — the shapes these plan audits pin."""
+    rows = [
+        (
+            i,
+            " ".join(f"w{i % 7}_{j}" for j in range(12)),
+            "en" if i % 2 == 0 else "de",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
 def test_ngram_join_is_size_banded(spark):
-    """The ngram pair join must carry the token-count band in its equi
-    keys (bounded pair space), not just the low-cardinality lang bucket."""
-    plan = _plan(entrymod.q_ngram_jaccard(spark, SF))
+    """GENERIC path (vocabulary > the bitset cap): the ngram pair join
+    must carry the token-count band in its equi keys (bounded pair
+    space), not just the low-cardinality lang bucket."""
+    from reading_the_unreadable_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    plan = _plan(ngram_jaccard_pairs(_big_vocab_docs(spark), threshold=0.9))
     join_lines = [
         ln
         for ln in plan.splitlines()
@@ -96,16 +116,33 @@ def test_ngram_join_is_size_banded(spark):
 
 
 def test_ngram_replication_bounded(spark):
-    """The ngram probe side may be replicated ONLY by the ±1 band
-    explode (3×, algorithmically required) — no salt explode: the plan
-    must contain no salt column, and the only Generate over the token
-    frame expands a 3-element array."""
-    plan = _plan(entrymod.q_ngram_jaccard(spark, SF))
+    """GENERIC path: the ngram probe side may be replicated ONLY by the
+    ±1 band explode (3×, algorithmically required) — no salt explode:
+    the plan must contain no salt column, and the only Generate over
+    the token frame expands a 3-element array."""
+    from reading_the_unreadable_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    plan = _plan(ngram_jaccard_pairs(_big_vocab_docs(spark), threshold=0.9))
     assert "salt" not in plan, "salt replication reintroduced"
     gen_lines = [ln for ln in plan.splitlines() if "Generate explode" in ln]
     # one explode on the b side (band array); no sequence(0, salt) explode
     assert len(gen_lines) == 1, gen_lines
     assert "sequence" not in gen_lines[0], gen_lines[0]
+
+
+def test_ngram_bitset_path_no_token_arrays(spark):
+    """BITSET path (bench corpus: 31-token vocabulary): the pair join
+    runs at the distinct-bitmask grain — no token arrays may cross any
+    exchange, no cartesian, and verification is popcount (bit_count),
+    never array_intersect."""
+    plan = _plan(entrymod.q_ngram_jaccard(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "array_intersect" not in plan
+    assert "bit_count" in plan
+    exch = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert not any("toks" in ln for ln in exch), exch
 
 
 def test_dedup_no_storage_cache(spark):
@@ -619,16 +656,16 @@ def test_eval_metrics_grams_never_shuffle(spark):
 
 
 def test_allpairs_verify_is_candidate_bounded(spark):
-    """Prefix-filter all-pairs: the candidate join keys on single
-    prefix tokens; the verification joins (where array_intersect
-    runs) must key on doc_a/doc_b — bounded by the candidate list —
-    and nothing in the plan may be cartesian."""
+    """GENERIC path (vocabulary > the bitset cap): prefix-filter
+    all-pairs — the candidate join keys on single prefix tokens; the
+    verification joins (where array_intersect runs) must key on
+    doc_a/doc_b — bounded by the candidate list — and nothing in the
+    plan may be cartesian."""
     from reading_the_unreadable_spark.operators.dedup import (
         allpairs_jaccard,
     )
 
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(allpairs_jaccard(docs, threshold=0.95))
+    plan = _plan(allpairs_jaccard(_big_vocab_docs(spark), threshold=0.95))
     assert "CartesianProduct" not in plan
     join_lines = [
         ln
@@ -640,6 +677,24 @@ def test_allpairs_verify_is_candidate_bounded(spark):
     assert verify, "expected the verify joins in the plan"
     for ln in verify:
         assert re.search(r"doc_[ab]", ln.split("Join")[1]), ln
+
+
+def test_allpairs_bitset_path_shape(spark):
+    """BITSET path (bench corpus: 31-token vocabulary): sets collapse
+    to distinct masks, candidates come from the PartEnum segment join,
+    verify is popcount — token arrays never cross an exchange, no
+    cartesian, no array_intersect anywhere in the plan."""
+    from reading_the_unreadable_spark.operators.dedup import (
+        allpairs_jaccard,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(allpairs_jaccard(docs, threshold=0.95))
+    assert "CartesianProduct" not in plan
+    assert "array_intersect" not in plan
+    assert "bit_count" in plan
+    exch = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert not any("toks" in ln for ln in exch), exch
 
 
 def test_dedup_lines_plan_shape(spark):
