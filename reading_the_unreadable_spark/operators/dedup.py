@@ -161,8 +161,15 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc (doc_id, shingle)."""
-    w = tokens_col(F.col("text"))
+    """Distinct word n-gram shingles per doc (doc_id, shingle).
+
+    The token array is materialized as a column first — codegen does
+    not CSE inside higher-order-function lambdas, so referencing the
+    split expression directly re-ran it for every element_at of every
+    shingle (n+1 splits per shingle; measured as the dominant cost of
+    the minhash family at sf1.0)."""
+    docs = documents.withColumn("__sh_w", tokens_col(F.col("text")))
+    w = F.col("__sh_w")
     sh = F.when(
         F.size(w) >= n,
         F.transform(
@@ -172,7 +179,7 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
             ),
         ),
     ).otherwise(F.array(F.array_join(w, " ")))
-    return documents.select(
+    return docs.select(
         "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
@@ -205,6 +212,55 @@ def lsh_band_signatures(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame
     )
 
 
+def band_signatures(
+    sh: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """(doc_id, band, band_sig) straight from the shingle frame — the
+    FUSED form of ``lsh_band_signatures(minhash_signatures(sh))``.
+
+    The composed form exploded every shingle ``n_hashes`` ways and
+    shuffled the exploded frame twice ((doc, seed) min, then (doc,
+    band) fold).  All ``n_hashes`` minima are plain aggregates of the
+    SAME rows, so one groupBy(doc_id) with ``n_hashes`` min columns
+    computes them with map-side partial aggregation — one shuffle of
+    one row per doc — and the band fold becomes a constant-width md5
+    over adjacent min columns (equal to the composed fold because
+    seeds within a band are distinct and sorted).  Equivalence is
+    pinned in tests/test_dup_clusters.py."""
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))
+            ).alias(f"__mh{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    n_bands = -(-n_hashes // band_rows)
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"__mh{s}")
+                            for s in range(
+                                b * band_rows,
+                                min((b + 1) * band_rows, n_hashes),
+                            )
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mins.select("doc_id", F.explode(bands_arr).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -226,7 +282,7 @@ def minhash_lsh_pairs(
     # sides of the verify join): one scratch-parquet boundary instead of
     # four full recomputes — and instead of a corpus-scale .cache()
     sh = _stage_boundary(shingles(_spread(documents), n), "minhash_shingles")
-    sigs = lsh_band_signatures(minhash_signatures(sh, n_hashes), band_rows)
+    sigs = band_signatures(sh, n_hashes, band_rows)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = _stage_boundary(
         a.join(
@@ -1368,10 +1424,7 @@ def build_minhash_index(
     each incoming batch never touches history text again.  Pure
     per-doc function (md5 minhashes, sorted band fold) — identical
     whether built over the whole corpus or per partition/batch."""
-    return lsh_band_signatures(
-        minhash_signatures(shingles(_spread(documents), n), n_hashes),
-        band_rows,
-    )
+    return band_signatures(shingles(_spread(documents), n), n_hashes, band_rows)
 
 
 def incremental_minhash_gate(
@@ -1445,7 +1498,7 @@ def lsh_recall(
     truth = allpairs_from_tokens(
         sh.select("doc_id", F.col("shingle").alias("token")), threshold
     ).select("doc_a", "doc_b")
-    sigs = lsh_band_signatures(minhash_signatures(sh, n_hashes), band_rows)
+    sigs = band_signatures(sh, n_hashes, band_rows)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(

@@ -736,8 +736,10 @@ def contamination_flags(
 
     scan = _spread(documents)  # gram build is compute-heavy map work
 
-    def grams(col: Column) -> Column:
-        words = F.split(col, " ")
+    # the words array is materialized as a column before the transform:
+    # codegen does not CSE inside HOF lambdas, so an inline `words`
+    # reference re-ran the split for every gram (see _shingle_fps)
+    def grams(words: Column) -> Column:
         return F.when(
             F.size(words) >= n,
             F.transform(
@@ -747,7 +749,8 @@ def contamination_flags(
         ).otherwise(F.array().cast("array<string>"))
 
     bench_grams = (
-        benchmark.select(F.explode(grams(F.col(text_col))).alias("gram"))
+        benchmark.withColumn("__cf_w", F.split(F.col(text_col), " "))
+        .select(F.explode(grams(F.col("__cf_w"))).alias("gram"))
         .distinct()
     )
     # explode_outer + IS NOT NULL (not plain explode): the inferred
@@ -755,8 +758,10 @@ def contamination_flags(
     # with the whole gram expression substituted in — evaluating it
     # serially on the scan task (see winnow_pairs for the measurement)
     doc_grams = (
-        scan.select(
-            "doc_id", F.explode_outer(grams(F.col(text_col))).alias("gram")
+        scan.withColumn("__cf_w", F.split(F.col(text_col), " "))
+        .select(
+            "doc_id",
+            F.explode_outer(grams(F.col("__cf_w"))).alias("gram"),
         )
         .where(F.col("gram").isNotNull())
         .distinct()
@@ -1123,23 +1128,31 @@ def source_overlap(
 
     Output: (source_a, source_b, n_shared_shingles), a < b; source
     pairs with zero overlap emit no row."""
+    from .dedup import _spread
+
+    # materialized token array + md5 inside the transform + per-doc
+    # array_distinct (see _shingle_fps: lambda CSE / shuffle-input
+    # rationale); the cross-DOC distinct shuffle below still runs, on
+    # the per-doc-deduped fingerprints
+    documents = _spread(documents)
     w = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    k = F.size(w) - F.lit(shingle_len - 1)
+    docs = documents.withColumn("__so_w", w)
+    k = F.size("__so_w") - F.lit(shingle_len - 1)
     shingles = F.when(
         k >= 1,
         F.transform(
             F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(w, i, F.lit(shingle_len)), " "),
+            lambda i: F.md5(
+                F.array_join(
+                    F.slice(F.col("__so_w"), i, F.lit(shingle_len)), " "
+                )
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sfp = (
-        documents.select(
-            F.col(source_col).alias("source"),
-            F.explode(shingles).alias("sh"),
-        )
-        .select("source", F.md5("sh").alias("fp"))
-        .distinct()
-    )
+    sfp = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.array_distinct(shingles)).alias("fp"),
+    ).distinct()
     a = sfp.select(F.col("source").alias("source_a"), "fp")
     b = sfp.select(F.col("source").alias("source_b"), "fp")
     return (
@@ -1157,21 +1170,35 @@ def _shingle_fps(
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, *extra, fp): DISTINCT 16-byte fingerprints of the
-    ``shingle_len``-token shingles — map-side explode + md5, so the
-    dedup shuffle never carries shingle text."""
+    ``shingle_len``-token shingles — map-side explode + md5; the
+    per-doc array_distinct makes this exactly the distinct (doc, fp)
+    set with zero shuffle."""
+    from .dedup import _spread
+
+    documents = _spread(documents)  # shingle+md5 build is map-heavy
     w = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    k = F.size(w) - F.lit(shingle_len - 1)
+    # materialize the token array as a column FIRST: codegen does not
+    # common-subexpression-eliminate inside higher-order-function
+    # lambdas, so referencing `w` directly in the transform re-ran the
+    # split+filter for every shingle (measured 18.3 s -> 4.7 s at
+    # sf1.0); and per-doc array_distinct replaces the global distinct
+    # SHUFFLE outright — (doc, fp) distinctness is per-document, so the
+    # map-side dedup is exact and the operator becomes shuffle-free
+    docs = documents.withColumn("__sfp_w", w)
+    k = F.size("__sfp_w") - F.lit(shingle_len - 1)
     sh = F.when(
         k >= 1,
         F.transform(
             F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(w, i, F.lit(shingle_len)), " "),
+            lambda i: F.md5(
+                F.array_join(
+                    F.slice(F.col("__sfp_w"), i, F.lit(shingle_len)), " "
+                )
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        documents.select("doc_id", *extra_cols, F.explode(sh).alias("sh"))
-        .select("doc_id", *extra_cols, F.md5("sh").alias("fp"))
-        .distinct()
+    return docs.select(
+        "doc_id", *extra_cols, F.explode(F.array_distinct(sh)).alias("fp")
     )
 
 

@@ -516,17 +516,36 @@ def range_interval_join(
     OVERLAP (``l_start < r_end AND r_start < l_end``), no equi-key —
     the interval×interval completion of :func:`range_point_join`.
 
-    Both sides explode to the fixed-width buckets they touch and the
-    candidate set is the bucket equi-join.  Overlapping pairs can
-    co-occupy MANY buckets, so each pair is emitted exactly once by
-    keeping it only in the bucket that contains the overlap's start
-    (``greatest(l_start, r_start)``) — a deterministic single owner per
-    pair, no ``distinct`` shuffle.  The exact overlap predicate is
-    applied after the bucket prune.  Replication factor per row =
-    interval_len/bucket + 1 (pick ``bucket_seconds`` near the typical
-    interval length).  Column names must not collide.
+    Both sides reduce to their DISTINCT (start, end) intervals first,
+    the distinct intervals explode to the fixed-width buckets they
+    touch, and the candidate set is the bucket equi-join at that
+    grain.  Overlapping interval pairs can co-occupy MANY buckets, so
+    each is emitted exactly once by keeping it only in the bucket that
+    contains the overlap's start (``greatest(l_start, r_start)``) — a
+    deterministic single owner per pair, no ``distinct`` shuffle.  The
+    exact overlap predicate is applied after the bucket prune.
+    Qualifying interval pairs then expand back to row pairs through
+    two hash joins on the endpoint columns — output-bounded by
+    construction.
+
+    Why the distinct grain: rows sharing an interval are
+    interchangeable for the join decision, so with duplication factor
+    k per side the candidate join runs k² cheaper; with fully unique
+    intervals the distinct/expansion steps add only endpoint-sized
+    shuffles while the candidate join cost is unchanged.  Replication
+    factor per distinct interval = interval_len/bucket + 1 (pick
+    ``bucket_seconds`` near the typical interval length).  Column
+    names must not collide.
     """
     b = F.lit(int(bucket_seconds)).cast("long")
+
+    ld = left.select(
+        F.col(left_start).alias("__rng_ls"), F.col(left_end).alias("__rng_le")
+    ).distinct()
+    rd = right.select(
+        F.col(right_start).alias("__rng_rs"),
+        F.col(right_end).alias("__rng_re"),
+    ).distinct()
 
     def explode_side(df: DataFrame, s: str, e: str) -> DataFrame:
         return df.withColumn(
@@ -539,15 +558,38 @@ def range_interval_join(
             ),
         )
 
-    lv = explode_side(left, left_start, left_end)
-    rv = explode_side(right, right_start, right_end)
-    overlap = (F.col(left_start) < F.col(right_end)) & (
-        F.col(right_start) < F.col(left_end)
+    lv = explode_side(ld, "__rng_ls", "__rng_le")
+    rv = explode_side(rd, "__rng_rs", "__rng_re")
+    overlap = (F.col("__rng_ls") < F.col("__rng_re")) & (
+        F.col("__rng_rs") < F.col("__rng_le")
     )
     owner = (
-        F.unix_timestamp(F.greatest(F.col(left_start), F.col(right_start))) / b
+        F.unix_timestamp(
+            F.greatest(F.col("__rng_ls"), F.col("__rng_rs"))
+        ) / b
     ).cast("long")
-    joined = lv.join(rv, "__rng_bucket").filter(
-        overlap & (F.col("__rng_bucket") == owner)
+    dpairs = (
+        lv.join(rv, "__rng_bucket")
+        .filter(overlap & (F.col("__rng_bucket") == owner))
+        .drop("__rng_bucket")
     )
-    return joined.drop("__rng_bucket")
+    # the expansion joins are byte-SMALL in but output-HUGE (row pairs):
+    # left to AQE's byte heuristic they coalesce to a handful of tasks
+    # (the Generate/coalesce trap, SURVEY §10) — pin the fan-out on both
+    # sides of each join; the joins reuse the pinned hash distribution
+    n_pin = max(left.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    dpairs = dpairs.repartition(n_pin, "__rng_ls", "__rng_le")
+    lkeyed = left.repartition(n_pin, left_start, left_end)
+    step1 = dpairs.join(
+        lkeyed,
+        (F.col(left_start) == F.col("__rng_ls"))
+        & (F.col(left_end) == F.col("__rng_le")),
+    )
+    step1 = step1.repartition(n_pin, "__rng_rs", "__rng_re")
+    rkeyed = right.repartition(n_pin, right_start, right_end)
+    out = step1.join(
+        rkeyed,
+        (F.col(right_start) == F.col("__rng_rs"))
+        & (F.col(right_end) == F.col("__rng_re")),
+    )
+    return out.select(*left.columns, *right.columns)

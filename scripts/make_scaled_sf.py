@@ -55,6 +55,12 @@ def gen_documents(n_docs: int, seed: int = 777) -> pa.Table:
     words = vocab[rng.choice(31, size=total, p=w)]
     offs = np.concatenate([[0], np.cumsum(lengths)])
     texts = [" ".join(words[offs[i]:offs[i + 1]]) for i in range(n_docs)]
+    # the driver corpus carries ~0.16% exact-duplicate texts (sf0.1:
+    # 4992 distinct of 5000) — replicate so dedup/recall operators see
+    # a realistic duplicate structure (and never a 0-true-pair corpus)
+    for i in rng.choice(n_docs, size=max(n_docs // 625, 1), replace=False):
+        if i > 0:
+            texts[i] = texts[int(rng.integers(0, i))]
     langs = np.array(LANGS)[rng.choice(5, size=n_docs, p=LANG_P)]
     return pa.table(
         {

@@ -349,3 +349,38 @@ def test_jaccard_verify_pairs_bitset_matches_array_path(spark):
     assert out[(1, 4)][0] is None  # null text -> null jaccard
     assert out[(3, 4)][0] is None
     assert len(out) == 5
+
+
+def test_band_signatures_fused_equals_composed(spark):
+    """The fused band_signatures must equal
+    lsh_band_signatures(minhash_signatures(sh)) row-for-row, including
+    a non-divisible n_hashes/band_rows split (ragged last band)."""
+    from reading_the_unreadable_spark.operators.dedup import (
+        band_signatures,
+        lsh_band_signatures,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),
+            (3, "short"),
+            (4, "x y z x y z x"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, 3)
+    for n_hashes, band_rows in [(8, 2), (7, 3)]:
+        fused = {
+            (r["doc_id"], r["band"]): r["band_sig"]
+            for r in band_signatures(sh, n_hashes, band_rows).collect()
+        }
+        composed = {
+            (r["doc_id"], r["band"]): r["band_sig"]
+            for r in lsh_band_signatures(
+                minhash_signatures(sh, n_hashes), band_rows
+            ).collect()
+        }
+        assert fused == composed and fused
