@@ -2063,11 +2063,11 @@ def q_exif_extract(spark, sf):
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
 
-    files = (
-        _t(spark, sf, "documents")
-        .select("doc_id")
-        .mapInPandas(build, "doc_id long, payload binary")
-    )
+    from reading_the_unreadable_spark.operators.dedup import _spread
+
+    files = _spread(
+        _t(spark, sf, "documents").select("doc_id")
+    ).mapInPandas(build, "doc_id long, payload binary")
     out = EX.exif_features(files)
     return out.select(
         "doc_id", "make", "model", "orientation", "datetime",
@@ -2737,7 +2737,10 @@ def q_pdf_extract(spark, sf):
                 )
             yield pd_local.DataFrame(out)
 
-    payloads = d.mapInPandas(enc, "doc_id string, payload binary")
+    from reading_the_unreadable_spark.operators.dedup import _spread
+
+    # PDF build+crypt is the whole per-row cost: rebalance under-split scans
+    payloads = _spread(d).mapInPandas(enc, "doc_id string, payload binary")
     return parse_pdf_spans(payloads)
 
 
@@ -3375,7 +3378,11 @@ def q_scan_preprocess(spark, sf):
                 rows["payload"].append(encode_tiff(page, compression="g4"))
             yield pd_local.DataFrame(rows)
 
-    media = d.mapInPandas(gen, "media_ref string, kind string, payload binary")
+    from reading_the_unreadable_spark.operators.dedup import _spread
+
+    media = _spread(d).mapInPandas(
+        gen, "media_ref string, kind string, payload binary"
+    )
     return (
         scan_preprocess_features(media)
         .groupBy("skew_deg")
@@ -3419,7 +3426,11 @@ def q_page_blocks_pixels(spark, sf):
                 rows["payload"].append(encode_tiff(page, compression="g4"))
             yield pd_local.DataFrame(rows)
 
-    media = d.mapInPandas(gen, "media_ref string, kind string, payload binary")
+    from reading_the_unreadable_spark.operators.dedup import _spread
+
+    media = _spread(d).mapInPandas(
+        gen, "media_ref string, kind string, payload binary"
+    )
     blocks = detect_page_blocks(media, gap_x=8, gap_y=4)
     return (
         blocks.groupBy("media_ref")
@@ -3467,7 +3478,11 @@ def q_xy_cut_pixels(spark, sf):
                 rows["payload"].append(encode_tiff(page, compression="g4"))
             yield pd_local.DataFrame(rows)
 
-    media = d.mapInPandas(gen, "media_ref string, kind string, payload binary")
+    from reading_the_unreadable_spark.operators.dedup import _spread
+
+    media = _spread(d).mapInPandas(
+        gen, "media_ref string, kind string, payload binary"
+    )
     ordered = add_xy_cut_order(detect_page_blocks(media, gap_x=8, gap_y=4))
     # column-major iff every block with order <= m (m = n/2) is in the
     # left column (x1 < 140); n per doc comes from a window, the flag
@@ -3590,7 +3605,11 @@ def q_media_pipeline(spark, sf):
                 rows["payload"].append(synth_avi_bytes(f"{ref}.avi", n_frames=4))
             yield pd_local.DataFrame(rows)
 
-    media = d.mapInPandas(gen, "media_ref string, kind string, payload binary")
+    from reading_the_unreadable_spark.operators.dedup import _spread
+
+    media = _spread(d).mapInPandas(
+        gen, "media_ref string, kind string, payload binary"
+    )
     img = extract_media_features(media.filter(F.col("kind") == "image")).select(
         "kind", F.element_at("feat", 3).alias("f0")  # mean brightness
     )

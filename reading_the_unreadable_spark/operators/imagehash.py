@@ -204,7 +204,11 @@ def synth_dhash_images(documents: DataFrame) -> DataFrame:
                  "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return documents.select("doc_id").mapInPandas(
+    from .dedup import _spread
+
+    # image synthesis + codec encode is compute-heavy map work:
+    # rebalance under-split scans
+    return _spread(documents.select("doc_id")).mapInPandas(
         fn, schema="doc_id long, payload binary"
     )
 
@@ -339,6 +343,10 @@ def synth_ahash_images(documents: DataFrame) -> DataFrame:
                  "payload": pd.Series(payloads, dtype=object)}
             )
 
-    return documents.select("doc_id").mapInPandas(
+    from .dedup import _spread
+
+    # image synthesis + codec encode is compute-heavy map work:
+    # rebalance under-split scans
+    return _spread(documents.select("doc_id")).mapInPandas(
         fn, schema="doc_id long, payload binary"
     )

@@ -404,6 +404,8 @@ def archives_from_documents(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id", "text").mapInPandas(
+    from ..operators.dedup import _spread
+
+    return _spread(documents.select("doc_id", "text")).mapInPandas(
         fn, schema="source string, content binary"
     )

@@ -277,6 +277,8 @@ def subtitles_from_documents(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["source", "content"])
 
-    return documents.select("doc_id", "text").mapInPandas(
+    from ..operators.dedup import _spread
+
+    return _spread(documents.select("doc_id", "text")).mapInPandas(
         fn, schema="source string, content binary"
     )

@@ -339,6 +339,9 @@ def warc_from_documents(documents: DataFrame) -> DataFrame:
                  "content": [bytearray(blob)]}
             )
 
-    return documents.select("doc_id", "text").mapInPandas(
+    from ..operators.dedup import _spread
+
+    # payload packing is compute-heavy map work: rebalance under-split scans
+    return _spread(documents.select("doc_id", "text")).mapInPandas(
         fn, schema="source string, content binary"
     )
