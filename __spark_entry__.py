@@ -2083,16 +2083,30 @@ def q_exif_extract(spark, sf):
 def _word_chunks(n_words: int, decorate=None):
     """Shared adapter helper: the text column's words in ``n_words``
     groups as an array<string> of lines; ``decorate(line, i)`` optionally
-    post-processes each line expression."""
-    words = F.split(F.col("text"), " ")
-    nc = F.ceil(F.size(words) / F.lit(n_words)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), nc - 1),
-        lambda i: (
-            decorate(F.array_join(F.slice(words, i * n_words + 1, n_words), " "), i)
-            if decorate
-            else F.array_join(F.slice(words, i * n_words + 1, n_words), " ")
-        ),
+    post-processes each line expression.
+
+    The words array is re-derived INSIDE one enclosing HOF so the split
+    runs once per row: codegen does not CSE across lambda boundaries,
+    and referencing a bare ``split(text)`` from the chunk lambda re-ran
+    the split per chunk (see operators/quality.py _shingle_fps)."""
+
+    def chunks_of(words):
+        nc = F.ceil(F.size(words) / F.lit(n_words)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), nc - 1),
+            lambda i: (
+                decorate(
+                    F.array_join(F.slice(words, i * n_words + 1, n_words), " "), i
+                )
+                if decorate
+                else F.array_join(F.slice(words, i * n_words + 1, n_words), " ")
+            ),
+        )
+
+    # wrap the split in a single-element array transform: the lambda
+    # variable IS the materialized words array, evaluated once per row
+    return F.element_at(
+        F.transform(F.array(F.split(F.col("text"), " ")), chunks_of), 1
     )
 
 
@@ -2165,12 +2179,21 @@ def q_gopher_filter(spark, sf):
     from reading_the_unreadable_spark.operators.quality import gopher_filter
 
     d = _t(spark, sf, "documents")
-    chunks = _word_chunks(5)
-    first = F.element_at(chunks, 1)
-    extra = F.when(
-        F.col("n_chars") % 2 == 0, F.array(first, first, first)
-    ).otherwise(F.array().cast("array<string>"))
-    text = F.array_join(F.concat(chunks, extra), "\n")
+
+    # bind the chunk array to a lambda variable so its four references
+    # (first ×3 via extra, plus the join) read a slot instead of
+    # re-evaluating the chunk transform (CollapseProject re-inlines a
+    # withColumn alias, so a column materialization does not stick)
+    def _build(ch):
+        first = F.element_at(ch, 1)
+        extra = F.when(
+            F.col("n_chars") % 2 == 0, F.array(first, first, first)
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_join(F.concat(ch, extra), "\n")
+
+    text = F.element_at(
+        F.transform(F.array(_word_chunks(5)), _build), 1
+    )
     lined = d.select(
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
         text.alias("text"),

@@ -76,6 +76,10 @@ def visible_text(c: Column) -> Column:
 
 def strip_html(df: DataFrame, html_col: str = "html") -> DataFrame:
     """(doc_id, html) → (doc_id, text): the visible-text projection."""
+    from .dedup import _spread
+
+    df = _spread(df)  # regex-heavy map stage: rebalance under-split scans
+
     return df.select("doc_id", visible_text(F.col(html_col)).alias("text"))
 
 
@@ -92,6 +96,10 @@ def html_blocks(
     / total visible chars of the block; a block is content iff it is
     long enough AND link-sparse — the boilerpipe/jusText decision rule.
     Pure map-side work: one posexplode, zero shuffles."""
+    from .dedup import _spread
+
+    df = _spread(df)  # regex-heavy map stage: rebalance under-split scans
+
     cleaned = _remove_machinery(F.col(html_col))
     blocks = F.split(cleaned, BLOCK_SPLIT_PATTERN)
     df = df.select("doc_id", F.posexplode(blocks).alias("block_idx", "_raw"))
@@ -139,6 +147,7 @@ def main_text(
     doc_id (collect_list skips the nulls the non-content conditional
     produces, so the aggregate sees only content blocks while the
     groupBy sees every doc)."""
+    # html_blocks spreads the under-split scan itself
     blocks = html_blocks(df, html_col, min_text_chars, max_link_density)
     content = F.when(
         F.col("is_content") == 1, F.struct("block_idx", "text")
@@ -194,6 +203,10 @@ def page_metadata(df: DataFrame, html_col: str = "html") -> DataFrame:
     over the first ``application/ld+json`` script block.  Zero UDFs,
     zero shuffles: at corpus scale this runs inside the scan stage,
     and missing tags surface as NULLs, never errors."""
+    from .dedup import _spread
+
+    df = _spread(df)  # regex-heavy map stage: rebalance under-split scans
+
     html = F.col(html_col)
     title = F.regexp_extract(html, "(?s)<title>(.*?)</title>", 1)
     ld_raw = F.regexp_extract(

@@ -61,8 +61,12 @@ def c4_line_filters(
     """C4 §2.2 line rules: lines must end in terminal punctuation, have
     ≥5 words, and contain no boilerplate marker; documents keep their
     surviving lines joined and are flagged `kept` when enough lines
-    survive.  Higher-order array functions only — no explode, no
-    shuffle: the whole operator is one projection."""
+    survive.  Higher-order array functions only — no explode; the only
+    possible exchange is the conditional round-robin rebalance of an
+    under-split scan (a no-op on well-split production tables)."""
+    from .dedup import _spread
+
+    documents = _spread(documents)
     lines = F.split(F.col(text_col), "\n")
     kept_lines = F.filter(lines, _line_ok)
     return documents.select(
@@ -87,7 +91,11 @@ def gopher_repetition_signals(
     - bullet_line_frac: lines starting with '-' or '•'
     - ellipsis_line_frac: lines ending with '...' or '…'
 
-    All native expressions; ratios 6dp-rounded for cross-engine hashes."""
+    All native expressions; ratios 6dp-rounded for cross-engine hashes.
+    Under-split scans are rebalanced (no-op on well-split tables)."""
+    from .dedup import _spread
+
+    documents = _spread(documents)
     text = F.col(text_col)
     lines = F.split(text, "\n")
     paras = F.split(text, "\n\n")
@@ -491,6 +499,9 @@ def redact_pii(
     count as an email.  The pattern set is the usual first-line scrub, not an NER
     system — names/addresses need a model pass (the mapInPandas slot in
     :mod:`multimodal` is the shape for that)."""
+    from .dedup import _spread
+
+    documents = _spread(documents)
     out = F.col(text_col)
     counts = {}
     for name, pat, token in PII_PATTERNS:
@@ -1412,6 +1423,10 @@ def dedup_lines(
     Output: doc_id, rebuilt ``text``, n_lines_total, n_dropped_within
     (within-doc repeats), n_dropped_boiler (corpus-frequent lines).
     """
+    from .dedup import _spread
+
+    documents = _spread(documents)  # line fold is compute-heavy map work
+
     scope = [scope_col] if scope_col else []
     lines = documents.select(
         "doc_id",

@@ -847,6 +847,10 @@ def _text_tiling_arrow(
     exact Python-int arithmetic and the ppb value performs the same
     single long→double→divide→floor IEEE-754 chain as the JVM/DuckDB
     expression, so no float divergence is possible."""
+    from .dedup import _spread
+
+    documents = _spread(documents)  # per-doc numpy tiling: rebalance under-split scans
+
     import math
     from collections import Counter
 
@@ -921,6 +925,10 @@ def charclass_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     and control chars) is the remainder, so the five counts always sum
     to n_chars.  Fractions 6-dp rounded; ``suspicious`` flags
     digit_frac > 0.3 or other_frac > 0.1."""
+    from .dedup import _spread
+
+    documents = _spread(documents)  # char-class regex scans: rebalance
+
     t = F.coalesce(F.col(text_col), F.lit(""))
     n = F.length(t)
 
