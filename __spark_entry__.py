@@ -1705,7 +1705,17 @@ def q_near_dup_verified(spark, sf):
     together — the tight hamming≤2 gate keeps the demo candidate set at
     near-dup semantics instead of half of all pairs."""
     docs = _t(spark, sf, "documents")
-    cand = D.simhash_pairs(docs).filter(F.col("hamming") <= 2)
+    # Candidate generation uses THREE 10-bit slices instead of the
+    # 4×8-bit default: any pair with hamming ≤ 2 has ≥1 clean slice
+    # under EITHER scheme (pigeonhole: 2 dirty bits dirty ≤2 slices),
+    # so after the hamming ≤ 2 gate the pair set is provably identical
+    # — but 1024 slice values instead of 256 cut band-bucket collisions
+    # ~16× on a crowded-simhash corpus.  The oracle (4-band replay +
+    # hamming gate) is unchanged: both compute exactly {pairs :
+    # hamming ≤ 2}.
+    cand = D.simhash_pairs(docs, bits=32, bands=3).filter(
+        F.col("hamming") <= 2
+    )
     return D.jaccard_verify_pairs(docs, cand).select(
         "doc_a", "doc_b", "hamming", "jaccard"
     )

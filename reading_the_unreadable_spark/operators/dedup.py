@@ -587,6 +587,12 @@ def simhash_pairs(documents: DataFrame, bits: int = 32, bands: int = 4) -> DataF
             )
         ).alias("bs"),
     ).select("simhash", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # the slice frames are byte-SMALL but the pair join is CPU-HUGE
+    # (it streams the whole expanded pair set): AQE's byte heuristic
+    # would coalesce the exchange to a handful of tasks — pin the
+    # fan-out on both sides (same lesson as allpairs_from_tokens)
+    n_pin = max(documents.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    sliced = sliced.repartition(n_pin, "band", "sig")
     a, b = sliced.alias("a"), sliced.alias("b")
     # first-shared-band owner: keep the pair only in the band where all
     # EARLIER slices differ — exactly-once without a dedup shuffle
@@ -1145,6 +1151,10 @@ def _bitset_doc_pairs(
         F.col("bs.seg").alias("seg"),
         F.col("bs.sig").alias("sig"),
     )
+    # byte-small / CPU-huge candidate join: pin the fan-out so AQE's
+    # byte-based coalescing cannot serialize the pair evaluation
+    n_pin = max(toks.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    sigs = sigs.repartition(n_pin, *bucket_cols, "seg", "sig")
     a, b = sigs.alias("a"), sigs.alias("b")
     cond = (
         (F.col("a.seg") == F.col("b.seg"))

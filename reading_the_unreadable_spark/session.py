@@ -39,6 +39,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # long query suites accumulate broadcast/shuffle state that the
+        # ContextCleaner only releases after a JVM GC; with a 24g heap
+        # full GCs are rare, so the default 30min periodic GC lets
+        # late-suite queries run against a littered executor (measured:
+        # in-suite timings drifting 1.5-2x above isolated runs).  2min
+        # keeps cleanup timely at negligible cost.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # managed (bucketed) tables land outside the repo tree
