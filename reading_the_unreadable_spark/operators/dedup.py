@@ -703,7 +703,12 @@ def winnow_fingerprints(
     words yield an empty set; docs with fewer than ``w`` grams yield
     their single minimum."""
     documents = _spread(documents)
-    words = F.split(F.col(text_col), " ")
+    # the words array is materialized as a column BEFORE the gram
+    # transform: codegen cannot CSE across HOF lambda boundaries, so an
+    # inline `split` reference re-ran the split for every gram slice
+    # (the _shingle_fps lesson)
+    worded = documents.withColumn("__w_words", F.split(F.col(text_col), " "))
+    words = F.col("__w_words")
     n_g = F.size(words) - k + 1
     grams_expr = F.when(F.size(words) < k, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -715,7 +720,7 @@ def winnow_fingerprints(
     # pass below references it n_g times, and substituting the md5
     # fold into every lambda would recompute the whole array per
     # window — O(n_g²) md5 calls (measured: 208 s → 4 s at sf0.1)
-    staged = documents.select("doc_id", grams_expr.alias("__grams"))
+    staged = worded.select("doc_id", grams_expr.alias("__grams"))
     g = F.col("__grams")
     fps = F.when(F.size(g) < 1, g).otherwise(
         F.when(
@@ -799,7 +804,11 @@ def dedup_substrings(
 
     Output: doc_id, the deduped text, n_tokens / n_removed."""
     documents = _spread(documents)
-    words = F.split(F.col(text_col), " ")
+    # words materialized as a column first — an inline split reference
+    # inside the gram lambda re-ran the split per gram (no CSE across
+    # HOF lambda boundaries; the _shingle_fps lesson)
+    worded = documents.withColumn("__words", F.split(F.col(text_col), " "))
+    words = F.col("__words")
     n_g = F.size(words) - k + 1
     grams_expr = F.when(
         F.size(words) < k,
@@ -813,8 +822,8 @@ def dedup_substrings(
             ),
         )
     )
-    staged = documents.select(
-        "doc_id", words.alias("__words"), grams_expr.alias("__grams")
+    staged = worded.select(
+        "doc_id", "__words", grams_expr.alias("__grams")
     )
     g = (
         staged.select("doc_id", F.explode_outer("__grams").alias("g"))
