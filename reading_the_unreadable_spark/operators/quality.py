@@ -148,6 +148,10 @@ def unigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
     value; 4dp rounding absorbs float summation-order and libm-ulp
     differences across engines).  The corpus-total denominator is a
     1-row broadcast."""
+    from .dedup import _spread
+
+    documents = _spread(documents)  # compute-heavy per-doc map work: rebalance under-split scans
+
     words = documents.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
     )
@@ -181,6 +185,9 @@ def bigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
     and n-weighted-averaged per doc; the vocabulary size is a 1-row
     broadcast.  Docs with fewer than two tokens have no bigrams and no
     output row (contract: score what can be scored)."""
+    from .dedup import _spread
+
+    documents = _spread(documents)  # bigram explode: rebalance scans
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     pairs = F.arrays_zip(
@@ -246,8 +253,9 @@ def kneser_ney_logprob(
     integer; the probability is one fused expression, so 4 dp rounding
     makes the score engine-exact.  Docs with fewer than two tokens
     have no bigrams and no output row."""
-    from .dedup import _stage_boundary
+    from .dedup import _spread, _stage_boundary
 
+    documents = _spread(documents)  # bigram explode: rebalance scans
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     pairs = F.arrays_zip(

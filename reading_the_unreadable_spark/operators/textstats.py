@@ -153,6 +153,10 @@ def readability(documents: DataFrame) -> DataFrame:
     """Per-doc Flesch reading ease via a SCALAR Arrow ``pandas_udf`` —
     the sanctioned slow path: Arrow batch transfer, vectorized pandas
     inside, never row-at-a-time ``udf()``."""
+    from .dedup import _spread
+
+    documents = _spread(documents)  # compute-heavy per-doc map work: rebalance under-split scans
+
     flesch_udf = F.pandas_udf(_flesch_series, "double")
     return documents.select(
         "doc_id",
@@ -308,6 +312,10 @@ def bpe_encode(
 
     Output: (doc_id, n_words, n_bpe_tokens, bpe_text) with tokens
     space-joined and words separated by the ``</w>`` markers."""
+    from .dedup import _spread
+
+    documents = _spread(documents)  # compute-heavy per-doc map work: rebalance under-split scans
+
     words = documents.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
@@ -463,6 +471,10 @@ def tokenizer_stats(
 
     Output: (source, n_docs, n_chars, n_ws_tokens, n_bpe_tokens,
     fertility, chars_per_token)."""
+    from .dedup import _spread
+
+    documents = _spread(documents)  # compute-heavy per-doc map work: rebalance under-split scans
+
     lower = F.lower(F.col(text_col))
     toks = F.regexp_extract_all(lower, F.lit(BPE_PATTERN), 0)
     per = documents.select(
@@ -624,6 +636,10 @@ def split_sentences(documents: DataFrame, text_col: str = "text") -> DataFrame:
     construction, and sentence-level quality filters all want.  Pure map
     stage — regexp protect/split + posexplode, zero shuffle, streams
     over 100 TB."""
+    from .dedup import _spread
+
+    documents = _spread(documents)  # compute-heavy per-doc map work: rebalance under-split scans
+
     sents = sentences_col(F.col(text_col))
     return (
         documents.select("doc_id", F.posexplode(sents).alias("i", "sentence"),

@@ -105,6 +105,9 @@ def wiki_extract(documents: DataFrame, text_col: str = "wikitext") -> DataFrame:
     reduction): the Wikipedia cleaning projection plus the
     size-reduction diagnostic curation dashboards track — the same
     contract shape as :func:`operators.latex.latex_strip`."""
+    from .dedup import _spread
+
+    documents = _spread(documents)  # regex-chain map stage: rebalance
     src = F.coalesce(F.col(text_col), F.lit(""))
     txt = wikitext_to_text(F.col(text_col))
     return documents.select(
